@@ -1,0 +1,174 @@
+"""Single config dataclass for the whole framework.
+
+Replaces both the reference's ~60-flag argparse block (train.py:18-141) and the
+hard-coded serving dict (HubertInferenceMQ.py:25-96); one typed object is
+consumed by the CLI, the trainer, the renderer, and the serving path alike.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class Config:
+    # paths / workspace
+    path: str = "data/obama"
+    workspace: str = "workspace"
+    seed: int = 0
+    ckpt: str = "latest"
+    head_ckpt: str = ""
+
+    # mode
+    test: bool = False
+    test_train: bool = False
+    data_range: Tuple[int, int] = (0, -1)
+
+    # training schedule (reference train.py:28-44)
+    iters: int = 200_000
+    lr: float = 1e-2          # grid-table learning rate
+    lr_net: float = 1e-3      # MLP learning rate
+    num_rays: int = 4096 * 16
+    max_steps: int = 16       # max samples kept per ray
+    num_steps: int = 16
+    upsample_steps: int = 0
+    update_extra_interval: int = 16
+    max_ray_batch: int = 4096
+    warmup_step: int = 10_000
+
+    # losses (reference train.py:47-51, TrainerUtil.py:188-367)
+    amb_aud_loss: bool = True
+    amb_eye_loss: bool = True
+    unc_loss: bool = True
+    lambda_amb: float = 1e-4
+
+    # precision: on TPU we default to bf16 compute with fp32 params/compositing
+    # (replaces the reference's fp16 AMP + GradScaler, train.py:54).
+    fp16: bool = True
+
+    # background / eyes
+    bg_img: str = ""
+    fbg: bool = False
+    exp_eye: bool = True
+    fix_eye: float = -1.0
+    smooth_eye: bool = False
+
+    torso_shrink: float = 0.8
+
+    # dataset (reference train.py:67-83)
+    color_space: str = "srgb"
+    preload: int = 0
+    bound: float = 1.0
+    scale: float = 4.0
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    dt_gamma: float = 1.0 / 256
+    min_near: float = 0.05
+    density_thresh: float = 10.0
+    density_thresh_torso: float = 0.01
+    patch_size: int = 1
+
+    init_lips: bool = False
+    finetune_lips: bool = False
+    smooth_lips: bool = False
+
+    torso: bool = False
+
+    # audio (reference train.py:101-139)
+    att: int = 2              # audio attention mode: 0 off, 1 left, 2 bi
+    aud: str = ""
+    emb: bool = False
+    asr_model: str = "hubert"  # deepspeech(29) | esperanto(44) | hubert(1024)
+
+    # individual codes
+    ind_dim: int = 4
+    ind_num: int = 10_000
+    ind_dim_torso: int = 8
+
+    amb_dim: int = 2
+    part: bool = False
+    part2: bool = False
+
+    # camera
+    train_camera: bool = False
+    smooth_path: bool = False
+    smooth_path_window: int = 7
+
+    # live ASR (reference asr.py)
+    asr: bool = False
+    asr_wav: str = ""
+    asr_play: bool = False
+    asr_save_feats: bool = False
+    fps: int = 50
+    l: int = 10
+    m: int = 50
+    r: int = 10
+
+    # serving
+    gui: bool = False
+    W: int = 450
+    H: int = 450
+    radius: float = 3.35
+    fovy: float = 21.24
+    max_spp: int = 1
+    face_optimize: bool = False
+
+    # renderer internals (reference renderer.py:93-99)
+    grid_size: int = 128
+    density_scale: float = 1.0
+    T_thresh: float = 1e-4
+
+    # TPU-specific knobs (no reference equivalent)
+    mesh_shape: Tuple[int, ...] = (1,)       # data-parallel mesh over rays
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    ema_decay: float = 0.95
+    ema_update_interval: int = 1000
+    eval_interval: int = 1
+    max_keep_ckpt: int = 2
+
+    @property
+    def audio_in_dim(self) -> int:
+        # reference network.py:108-115
+        if "esperanto" in self.asr_model:
+            return 44
+        if "deepspeech" in self.asr_model:
+            return 29
+        if "hubert" in self.asr_model:
+            return 1024
+        return 32
+
+    @property
+    def cascade(self) -> int:
+        # reference renderer.py:93
+        import math
+
+        return 1 + math.ceil(math.log2(max(self.bound, 1.0)))
+
+    def aabb(self) -> Tuple[float, float, float, float, float, float]:
+        # reference renderer.py:110 (train and infer aabbs are identical)
+        b = self.bound
+        return (-b, -b / 2, -b, b, b / 2, b)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+        for k in ("data_range", "offset", "mesh_shape", "mesh_axis_names"):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        return Config(**d)
+
+
+def optimized_defaults(**kw) -> Config:
+    """Equivalent of the reference's `-O` macro (train.py:143-145):
+    mixed precision + explicit eye control."""
+    base = dict(fp16=True, exp_eye=True)
+    base.update(kw)
+    return Config(**base)

@@ -1,0 +1,44 @@
+"""Ray/AABB utilities.
+
+TPU-native replacement for kernel_near_far_from_aabb
+(raymarching/src/raymarching.cu:92-145) — a vectorised slab test.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+_BIG = 3.4e38  # matches the CUDA kernel writing FLT_MAX for missed rays
+
+
+def near_far_from_aabb(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    aabb: jnp.ndarray,
+    min_near: float = 0.05,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab test of rays against an axis-aligned box.
+
+    Args:
+      rays_o, rays_d: [..., 3]
+      aabb: [6] (xmin, ymin, zmin, xmax, ymax, zmax)
+      min_near: minimum near distance clamp.
+
+    Returns:
+      nears, fars: [...] — both FLT_MAX when the ray misses the box
+      (raymarching.cu:121-124,133-136).
+    """
+    rd = 1.0 / rays_d
+    t0 = (aabb[:3] - rays_o) * rd  # [..., 3]
+    t1 = (aabb[3:] - rays_o) * rd
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    near = jnp.max(tmin, axis=-1)
+    far = jnp.min(tmax, axis=-1)
+    miss = near > far
+    near = jnp.maximum(near, min_near)
+    near = jnp.where(miss, _BIG, near)
+    far = jnp.where(miss, _BIG, far)
+    return near, far
