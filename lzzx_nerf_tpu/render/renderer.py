@@ -1,0 +1,142 @@
+"""The render program: near/far → static march → field eval → composite → bg.
+
+Replaces both reference paths with ONE jitted function:
+- training branch run_cuda (nerf_triplane/renderer.py:185-304)
+- inference alive-ray loop run_cuda_for_inference (renderer.py:406-570)
+
+The reference splits them only because CUDA compaction makes training
+(two-pass atomic) and inference (python while over alive rays) different
+programs; the static-shape formulation (ops/march.py) removes the split.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.composite import composite_rays
+from ..ops.march import march_rays_uniform
+from ..ops.ray import near_far_from_aabb
+from .state import OccupancyState, RenderSettings
+
+
+def render_rays(
+    field_apply,
+    params,
+    settings: RenderSettings,
+    state: OccupancyState,
+    rays_o: jnp.ndarray,            # [N, 3]
+    rays_d: jnp.ndarray,            # [N, 3]
+    enc_a: jnp.ndarray,             # [1, audio_dim] (already audio-encoded)
+    ind_code: Optional[jnp.ndarray],  # [ind_dim] or None
+    eye: Optional[jnp.ndarray],     # [1] or None
+    bg_color: jnp.ndarray,          # [N, 3] (possibly torso-composited)
+    noise: Optional[jnp.ndarray] = None,  # [N] perturb in [0,1), train only
+    training: bool = False,
+    compute_uncertainty: bool = True,
+) -> Dict[str, Any]:
+    """Returns dict with image [N,3], depth, weights_sum, ambient_aud,
+    ambient_eye, uncertainty [N], and (training) the raw sample set for the
+    jitter regulariser (reference renderer.py:299-304)."""
+    N = rays_o.shape[0]
+    aabb = jnp.asarray(settings.aabb, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, settings.min_near)
+    nears = jax.lax.stop_gradient(nears)
+    fars = jax.lax.stop_gradient(fars)
+
+    m = march_rays_uniform(
+        rays_o, rays_d, nears, fars, state.occ,
+        settings.bound, settings.dt, settings.num_cand, settings.max_steps,
+        noise=noise,
+    )
+    S = settings.max_steps
+    pts = m.xyzs.reshape(N * S, 3)
+    dirs = jnp.repeat(rays_d, S, axis=0)
+
+    out = field_apply(params, pts, dirs, enc_a, ind_code, eye,
+                      compute_uncertainty=compute_uncertainty)
+    sigmas = (out.sigma * settings.density_scale).reshape(N, S)
+    rgbs = out.color.reshape(N, S, 3)
+    # composite receives |amb|.sum(-1) of the [N,1] channels, i.e. the values
+    # themselves (reference renderer.py:295-296)
+    amb_aud = jnp.abs(out.ambient_aud).reshape(N, S)
+    amb_eye = jnp.abs(out.ambient_eye).reshape(N, S)
+    unc = out.uncertainty.reshape(N, S)
+
+    comp = composite_rays(
+        sigmas, rgbs, amb_aud, amb_eye, unc,
+        m.deltas, m.ts, m.mask, T_thresh=settings.T_thresh,
+    )
+
+    image = comp.image + (1.0 - comp.weights_sum)[:, None] * bg_color
+    image = jnp.clip(image, 0.0, 1.0)
+    # normalised depth (reference renderer.py:385)
+    depth = jnp.clip(comp.depth - nears, 0.0) / jnp.maximum(fars - nears, 1e-6)
+
+    results: Dict[str, Any] = {
+        "image": image,
+        "depth": depth,
+        "weights_sum": comp.weights_sum,
+        "ambient_aud": comp.amb_aud_sum,
+        "ambient_eye": comp.amb_eye_sum,
+        "uncertainty": comp.uncertainty_sum,
+    }
+    if training:
+        # raw samples for the every-16-step jitter regulariser
+        results["rays"] = (pts, dirs, m.mask.reshape(-1))
+    return results
+
+
+def _bilinear_sample_2d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """align_corners=True bilinear sample of grid [H, W] at coords [N, 2] in
+    [-1, 1]; coords[:, 0] indexes width, coords[:, 1] height — matching
+    F.grid_sample semantics in reference renderer.py:604-605."""
+    H, W = grid.shape
+    x = (coords[:, 0] + 1.0) * 0.5 * (W - 1)
+    y = (coords[:, 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 1).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = x - x0
+    wy = y - y0
+    g = grid
+    v00 = g[y0, x0]
+    v01 = g[y0, x1]
+    v10 = g[y1, x0]
+    v11 = g[y1, x1]
+    return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+            + v10 * (1 - wx) * wy + v11 * wx * wy)
+
+
+def run_torso(
+    torso_apply,
+    torso_params,
+    settings: RenderSettings,
+    state: OccupancyState,
+    bg_coords: jnp.ndarray,         # [N, 2] in [-1, 1]
+    pose: jnp.ndarray,              # [4, 4]
+    ind_code_torso: Optional[jnp.ndarray],
+    bg_color: jnp.ndarray,          # [N, 3]
+) -> Dict[str, Any]:
+    """Torso pass: 2-D occupancy-masked deform-field query composited over the
+    background (reference renderer.py:572-631). The reference compacts to the
+    occupied subset; on TPU we evaluate dense and mask — static shapes, and
+    the torso nets are tiny."""
+    thresh = jnp.minimum(settings.density_thresh_torso, state.mean_density_torso)
+    occupancy = _bilinear_sample_2d(state.density_grid_torso, bg_coords)
+    mask = (occupancy > thresh).astype(jnp.float32)[:, None]   # [N, 1]
+
+    alpha, color, deform = torso_apply(torso_params, bg_coords, pose, ind_code_torso)
+    alpha = alpha * mask
+    color = color * mask
+
+    new_bg = color * alpha + bg_color * (1.0 - alpha)
+    return {
+        "bg_color": new_bg,
+        "torso_alpha": alpha,
+        "torso_color": new_bg,
+        "deform": deform,
+    }
