@@ -1,0 +1,91 @@
+"""Benchmark: audio-driven head render FPS at 512x512 on one chip.
+
+The reference's operating point is 25 FPS @512² (BASELINE.md); vs_baseline is
+fps/25. The loop measures the full serving path per frame: audio window ->
+AudioNet/attention -> full-frame render -> device_get of the RGB frame
+(the host->ffmpeg handoff boundary in the streaming server).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="tiny config for CPU smoke runs")
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--res", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.small:
+        jax.config.update("jax_platforms", "cpu")
+        args.res, args.frames = 96, 4
+
+    from __graft_entry__ import _build
+    from lzzx_nerf_tpu.render import render_rays
+    from lzzx_nerf_tpu.utils import get_rays
+
+    res = args.res
+    grid = 128 if not args.small else 32
+    settings, occ, field, params = _build(res=res, grid=grid, max_steps=16)
+
+    pose = jnp.asarray(np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
+        np.float32))[None]
+    intr = (res / 0.6, res / 0.6, res / 2, res / 2)
+    rays = get_rays(pose, intr, res, res, N=-1)
+    rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
+    bg = jnp.ones((res * res, 3))
+
+    @jax.jit
+    def render_frame(params, occ, auds, eye):
+        enc_a = field.apply(params, auds, method="encode_audio")
+        c = params["params"]["individual_codes"][0]
+        out = render_rays(field.apply, params, settings, occ,
+                          rays_o, rays_d, enc_a, c, eye, bg, training=False)
+        return out["image"]
+
+    # per-frame audio windows (streaming shape [8, 16, 1024])
+    rng = np.random.default_rng(0)
+    aud_stream = [jnp.asarray(rng.standard_normal((8, 16, 1024)), jnp.float32)
+                  for _ in range(args.frames)]
+    eyes = [jnp.asarray([0.15 + 0.1 * np.sin(i / 4)], jnp.float32)
+            for i in range(args.frames)]
+
+    # warmup/compile
+    img = render_frame(params, occ, aud_stream[0], eyes[0])
+    np.asarray(img)
+
+    t0 = time.perf_counter()
+    for f in range(args.frames):
+        img = render_frame(params, occ, aud_stream[f], eyes[f])
+        frame_host = np.asarray(img)          # host handoff (ffmpeg boundary)
+    dt = time.perf_counter() - t0
+    fps = args.frames / dt
+
+    mrays = (res * res * fps) / 1e6
+    result = {
+        "metric": f"render_fps_{res}",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 25.0, 3),
+    }
+    print(json.dumps(result))
+    print(f"# {mrays:.2f} Mrays/s, {dt/args.frames*1000:.1f} ms/frame, "
+          f"res={res}, samples/ray={settings.max_steps}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""LPIPS (AlexNet backbone) in pure JAX.
+
+Replaces the `lpips` pip package the reference uses for patch/lips training
+and the LPIPS eval metric (TrainerUtil.py:106-109, utils.py:417-451).
+
+Architecture is the standard LPIPS-alex: AlexNet conv features tapped after
+each ReLU, channel-unit-normalised, squared difference, per-layer 1x1
+non-negative linear heads, spatial mean, summed over layers. Inputs are
+[-1, 1] RGB, shifted/scaled by the LPIPS constants.
+
+Weights: `load_weights(path)` reads an .npz with keys conv0..conv4 (+ biases)
+and lin0..lin4 exported from the official torch checkpoint. In this
+zero-egress build environment no pretrained weights ship, so `random_params`
+provides a fixed-seed random backbone: random deep features still give a
+useful perceptual training signal (random-weight perceptual losses are an
+established result), but absolute values are NOT comparable to official
+LPIPS numbers — evaluation code labels them "lpips(rand)" in that case.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (out_ch, kernel, stride, pad) per AlexNet feature conv
+_ALEX = (
+    (64, 11, 4, 2),
+    (192, 5, 1, 2),
+    (384, 3, 1, 1),
+    (256, 3, 1, 1),
+    (256, 3, 1, 1),
+)
+_POOL_AFTER = (0, 1)  # maxpool(k3, s2) after taps 0 and 1
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def random_params(seed: int = 0) -> Dict[str, jnp.ndarray]:
+    """He-init backbone + uniform lin heads (fixed seed → stable metric)."""
+    rng = np.random.default_rng(seed)
+    params = {}
+    in_ch = 3
+    for i, (out_ch, k, _, _) in enumerate(_ALEX):
+        fan_in = in_ch * k * k
+        params[f"conv{i}"] = (
+            rng.standard_normal((k, k, in_ch, out_ch)) * np.sqrt(2.0 / fan_in)
+        ).astype(np.float32)
+        params[f"bias{i}"] = np.zeros(out_ch, np.float32)
+        params[f"lin{i}"] = (rng.uniform(0, 1, (out_ch,)) / out_ch).astype(np.float32)
+        in_ch = out_ch
+    return {k: jnp.asarray(v) for k, v in params.items()}
+
+
+def load_weights(path: str) -> Dict[str, jnp.ndarray]:
+    data = np.load(path)
+    return {k: jnp.asarray(data[k]) for k in data.files}
+
+
+def get_params(path: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+    if path and os.path.exists(path):
+        return load_weights(path)
+    return random_params()
+
+
+def _features(params, x):
+    """x: [B, H, W, 3] in [-1, 1] -> list of tap activations."""
+    h = (x - _SHIFT) / _SCALE
+    taps = []
+    for i, (_, k, s, p) in enumerate(_ALEX):
+        h = jax.lax.conv_general_dilated(
+            h, params[f"conv{i}"], (s, s), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + params[f"bias{i}"]
+        h = jax.nn.relu(h)
+        taps.append(h)
+        if i in _POOL_AFTER:
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+    return taps
+
+
+def lpips(params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Perceptual distance per batch element. x, y: [B, H, W, 3] in [-1, 1].
+    H, W should be >= 16 (pad smaller patches, as the reference does for the
+    lips rect, TrainerUtil.py:298-303)."""
+    fx = _features(params, x)
+    fy = _features(params, y)
+    total = 0.0
+    for i, (a, b) in enumerate(zip(fx, fy)):
+        na = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
+        nb = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+        d = (na - nb) ** 2                              # [B, h, w, C]
+        w = jnp.maximum(params[f"lin{i}"], 0.0)         # non-negative heads
+        total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))
+    return total

@@ -1,0 +1,117 @@
+"""Evaluation meters (reference nerf_triplane/utils.py:381-548)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import lpips as lpips_mod
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((pred - gt) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+class PSNRMeter:
+    """Running PSNR (reference utils.py:381-415)."""
+
+    def __init__(self):
+        self.clear()
+
+    def clear(self):
+        self.V, self.N = 0.0, 0
+
+    def update(self, pred, gt):
+        self.V += float(psnr(jnp.asarray(pred), jnp.asarray(gt)))
+        self.N += 1
+
+    def measure(self) -> float:
+        return self.V / max(self.N, 1)
+
+    def report(self) -> str:
+        return f"PSNR = {self.measure():.6f}"
+
+
+class LPIPSMeter:
+    """Running LPIPS-alex (reference utils.py:417-451). Uses pretrained
+    weights when an npz path is given; otherwise a fixed random backbone
+    (values then not comparable to official LPIPS — name says so)."""
+
+    def __init__(self, weights_path: Optional[str] = None):
+        self.params = lpips_mod.get_params(weights_path)
+        self.pretrained = bool(weights_path)
+        self.clear()
+
+    def clear(self):
+        self.V, self.N = 0.0, 0
+
+    def update(self, pred, gt):
+        # [H, W, 3] in [0,1] -> [1, H, W, 3] in [-1, 1]
+        p = jnp.asarray(pred)[None] * 2 - 1
+        g = jnp.asarray(gt)[None] * 2 - 1
+        self.V += float(lpips_mod.lpips(self.params, p, g)[0])
+        self.N += 1
+
+    def measure(self) -> float:
+        return self.V / max(self.N, 1)
+
+    def report(self) -> str:
+        name = "LPIPS (alex)" if self.pretrained else "LPIPS (alex, rand-feat)"
+        return f"{name} = {self.measure():.6f}"
+
+
+class LMDMeter:
+    """Mouth landmark distance (reference utils.py:454-548). Needs a facial
+    landmark backend; `face_alignment`/`dlib` are optional — when absent the
+    meter reports n/a instead of failing the eval loop."""
+
+    def __init__(self, backend: str = "fan"):
+        self.backend = backend
+        self.predictor = None
+        try:
+            if backend == "dlib":
+                import dlib  # noqa
+
+                self.predictor = "dlib"
+            else:
+                import face_alignment  # noqa
+
+                self.predictor = face_alignment.FaceAlignment(
+                    face_alignment.LandmarksType.TWO_D, flip_input=False)
+        except ImportError:
+            self.predictor = None
+        self.clear()
+
+    def clear(self):
+        self.V, self.N = 0.0, 0
+
+    def get_landmarks(self, img: np.ndarray):
+        if self.predictor is None:
+            return None
+        lms = self.predictor.get_landmarks(np.asarray(img * 255, np.uint8))
+        return None if not lms else lms[-1]
+
+    def update(self, pred, gt):
+        if self.predictor is None:
+            return
+        lp = self.get_landmarks(np.asarray(pred))
+        lg = self.get_landmarks(np.asarray(gt))
+        if lp is None or lg is None:
+            return
+        # mouth landmarks 48:68; normalise by centring each mouth
+        lp, lg = lp[48:68], lg[48:68]
+        lp = lp - lp.mean(0)
+        lg = lg - lg.mean(0)
+        self.V += float(np.linalg.norm(lp - lg, axis=-1).mean())
+        self.N += 1
+
+    def measure(self) -> float:
+        return self.V / max(self.N, 1)
+
+    def report(self) -> str:
+        if self.predictor is None:
+            return "LMD = n/a (no landmark backend installed)"
+        return f"LMD (mouth) = {self.measure():.6f}"

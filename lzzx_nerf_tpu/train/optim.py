@@ -1,0 +1,62 @@
+"""Optimizer wiring with the reference's per-group hyperparameters.
+
+Reference (train.py:274, network.py:315-356): AdamW betas=(0, 0.99), eps 1e-8,
+LambdaLR factor 0.5^(step/iters) (0.05^(step/iters) for lips finetune), with
+param groups:
+  - grid tables (encoder_xy/yz/xz, torso_encoder): lr,       wd = torch AdamW
+    default 0.01 (these groups don't set weight_decay)
+  - audio_att_net:                                 lr_net*5, wd = 1e-4
+  - all other nets + individual codes:             lr_net,   wd = 0
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import optax
+
+
+GRID_TABLES = ("encoder_xy", "encoder_yz", "encoder_xz", "torso_encoder")
+
+
+def param_label_fn(path, leaf) -> str:
+    names = {getattr(k, "key", getattr(k, "name", str(k))) for k in path}
+    if names & set(GRID_TABLES):
+        return "grid"
+    if "audio_att_net" in names:
+        return "att"
+    return "net"
+
+
+def build_optimizer(
+    lr: float = 1e-2,
+    lr_net: float = 1e-3,
+    iters: int = 200_000,
+    finetune_lips: bool = False,
+) -> optax.GradientTransformation:
+    decay_rate = 0.05 if finetune_lips else 0.5
+
+    def sched(base):
+        return optax.exponential_decay(
+            init_value=base, transition_steps=iters, decay_rate=decay_rate
+        )
+
+    def adamw(base_lr, wd):
+        return optax.adamw(
+            learning_rate=sched(base_lr), b1=0.0, b2=0.99, eps=1e-8,
+            weight_decay=wd,
+        )
+
+    import jax
+
+    def label_tree(params):
+        return jax.tree_util.tree_map_with_path(param_label_fn, params)
+
+    return optax.multi_transform(
+        {
+            "grid": adamw(lr, 0.01),
+            "att": adamw(lr_net * 5, 1e-4),
+            "net": adamw(lr_net, 0.0),
+        },
+        label_tree,
+    )

@@ -1,0 +1,370 @@
+"""Train/eval step factories + host-side Trainer loop.
+
+Replaces reference TrainerUtil (nerf_triplane/TrainerUtil.py): the per-step
+logic becomes ONE jitted function (ray sampling, audio encoding, rendering,
+the full loss stack, the every-16-step jitter regulariser via lax.cond,
+optimizer update, periodic EMA) — no python in the hot loop and no
+GradScaler (bf16 on TPU needs no loss scaling; compositing stays fp32).
+
+Design choice vs the reference: the dataloader ships the FULL frame (image,
+masks, background) to the device and rays are sampled inside the jitted step.
+A 512x512 frame is ~3 MB — negligible next to the step — and it removes the
+host-side gather + per-item transfers of the reference collate
+(provider.py:647-747).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.nerf import NeRFField, TorsoField
+from ..render.renderer import render_rays, run_torso
+from ..render.state import OccupancyState, RenderSettings
+from ..utils.rays import get_bg_coords, get_rays
+from . import lpips as lpips_mod
+from .losses import head_losses, torso_losses
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            params=params,
+            opt_state=tx.init(params["params"]),
+            ema_params=params["params"],
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def _masked_mse(a, b, w):
+    w = w.astype(jnp.float32)
+    return jnp.sum(((a - b) ** 2) * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def make_train_step(
+    field: NeRFField,
+    settings: RenderSettings,
+    tx: optax.GradientTransformation,
+    *,
+    H: int,
+    W: int,
+    intrinsics: Tuple[float, float, float, float],
+    num_rays: int,
+    iters: int,
+    patch_size: int = 1,
+    unc_loss: bool = True,
+    amb_aud_loss: bool = True,
+    amb_eye_loss: bool = True,
+    lambda_amb: float = 1e-4,
+    ind_dim: int = 4,
+    exp_eye: bool = True,
+    ema_decay: float = 0.95,
+    ema_interval: int = 1000,
+    update_extra_interval: int = 16,
+    lpips_params: Optional[Dict] = None,
+    finetune_lips: bool = False,
+    lips_pad: int = 32,
+    data_sharding=None,
+):
+    """Returns jit-able step(state, occ, batch, rng) -> (state, metrics).
+
+    batch: image [H,W,3], bg_color [H,W,3], face_mask/eye_mask/lhalf_mask
+    [H,W] bool, pose [4,4], auds [F,16,C], eye [1], index int32,
+    and for finetune_lips a fixed-size lips rect via batch['rect_origin']
+    [2] + static lips_pad (static shapes: the rect crop is lips_pad^2).
+    """
+    bg_coords_full = get_bg_coords(H, W)[0]  # [H*W, 2] constant
+
+    def step_fn(state: TrainState, occ: OccupancyState, batch, rng):
+        rng_rays, rng_noise, rng_reg = jax.random.split(rng, 3)
+        step_factor = jnp.minimum(state.step.astype(jnp.float32) / iters, 1.0)
+
+        if finetune_lips:
+            # fixed-size crop around the lips rect origin (static shape)
+            oy, ox = batch["rect_origin"][0], batch["rect_origin"][1]
+            rr = oy + jnp.arange(lips_pad)
+            cc = ox + jnp.arange(lips_pad)
+            gr, gc = jnp.meshgrid(rr, cc, indexing="ij")
+            inds = (gr * W + gc).reshape(-1)
+        else:
+            rays_sel = get_rays(batch["pose"][None], intrinsics, H, W,
+                                N=num_rays, patch_size=patch_size, rng=rng_rays)
+            inds = rays_sel["inds"][0]
+
+        # gather per-ray data on device
+        i = (inds % W).astype(jnp.float32) + 0.5
+        j = (inds // W).astype(jnp.float32) + 0.5
+        fx, fy, cx, cy = [jnp.float32(v) for v in intrinsics]
+        dirs = jnp.stack([(i - cx) / fx, (j - cy) / fy, jnp.ones_like(i)], -1)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        pose = batch["pose"]
+        rays_d = dirs @ pose[:3, :3].T
+        rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+
+        gt = batch["image"].reshape(-1, 3)[inds]
+        face = batch["face_mask"].reshape(-1)[inds]
+        bg = batch["bg_color"].reshape(-1, 3)[inds]
+        N = gt.shape[0]
+        noise = jax.random.uniform(rng_noise, (N,))
+
+        if data_sharding is not None:
+            # shard the ray batch across the data mesh axis; params stay
+            # replicated and XLA inserts the gradient psum over ICI
+            wsc = jax.lax.with_sharding_constraint
+            rays_o = wsc(rays_o, data_sharding)
+            rays_d = wsc(rays_d, data_sharding)
+            gt = wsc(gt, data_sharding)
+            face = wsc(face, data_sharding)
+            bg = wsc(bg, data_sharding)
+            noise = wsc(noise, data_sharding)
+
+        def loss_fn(params):
+            enc_a = field.apply(params, batch["auds"], method="encode_audio")
+            c = (params["params"]["individual_codes"][batch["index"]]
+                 if ind_dim > 0 else None)
+            eye = batch["eye"] if exp_eye else None
+
+            res = render_rays(field.apply, params, settings, occ,
+                              rays_o, rays_d, enc_a, c, eye, bg,
+                              noise=noise, training=True,
+                              compute_uncertainty=unc_loss)
+
+            loss = head_losses(
+                res, res["image"], gt, face, step_factor,
+                unc_loss=unc_loss, amb_aud_loss=amb_aud_loss,
+                amb_eye_loss=amb_eye_loss, lambda_amb=lambda_amb,
+                max_steps=settings.max_steps,
+                finetune_lips_active=finetune_lips,
+            )
+
+            if patch_size > 1 and lpips_params is not None:
+                p = patch_size
+                pr = res["image"].reshape(-1, p, p, 3) * 2 - 1
+                pg = gt.reshape(-1, p, p, 3) * 2 - 1
+                loss = loss + 0.1 * jnp.mean(
+                    lpips_mod.lpips(lpips_params, pr, pg))
+
+            if finetune_lips and lpips_params is not None:
+                pr = res["image"].reshape(1, lips_pad, lips_pad, 3) * 2 - 1
+                pg = gt.reshape(1, lips_pad, lips_pad, 3) * 2 - 1
+                loss = loss + 0.01 * jnp.mean(
+                    lpips_mod.lpips(lpips_params, pr, pg))
+
+            # every-16-step jitter regulariser (TrainerUtil.py:346-365)
+            def reg(_):
+                pts, d_s, mask = res["rays"]
+                delta = (jax.random.uniform(rng_reg, pts.shape) * 2 - 1) * 1e-3
+                ea = jax.lax.stop_gradient(enc_a)
+                cc2 = jax.lax.stop_gradient(c) if c is not None else None
+                raw = jax.lax.stop_gradient(
+                    field.apply(params, pts, d_s, ea, cc2, eye,
+                                compute_uncertainty=unc_loss))
+                per = field.apply(params, pts + delta, d_s, ea, cc2, eye,
+                                  compute_uncertainty=unc_loss)
+                r = 0.0
+                if unc_loss:
+                    r += _masked_mse(raw.uncertainty, per.uncertainty, mask)
+                if amb_aud_loss:
+                    r += _masked_mse(raw.ambient_aud, per.ambient_aud, mask)
+                if amb_eye_loss:
+                    r += _masked_mse(raw.ambient_eye, per.ambient_eye, mask)
+                return r
+
+            if not finetune_lips:
+                reg_loss = jax.lax.cond(
+                    state.step % update_extra_interval == 0,
+                    reg, lambda _: jnp.float32(0.0), None)
+                loss = loss + step_factor * 1e-5 * reg_loss
+
+            aux = {
+                "mse": jnp.mean((res["image"] - gt) ** 2),
+                "weights_sum": jnp.mean(res["weights_sum"]),
+            }
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = tx.update(grads["params"], state.opt_state,
+                                     state.params["params"])
+        new_inner = optax.apply_updates(state.params["params"], updates)
+        new_params = dict(state.params)
+        new_params["params"] = new_inner
+
+        new_step = state.step + 1
+        new_ema = jax.lax.cond(
+            new_step % ema_interval == 0,
+            lambda _: jax.tree.map(
+                lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                state.ema_params, new_inner),
+            lambda _: state.ema_params,
+            None,
+        )
+
+        new_state = state.replace(params=new_params, opt_state=new_opt,
+                                  ema_params=new_ema, step=new_step)
+        metrics = {"loss": loss, **aux,
+                   "lr_factor": 0.5 ** (step_factor)}
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_eval_step(
+    field: NeRFField,
+    settings: RenderSettings,
+    *,
+    H: int,
+    W: int,
+    intrinsics: Tuple[float, float, float, float],
+    ind_dim: int = 4,
+    exp_eye: bool = True,
+    use_ema: bool = False,
+):
+    """Full-frame eval render (reference eval_step, TrainerUtil.py:369-405).
+    Returns dict of [H, W(,3)] maps + per-frame loss."""
+
+    def eval_fn(state: TrainState, occ: OccupancyState, batch):
+        params = state.params
+        if use_ema:
+            params = dict(params)
+            params["params"] = state.ema_params
+        rays = get_rays(batch["pose"][None], intrinsics, H, W, N=-1)
+        enc_a = field.apply(params, batch["auds"], method="encode_audio")
+        c = (params["params"]["individual_codes"][0] if ind_dim > 0 else None)
+        eye = batch["eye"] if exp_eye else None
+        bg = batch["bg_color"].reshape(-1, 3)
+
+        res = render_rays(field.apply, params, settings, occ,
+                          rays["rays_o"][0], rays["rays_d"][0],
+                          enc_a, c, eye, bg, training=False)
+        gt = batch["image"].reshape(-1, 3)
+        loss = jnp.mean((res["image"] - gt) ** 2)
+        return {
+            "image": res["image"].reshape(H, W, 3),
+            "depth": res["depth"].reshape(H, W),
+            "ambient_aud": res["ambient_aud"].reshape(H, W),
+            "ambient_eye": res["ambient_eye"].reshape(H, W),
+            "uncertainty": res["uncertainty"].reshape(H, W),
+            "loss": loss,
+        }
+
+    return eval_fn
+
+
+def make_torso_train_step(
+    torso: TorsoField,
+    settings: RenderSettings,
+    tx: optax.GradientTransformation,
+    *,
+    H: int,
+    W: int,
+    num_rays: int,
+    iters: int,
+    ind_dim_torso: int = 8,
+    ema_decay: float = 0.95,
+    ema_interval: int = 1000,
+):
+    """Torso-stage step (head frozen; reference train_step torso branch,
+    TrainerUtil.py:216-244 + renderer.run_torso). The target is the
+    ground-truth torso-over-background composite (data['bg_torso_color'])."""
+    bg_coords_full = get_bg_coords(H, W)[0]
+
+    def step_fn(state: TrainState, occ: OccupancyState, batch, rng):
+        inds = jax.random.randint(rng, (num_rays,), 0, H * W)
+        bg_coords = bg_coords_full[inds]
+        gt = batch["bg_torso_color"].reshape(-1, 3)[inds]
+        bg = batch["bg_color"].reshape(-1, 3)[inds]
+
+        def loss_fn(params):
+            c = (params["params"]["individual_codes_torso"][batch["index"]]
+                 if ind_dim_torso > 0 else None)
+            res = run_torso(torso.apply, params, settings, occ,
+                            bg_coords, batch["pose"], c, bg)
+            return torso_losses(res["torso_color"], gt, res["torso_alpha"],
+                                params["params"]["anchor_points"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads["params"], state.opt_state,
+                                     state.params["params"])
+        new_inner = optax.apply_updates(state.params["params"], updates)
+        new_params = dict(state.params)
+        new_params["params"] = new_inner
+        new_step = state.step + 1
+        new_ema = jax.lax.cond(
+            new_step % ema_interval == 0,
+            lambda _: jax.tree.map(
+                lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                state.ema_params, new_inner),
+            lambda _: state.ema_params, None)
+        new_state = state.replace(params=new_params, opt_state=new_opt,
+                                  ema_params=new_ema, step=new_step)
+        return new_state, {"loss": loss}
+
+    return step_fn
+
+
+class Trainer:
+    """Host-side orchestration: epochs, periodic occupancy refresh, eval,
+    checkpointing (reference TrainerUtil epoch loops 996-1220 + ckpt
+    1222-1345). Kept thin: everything per-step is inside the jitted fns."""
+
+    def __init__(self, workspace: str, max_keep_ckpt: int = 2):
+        import os
+
+        self.workspace = workspace
+        os.makedirs(workspace, exist_ok=True)
+        self.log_path = os.path.join(workspace, "log_ngp.txt")
+        self._ckpt_dir = os.path.join(os.path.abspath(workspace), "checkpoints")
+        self.max_keep_ckpt = max_keep_ckpt
+        self._mgr = None
+
+    def log(self, *args):
+        msg = " ".join(str(a) for a in args)
+        print(msg)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    def _manager(self):
+        if self._mgr is None:
+            import orbax.checkpoint as ocp
+
+            self._mgr = ocp.CheckpointManager(
+                self._ckpt_dir,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.max_keep_ckpt, create=True),
+            )
+        return self._mgr
+
+    def save_checkpoint(self, state: TrainState, occ: OccupancyState):
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager()
+        payload = {"state": state, "occ": occ._asdict()}
+        mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()
+
+    def load_checkpoint(self, state: TrainState, occ: OccupancyState,
+                        step: Optional[int] = None):
+        """Restore latest (or given step); returns (state, occ) unchanged if
+        no checkpoint exists."""
+        import orbax.checkpoint as ocp
+
+        mgr = self._manager()
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            return state, occ, False
+        target = {"state": state, "occ": occ._asdict()}
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        occ_restored = OccupancyState(**restored["occ"])
+        return restored["state"], occ_restored, True

@@ -1,0 +1,124 @@
+"""End-to-end training tests on the synthetic dataset (BASELINE config #4
+scaled down): loss must drop and PSNR rise after a few hundred steps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lzzx_nerf_tpu.data import SyntheticTalkingHead
+from lzzx_nerf_tpu.models import NeRFField
+from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                  update_density_grid)
+from lzzx_nerf_tpu.train import (TrainState, Trainer, build_optimizer,
+                                 make_eval_step, make_train_step, psnr)
+
+GRID = 32
+RES = 48
+
+
+@pytest.fixture(scope="module")
+def world():
+    ds = SyntheticTalkingHead(num_frames=8, H=RES, W=RES)
+    settings = RenderSettings(
+        bound=1.0, cascade=1, grid_size=GRID, max_steps=8,
+        dt=2 * 3 ** 0.5 / GRID, num_cand=28)
+    state0 = init_occupancy_state(settings)
+    # start with everything occupied (update_density_grid will refine)
+    state0 = state0._replace(occ=jnp.ones_like(state0.occ))
+
+    field = NeRFField(audio_in_dim=ds.audio_dim, att=2, exp_eye=True, ind_dim=4,
+                      ind_num=64)
+    b0 = ds.frame(0)
+    params = field.init(
+        jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.ones((4, 3)) / 3 ** 0.5,
+        jnp.asarray(b0["auds"]), jnp.zeros(4), jnp.asarray([0.2]),
+        method="init_all")
+    return ds, settings, state0, field, params
+
+
+def test_train_loop_improves_psnr(world, tmp_path):
+    ds, settings, occ, field, params = world
+    tx = build_optimizer(lr=1e-2, lr_net=1e-3, iters=2000)
+    state = TrainState.create(params, tx)
+
+    step = jax.jit(make_train_step(
+        field, settings, tx, H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
+        num_rays=1024, iters=2000, ind_dim=4, ema_interval=50,
+        update_extra_interval=16,
+    ))
+    evaluate = jax.jit(make_eval_step(
+        field, settings, H=ds.H, W=ds.W, intrinsics=ds.intrinsics, ind_dim=4))
+
+    def density_fn_factory(params):
+        def fn(pts, ea, eye):
+            return field.apply(params, pts, ea, eye, method="density").sigma
+        return fn
+
+    batches = [
+        {k: jnp.asarray(v) for k, v in ds.frame(f).items()}
+        for f in range(ds.num_frames)
+    ]
+
+    e0 = evaluate(state, occ, batches[0])
+    psnr_before = float(psnr(e0["image"], batches[0]["image"]))
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for it in range(240):
+        b = batches[it % len(batches)]
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, occ, b, sub)
+        losses.append(float(metrics["loss"]))
+        if (it + 1) % 60 == 0:
+            enc_a = field.apply(state.params, b["auds"], method="encode_audio")
+            occ = update_density_grid(
+                density_fn_factory(state.params), settings, occ, enc_a,
+                b["eye"], jax.random.PRNGKey(it))
+
+    e1 = evaluate(state, occ, batches[0])
+    psnr_after = float(psnr(e1["image"], batches[0]["image"]))
+
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-30:]) < np.mean(losses[:30]) * 0.8, (
+        f"loss did not drop: first={np.mean(losses[:30]):.4f} "
+        f"last={np.mean(losses[-30:]):.4f}")
+    assert psnr_after > psnr_before + 2.0, (
+        f"PSNR {psnr_before:.2f} -> {psnr_after:.2f}")
+    assert int(state.step) == 240
+
+
+def test_checkpoint_roundtrip(world, tmp_path):
+    ds, settings, occ, field, params = world
+    tx = build_optimizer(iters=100)
+    state = TrainState.create(params, tx)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+
+    tr = Trainer(str(tmp_path / "ws"))
+    tr.save_checkpoint(state, occ)
+
+    blank = TrainState.create(params, tx)
+    restored, occ2, ok = tr.load_checkpoint(blank, occ)
+    assert ok
+    assert int(restored.step) == 7
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(occ.occ), np.asarray(occ2.occ))
+
+
+def test_optimizer_param_groups(world):
+    from lzzx_nerf_tpu.train.optim import param_label_fn
+    ds, settings, occ, field, params = world
+    labels = jax.tree_util.tree_map_with_path(param_label_fn, params["params"])
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    got = {}
+    for path, lab in flat:
+        name = ".".join(str(getattr(k, "key", k)) for k in path)
+        got[name.split(".")[0]] = lab
+    assert got["encoder_xy"] == "grid"
+    assert got["encoder_yz"] == "grid"
+    assert got["audio_att_net"] == "att"
+    assert got["sigma_net"] == "net"
+    assert got["individual_codes"] == "net"
