@@ -24,6 +24,12 @@ def main():
                     help="tiny config for CPU smoke runs")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--path", choices=["compact", "full"], default="compact",
+                    help="compact = interval-guided ray-compacted march "
+                         "(fast inference path); full = exhaustive march")
+    ap.add_argument("--budget-frac", type=float, default=0.5,
+                    help="active-ray budget as a fraction of total rays "
+                         "(compact path)")
     args = ap.parse_args()
 
     import jax
@@ -34,12 +40,13 @@ def main():
         args.res, args.frames = 96, 4
 
     from __graft_entry__ import _build
-    from lzzx_nerf_tpu.render import render_rays
+    from lzzx_nerf_tpu.render import render_rays, render_rays_compact
     from lzzx_nerf_tpu.utils import get_rays
 
     res = args.res
     grid = 128 if not args.small else 32
     settings, occ, field, params = _build(res=res, grid=grid, max_steps=16)
+    budget = int(args.budget_frac * res * res) // 1024 * 1024
 
     pose = jnp.asarray(np.array(
         [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
@@ -53,8 +60,14 @@ def main():
     def render_frame(params, occ, auds, eye):
         enc_a = field.apply(params, auds, method="encode_audio")
         c = params["params"]["individual_codes"][0]
-        out = render_rays(field.apply, params, settings, occ,
-                          rays_o, rays_d, enc_a, c, eye, bg, training=False)
+        if args.path == "compact":
+            out = render_rays_compact(field.apply, params, settings, occ,
+                                      rays_o, rays_d, enc_a, c, eye, bg,
+                                      budget=budget)
+        else:
+            out = render_rays(field.apply, params, settings, occ,
+                              rays_o, rays_d, enc_a, c, eye, bg,
+                              training=False)
         return out["image"]
 
     # per-frame audio windows (streaming shape [8, 16, 1024])

@@ -1,0 +1,326 @@
+"""CLI entry point (reference train.py): train / finetune / torso / test.
+
+Usage:
+  python -m lzzx_nerf_tpu.cli data/<id>/ -O --iters 100000 --asr_model hubert
+  python -m lzzx_nerf_tpu.cli data/<id>/ -O --test --test_train --aud X_hu.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_config(argv=None):
+    from .config import Config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", type=str)
+    ap.add_argument("-O", action="store_true",
+                    help="equals --fp16 --exp_eye (reference train.py:143-145)")
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        if f.name == "path":
+            continue
+        arg = f"--{f.name}"
+        default = getattr(defaults, f.name)
+        if f.type == "bool" or isinstance(default, bool):
+            ap.add_argument(arg, type=int, choices=[0, 1], default=None)
+        elif isinstance(default, tuple):
+            ap.add_argument(arg, type=float, nargs="*", default=None)
+        elif isinstance(default, float):
+            ap.add_argument(arg, type=float, default=None)
+        elif isinstance(default, int):
+            ap.add_argument(arg, type=int, default=None)
+        else:
+            ap.add_argument(arg, type=str, default=None)
+    ns = ap.parse_args(argv)
+
+    overrides = {}
+    for f in dataclasses.fields(Config):
+        v = getattr(ns, f.name, None)
+        if v is None:
+            continue
+        default = getattr(defaults, f.name)
+        if isinstance(default, bool):
+            v = bool(v)
+        elif isinstance(default, tuple):
+            v = tuple(int(x) if isinstance(default[0], int) else x for x in v)
+        overrides[f.name] = v
+    overrides["path"] = ns.path
+    if ns.O:
+        overrides.setdefault("fp16", True)
+        overrides.setdefault("exp_eye", True)
+    return Config(**overrides)
+
+
+def _build_world(cfg, ds):
+    import jax
+    import jax.numpy as jnp
+
+    from .models import NeRFField
+    from .render import (RenderSettings, init_occupancy_state,
+                         mark_untrained_grid)
+
+    settings = RenderSettings.from_config(cfg)
+    occ = init_occupancy_state(settings)
+    occ = mark_untrained_grid(settings, occ, jnp.asarray(ds.poses),
+                              ds.intrinsics)
+
+    field = NeRFField(
+        bound=cfg.bound, audio_in_dim=cfg.audio_in_dim, att=cfg.att,
+        exp_eye=cfg.exp_eye, emb=cfg.emb, ind_dim=cfg.ind_dim,
+        ind_num=cfg.ind_num,
+        dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32)
+    b0 = ds.frame(0)
+    params = field.init(
+        jax.random.PRNGKey(cfg.seed), jnp.zeros((4, 3)),
+        jnp.ones((4, 3)) / 3 ** 0.5, jnp.asarray(b0["auds"]),
+        jnp.zeros(max(cfg.ind_dim, 1)), jnp.asarray([0.25]),
+        method="init_all")
+    return settings, occ, field, params
+
+
+def run_train(cfg) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .data.provider import NeRFDataset
+    from .models import TorsoField
+    from .render import update_density_grid, update_torso_grid
+    from .train import (TrainState, Trainer, build_optimizer, make_eval_step,
+                        make_train_step)
+    from .train.trainer import make_torso_train_step
+    from .train.metrics import PSNRMeter, LPIPSMeter
+
+    ds = NeRFDataset(cfg, type="train")
+    val = NeRFDataset(cfg, type="val")
+    settings, occ, field, params = _build_world(cfg, ds)
+    trainer = Trainer(cfg.workspace, max_keep_ckpt=cfg.max_keep_ckpt)
+    trainer.log(f"[INFO] {len(ds.poses)} train frames, res {ds.H}x{ds.W}, "
+                f"encoder=dense, iters={cfg.iters}")
+    with open(os.path.join(cfg.workspace, "opt.txt"), "a") as f:
+        f.write(cfg.to_json() + "\n")
+
+    tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters, cfg.finetune_lips)
+    state = TrainState.create(params, tx)
+    state, occ, resumed = trainer.load_checkpoint(state, occ)
+    if resumed:
+        trainer.log(f"[INFO] resumed at step {int(state.step)}")
+
+    if cfg.torso:
+        run_train_torso(cfg, ds, settings, occ, trainer)
+        return
+
+    step_fn = jax.jit(make_train_step(
+        field, settings, tx, H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
+        num_rays=cfg.num_rays, iters=cfg.iters, patch_size=cfg.patch_size,
+        unc_loss=cfg.unc_loss, amb_aud_loss=cfg.amb_aud_loss,
+        amb_eye_loss=cfg.amb_eye_loss, lambda_amb=cfg.lambda_amb,
+        ind_dim=cfg.ind_dim, exp_eye=cfg.exp_eye,
+        ema_decay=cfg.ema_decay, ema_interval=cfg.ema_update_interval,
+        update_extra_interval=cfg.update_extra_interval,
+        finetune_lips=cfg.finetune_lips))
+    eval_fn = jax.jit(make_eval_step(
+        field, settings, H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
+        ind_dim=cfg.ind_dim, exp_eye=cfg.exp_eye))
+
+    def density_fn(pts, ea, eye):
+        return field.apply(state.params, pts, ea, eye, method="density").sigma
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    t_start = time.time()
+    it = int(state.step)
+    eval_interval = max(1, int(5000 / max(len(ds.poses), 1)))  # train.py:296
+    epoch = 0
+    psnr_meter, lpips_meter = PSNRMeter(), LPIPSMeter()
+    while it < cfg.iters:
+        epoch += 1
+        for batch_np in ds.frames():
+            if it >= cfg.iters:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            if it % cfg.update_extra_interval == 0:
+                enc_a = field.apply(state.params, batch["auds"],
+                                    method="encode_audio")
+                rng, sub = jax.random.split(rng)
+                occ = update_density_grid(density_fn, settings, occ, enc_a,
+                                          batch.get("eye"), sub)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, occ, batch, sub)
+            it += 1
+            if it % 100 == 0:
+                trainer.log(f"step {it}: loss={float(metrics['loss']):.5f} "
+                            f"mse={float(metrics['mse']):.5f} "
+                            f"({it / (time.time() - t_start):.2f} it/s)")
+        trainer.save_checkpoint(state, occ)
+        if epoch % eval_interval == 0:
+            psnr_meter.clear(); lpips_meter.clear()
+            for vi, vb in enumerate(val.frames(shuffle=False)):
+                if vi >= 4:
+                    break
+                out = eval_fn(state, occ,
+                              {k: jnp.asarray(v) for k, v in vb.items()})
+                psnr_meter.update(out["image"], vb["image"])
+                lpips_meter.update(out["image"], vb["image"])
+                _save_image(out["image"],
+                            os.path.join(cfg.workspace, "validation",
+                                         f"ep{epoch:04d}_{vi}.png"))
+            trainer.log(f"[eval] epoch {epoch}: {psnr_meter.report()} | "
+                        f"{lpips_meter.report()}")
+    trainer.save_checkpoint(state, occ)
+    trainer.log("[INFO] training done")
+
+
+def run_train_torso(cfg, ds, settings, occ, trainer) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .models import TorsoField
+    from .render import update_torso_grid
+    from .train import TrainState, build_optimizer
+    from .train.trainer import make_torso_train_step
+
+    torso = TorsoField(torso_shrink=cfg.torso_shrink,
+                       ind_dim_torso=cfg.ind_dim_torso, ind_num=cfg.ind_num)
+    b0 = ds.frame(0)
+    tparams = torso.init(jax.random.PRNGKey(cfg.seed),
+                         jnp.zeros((4, 2)), jnp.asarray(b0["pose"]),
+                         jnp.zeros(max(cfg.ind_dim_torso, 1)))
+    tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters)
+    state = TrainState.create(tparams, tx)
+    step_fn = jax.jit(make_torso_train_step(
+        torso, settings, tx, H=ds.H, W=ds.W, num_rays=cfg.num_rays,
+        iters=cfg.iters, ind_dim_torso=cfg.ind_dim_torso))
+
+    def alpha_fn(xys, pose, c):
+        a, _, _ = torso.apply(state.params, xys, pose, c)
+        return a[:, 0]
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    it = int(state.step)
+    t0 = time.time()
+    while it < cfg.iters:
+        for batch_np in ds.frames():
+            if it >= cfg.iters:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            if it % cfg.update_extra_interval == 0:
+                rng, sub = jax.random.split(rng)
+                c = (state.params["params"]["individual_codes_torso"][0]
+                     if cfg.ind_dim_torso > 0 else None)
+                occ = update_torso_grid(alpha_fn, settings, occ,
+                                        batch["pose"], c, sub)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, occ, batch, sub)
+            it += 1
+            if it % 100 == 0:
+                trainer.log(f"[torso] step {it}: "
+                            f"loss={float(metrics['loss']):.5f} "
+                            f"({it / (time.time() - t0):.2f} it/s)")
+        trainer.save_checkpoint(state, occ)
+    trainer.log("[INFO] torso training done")
+
+
+def run_test(cfg) -> None:
+    """Offline batch inference: render every frame, write PNGs (+ mp4 when
+    ffmpeg is present), report PSNR/LPIPS/LMD when ground truth exists
+    (reference train.py:210-262 + TrainerUtil.test)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.provider import NeRFDataset
+    from .render import render_rays_compact
+    from .train import TrainState, Trainer, build_optimizer
+    from .train.metrics import LMDMeter, LPIPSMeter, PSNRMeter
+    from .utils import get_rays
+
+    ds = NeRFDataset(cfg, type="train" if cfg.test_train else "test")
+    ds.training = False
+    settings, occ, field, params = _build_world(cfg, ds)
+    trainer = Trainer(cfg.workspace)
+    tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters)
+    state = TrainState.create(params, tx)
+    state, occ, resumed = trainer.load_checkpoint(state, occ)
+    trainer.log(f"[INFO] test: {len(ds)} frames, ckpt resumed={resumed}")
+
+    budget = max(1024, int(0.5 * ds.H * ds.W) // 1024 * 1024)
+
+    @jax.jit
+    def render_frame(state, occ, pose, auds, eye):
+        rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
+        enc_a = field.apply(state.params, auds, method="encode_audio")
+        c = (state.params["params"]["individual_codes"][0]
+             if cfg.ind_dim > 0 else None)
+        bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
+        out = render_rays_compact(
+            field.apply, state.params, settings, occ, rays["rays_o"][0],
+            rays["rays_d"][0], enc_a, c, eye, bg, budget=budget)
+        return out["image"].reshape(ds.H, ds.W, 3)
+
+    out_dir = os.path.join(cfg.workspace, "results")
+    os.makedirs(out_dir, exist_ok=True)
+    meters = [PSNRMeter(), LPIPSMeter(), LMDMeter()] if ds.has_gt else []
+    t0 = time.time()
+    for i in range(len(ds)):
+        b = ds.frame(i)
+        img = render_frame(state, occ, jnp.asarray(b["pose"]),
+                           jnp.asarray(b["auds"]), jnp.asarray(b["eye"]))
+        img_np = np.asarray(img)
+        _save_image(img_np, os.path.join(out_dir, f"{i:05d}.png"))
+        for m in meters:
+            m.update(img_np, b["image"])
+    fps = len(ds) / (time.time() - t0)
+    trainer.log(f"[INFO] rendered {len(ds)} frames at {fps:.2f} FPS")
+    for m in meters:
+        trainer.log("[metric] " + m.report())
+    _frames_to_video(out_dir, os.path.join(cfg.workspace, "result.mp4"),
+                     fps=25, log=trainer.log)
+
+
+def _save_image(img, path: str) -> None:
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.asarray(img)
+    Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def _frames_to_video(frame_dir: str, out_path: str, fps: int = 25,
+                     log=print) -> None:
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        log(f"[WARN] ffmpeg not found; frames left in {frame_dir}")
+        return
+    cmd = ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+           os.path.join(frame_dir, "%05d.png"), "-c:v", "libx264",
+           "-pix_fmt", "yuv420p", out_path]
+    subprocess.run(cmd, check=True, capture_output=True)
+    log(f"[INFO] wrote {out_path}")
+
+
+def main(argv=None):
+    # this environment's sitecustomize overrides JAX_PLATFORMS; honour an
+    # explicit LZZX_PLATFORM=cpu|tpu request reliably
+    plat = os.environ.get("LZZX_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    cfg = build_config(argv)
+    os.makedirs(cfg.workspace, exist_ok=True)
+    if cfg.test:
+        run_test(cfg)
+    else:
+        run_train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,8 @@ from flax import linen as nn
 
 from ..ops.freq import freq_encode
 from ..ops.grid import GridSpec, grid_encode, make_grid_spec
+from ..ops.packed_triplane import (DenseTriplaneSpec, bake_packed,
+                                   dense_triplane_encode, packed_lookup)
 from ..ops.sh import sh_encode
 from .audio import AudioAttNet, AudioNet
 from .mlp import MLP
@@ -63,19 +65,36 @@ class NeRFField(nn.Module):
     ind_dim: int = 4
     ind_num: int = 10_000
     dtype: jnp.dtype = jnp.float32
+    # "dense": TPU-native corner-packed nested-octave triplane (flagship,
+    #          1 gather row per plane per sample — see ops/packed_triplane.py)
+    # "hash":  reference-exact instant-ngp hash triplane (network.py:129-135)
+    encoder: str = "dense"
 
     def setup(self):
-        spec = triplane_spec(self.bound)
-        self.spec = spec
-
         def table_init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, minval=-1e-4, maxval=1e-4)
 
-        tbl = (spec.total_params, spec.level_dim)
-        self.encoder_xy = self.param("encoder_xy", table_init, tbl)
-        self.encoder_yz = self.param("encoder_yz", table_init, tbl)
-        self.encoder_xz = self.param("encoder_xz", table_init, tbl)
-        self.in_dim = 3 * spec.output_dim  # 36
+        if self.encoder == "dense":
+            dspec = DenseTriplaneSpec()
+            self.dense_spec = dspec
+            planes = {}
+            for p in ("xy", "yz", "xz"):
+                planes[p] = [
+                    self.param(f"encoder_{p}_l{l}", table_init,
+                               (r + 1, r + 1, c))
+                    for l, (r, c) in enumerate(
+                        zip(dspec.resolutions, dspec.channels))
+                ]
+            self.dense_planes = planes
+            self.in_dim = 3 * dspec.output_dim  # 36
+        else:
+            spec = triplane_spec(self.bound)
+            self.spec = spec
+            tbl = (spec.total_params, spec.level_dim)
+            self.encoder_xy = self.param("encoder_xy", table_init, tbl)
+            self.encoder_yz = self.param("encoder_yz", table_init, tbl)
+            self.encoder_xz = self.param("encoder_xz", table_init, tbl)
+            self.in_dim = 3 * spec.output_dim  # 36
 
         if self.emb:
             self.embedding = nn.Embed(self.audio_in_dim, self.audio_in_dim)
@@ -102,9 +121,17 @@ class NeRFField(nn.Module):
         xy = xyz[:, :2]
         yz = xyz[:, 1:]
         xz = jnp.concatenate([xyz[:, :1], xyz[:, 2:]], axis=-1)
-        f_xy = grid_encode(xy, self.encoder_xy, self.spec, self.bound)
-        f_yz = grid_encode(yz, self.encoder_yz, self.spec, self.bound)
-        f_xz = grid_encode(xz, self.encoder_xz, self.spec, self.bound)
+        if self.encoder == "dense":
+            f_xy = dense_triplane_encode(self.dense_planes["xy"], xy,
+                                         self.dense_spec, self.bound)
+            f_yz = dense_triplane_encode(self.dense_planes["yz"], yz,
+                                         self.dense_spec, self.bound)
+            f_xz = dense_triplane_encode(self.dense_planes["xz"], xz,
+                                         self.dense_spec, self.bound)
+        else:
+            f_xy = grid_encode(xy, self.encoder_xy, self.spec, self.bound)
+            f_yz = grid_encode(yz, self.encoder_yz, self.spec, self.bound)
+            f_xz = grid_encode(xz, self.encoder_xz, self.spec, self.bound)
         return jnp.concatenate([f_xy, f_yz, f_xz], axis=-1)
 
     def encode_audio(self, a: jnp.ndarray) -> jnp.ndarray:

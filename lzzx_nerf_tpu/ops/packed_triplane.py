@@ -1,0 +1,166 @@
+"""Dense nested-octave triplane encoding with corner-packed lookup rows.
+
+THE TPU-native replacement for the instant-ngp hash-grid triplane on the hot
+path. Motivation (measured on v5e): XLA TPU gathers retire ~110M rows/s
+regardless of row width, and the hash encoder needs 12 levels x 4 corners x
+3 planes = 144 one-float gather rows per sample — ~1.2 s per 256² frame.
+This encoder restructures the same multiresolution-triplane capability so a
+sample needs ONE gather row per plane:
+
+- Levels are DENSE 2-D grids at nested power-of-two resolutions
+  (64..512 by default). 2-D planes make dense storage cheap (~2.3M params
+  per plane) — the hash table exists to compress 3-D grids into GPU L2 and
+  buys nothing on TPU.
+- Nesting means a query's cell at every level is determined by its cell at
+  the finest level, so all levels' 4 bilinear corners can be PACKED into one
+  row of a [R², 4·ΣC] table keyed by the finest cell.
+- The packed table is BAKED from the level parameters with pure dense ops
+  (slice + repeat): ~0.5 ms per plane, fully differentiable (the transpose
+  of repeat is a block-sum), so training runs through the same path.
+- A lookup is then: 1 gather row + per-level bilinear weights (VPU math).
+
+Gather rows per 512² frame @16 samples: 12.6M (vs 600M for the hash path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DenseTriplaneSpec:
+    # 12 features per plane (3 planes -> 36 total), matching the reference's
+    # triplane feature width (12 levels x 1ch; here 4 nested octaves with
+    # decreasing channel counts — dense 2-D storage needs no hashing)
+    resolutions: Tuple[int, ...] = (64, 128, 256, 512)
+    channels: Tuple[int, ...] = (4, 3, 3, 2)
+
+    def __post_init__(self):
+        R = self.resolutions[-1]
+        for r in self.resolutions:
+            assert R % r == 0 and (R // r) & (R // r - 1) == 0, (
+                "resolutions must nest by powers of two")
+
+    @property
+    def output_dim(self) -> int:
+        return sum(self.channels)
+
+    @property
+    def packed_dim(self) -> int:
+        return 4 * sum(self.channels)
+
+    @property
+    def fine_res(self) -> int:
+        return self.resolutions[-1]
+
+    @property
+    def num_params(self) -> int:
+        return sum((r + 1) ** 2 * c
+                   for r, c in zip(self.resolutions, self.channels))
+
+
+def init_dense_planes(key: jax.Array, spec: DenseTriplaneSpec,
+                      scale: float = 1e-4) -> List[jnp.ndarray]:
+    """Per-level [r+1, r+1, C] grids, uniform ±scale (same init magnitude as
+    the reference hash tables, gridencoder/grid.py:132-134)."""
+    keys = jax.random.split(key, len(spec.resolutions))
+    return [
+        jax.random.uniform(k, (r + 1, r + 1, c), jnp.float32, -scale, scale)
+        for k, r, c in zip(keys, spec.resolutions, spec.channels)
+    ]
+
+
+def bake_packed(levels: Sequence[jnp.ndarray], spec: DenseTriplaneSpec,
+                dtype=jnp.float32) -> jnp.ndarray:
+    """Levels -> corner-packed table [R*R, 4*sum(C)].
+
+    Row layout: for each level l (in order), 4 corner blocks of C_l channels:
+    [c00 | c10 | c01 | c11] where cXY is the grid value at
+    (cell_x + X, cell_y + Y)."""
+    R = spec.fine_res
+    parts = []
+    for lvl, (r, C) in enumerate(zip(spec.resolutions, spec.channels)):
+        A = levels[lvl]
+        corners = (A[:-1, :-1], A[1:, :-1], A[:-1, 1:], A[1:, 1:])
+        s = R // r
+        for c in corners:
+            up = c if s == 1 else jnp.repeat(jnp.repeat(c, s, 0), s, 1)
+            parts.append(up.astype(dtype))
+    return jnp.concatenate(parts, axis=-1).reshape(R * R, spec.packed_dim)
+
+
+def packed_lookup(packed: jnp.ndarray, xy01: jnp.ndarray,
+                  spec: DenseTriplaneSpec) -> jnp.ndarray:
+    """Bilinear multiresolution features via one gather row per point.
+
+    packed: [R*R, packed_dim] from bake_packed.
+    xy01: [B, 2] coordinates in [0, 1] (points outside produce zeros).
+    Returns [B, output_dim] (level-major channel order)."""
+    R = spec.fine_res
+    in_bounds = jnp.all((xy01 >= 0.0) & (xy01 <= 1.0), axis=-1)
+    u = jnp.clip(xy01, 0.0, 1.0)
+
+    fine_pos = u * R
+    fc = jnp.clip(jnp.floor(fine_pos), 0, R - 1).astype(jnp.int32)  # [B, 2]
+    rows = jnp.take(packed, fc[:, 0] * R + fc[:, 1], axis=0)        # [B, P]
+    rows = rows.astype(jnp.float32)
+
+    outs = []
+    offset = 0
+    for r, C in zip(spec.resolutions, spec.channels):
+        shift_pow = R // r
+        cell = fc // shift_pow                           # == floor(u * r)
+        frac = u * r - cell.astype(jnp.float32)          # [B, 2]
+        fx, fy = frac[:, :1], frac[:, 1:]
+        c00 = rows[:, offset + 0 * C: offset + 1 * C]
+        c10 = rows[:, offset + 1 * C: offset + 2 * C]
+        c01 = rows[:, offset + 2 * C: offset + 3 * C]
+        c11 = rows[:, offset + 3 * C: offset + 4 * C]
+        outs.append(
+            c00 * (1 - fx) * (1 - fy)
+            + c10 * fx * (1 - fy)
+            + c01 * (1 - fx) * fy
+            + c11 * fx * fy
+        )
+        offset += 4 * C
+    out = jnp.concatenate(outs, axis=-1)
+    return jnp.where(in_bounds[:, None], out, 0.0)
+
+
+def dense_triplane_encode(
+    levels: Sequence[jnp.ndarray],
+    xy: jnp.ndarray,
+    spec: DenseTriplaneSpec,
+    bound: float = 1.0,
+    packed: jnp.ndarray | None = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Full encode: map [-bound,bound] -> [0,1], bake (unless a prebaked
+    table is supplied) and look up."""
+    if packed is None:
+        packed = bake_packed(levels, spec, dtype=dtype)
+    u = (xy + bound) / (2.0 * bound)
+    return packed_lookup(packed, u, spec)
+
+
+def reference_dense_encode(levels, xy01, spec):
+    """Direct (gather-per-corner) bilinear evaluation — the semantic
+    reference for tests; O(levels) gathers per point."""
+    outs = []
+    u = jnp.clip(xy01, 0.0, 1.0)
+    in_bounds = jnp.all((xy01 >= 0.0) & (xy01 <= 1.0), axis=-1)
+    for A, r in zip(levels, spec.resolutions):
+        pos = u * r
+        cell = jnp.clip(jnp.floor(pos), 0, r - 1).astype(jnp.int32)
+        frac = pos - cell
+        fx, fy = frac[:, :1], frac[:, 1:]
+        g = lambda dx, dy: A[cell[:, 0] + dx, cell[:, 1] + dy]
+        outs.append(
+            g(0, 0) * (1 - fx) * (1 - fy) + g(1, 0) * fx * (1 - fy)
+            + g(0, 1) * (1 - fx) * fy + g(1, 1) * fx * fy)
+    return jnp.where(in_bounds[:, None], jnp.concatenate(outs, -1), 0.0)

@@ -18,6 +18,9 @@ import jax.numpy as jnp
 
 from ..ops.composite import composite_rays
 from ..ops.march import march_rays_uniform
+from ..ops.march2 import (column_intervals, compact_rays,
+                          default_window_candidates, march_rays_window,
+                          ray_windows)
 from ..ops.ray import near_far_from_aabb
 from .state import OccupancyState, RenderSettings
 
@@ -87,6 +90,89 @@ def render_rays(
         # raw samples for the every-16-step jitter regulariser
         results["rays"] = (pts, dirs, m.mask.reshape(-1))
     return results
+
+
+def render_rays_compact(
+    field_apply,
+    params,
+    settings: RenderSettings,
+    state: OccupancyState,
+    rays_o: jnp.ndarray,            # [N, 3]
+    rays_d: jnp.ndarray,            # [N, 3]
+    enc_a: jnp.ndarray,
+    ind_code: Optional[jnp.ndarray],
+    eye: Optional[jnp.ndarray],
+    bg_color: jnp.ndarray,          # [N, 3]
+    budget: int,
+    window_candidates: Optional[int] = None,
+    compute_uncertainty: bool = False,
+) -> Dict[str, Any]:
+    """Fast inference path: per-(x,y)-column z-windows + static-budget ray
+    compaction (ops/march2.py), then the same field-eval + composite as
+    render_rays, scattered back to the full frame.
+
+    Rays beyond `budget` active rays in a frame are dropped to background
+    (static-budget semantics, like the reference's point-budget trick).
+    Requires cascade == 1."""
+    assert settings.cascade == 1, "compact path supports cascade == 1 only"
+    N = rays_o.shape[0]
+    S = settings.max_steps
+    K2 = window_candidates or default_window_candidates(
+        settings.bound, settings.grid_size, settings.dt)
+
+    aabb = jnp.asarray(settings.aabb, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, settings.min_near)
+
+    z_lo, z_hi = column_intervals(state.occ, settings.bound)
+    win = ray_windows(rays_o, rays_d, nears, fars, z_lo, z_hi,
+                      settings.bound, settings.dt)
+    cs = compact_rays(win.active, budget)
+
+    ro = jnp.take(rays_o, cs.ray_idx, axis=0)
+    rd = jnp.take(rays_d, cs.ray_idx, axis=0)
+    t0 = jnp.take(win.t_start, cs.ray_idx)
+    t1 = jnp.take(win.t_end, cs.ray_idx)
+    bg_c = jnp.take(bg_color, cs.ray_idx, axis=0)
+    nears_c = jnp.take(nears, cs.ray_idx)
+    fars_c = jnp.take(fars, cs.ray_idx)
+
+    m = march_rays_window(ro, rd, t0, t1, cs.slot_valid, state.occ,
+                          settings.bound, settings.dt, K2, S)
+
+    pts = m.xyzs.reshape(budget * S, 3)
+    dirs = jnp.repeat(rd, S, axis=0)
+    out = field_apply(params, pts, dirs, enc_a, ind_code, eye,
+                      compute_uncertainty=compute_uncertainty)
+    sigmas = (out.sigma * settings.density_scale).reshape(budget, S)
+    rgbs = out.color.reshape(budget, S, 3)
+    amb_aud = jnp.abs(out.ambient_aud).reshape(budget, S)
+    amb_eye = jnp.abs(out.ambient_eye).reshape(budget, S)
+    unc = out.uncertainty.reshape(budget, S)
+
+    comp = composite_rays(sigmas, rgbs, amb_aud, amb_eye, unc,
+                          m.deltas, m.ts, m.mask, T_thresh=settings.T_thresh)
+
+    image_c = jnp.clip(
+        comp.image + (1.0 - comp.weights_sum)[:, None] * bg_c, 0.0, 1.0)
+    depth_c = jnp.clip(comp.depth - nears_c, 0.0) / jnp.maximum(
+        fars_c - nears_c, 1e-6)
+
+    # scatter back; inactive/overflow rays keep pure background
+    tgt = jnp.where(cs.slot_valid, cs.ray_idx, N)
+    image = jnp.clip(bg_color, 0.0, 1.0).at[tgt].set(image_c, mode="drop")
+
+    def scat(vals):
+        return jnp.zeros((N,), vals.dtype).at[tgt].set(vals, mode="drop")
+
+    return {
+        "image": image,
+        "depth": scat(depth_c),
+        "weights_sum": scat(comp.weights_sum),
+        "ambient_aud": scat(comp.amb_aud_sum),
+        "ambient_eye": scat(comp.amb_eye_sum),
+        "uncertainty": scat(comp.uncertainty_sum),
+        "n_active": cs.n_active,
+    }
 
 
 def _bilinear_sample_2d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,130 @@
+"""Interval-guided compacted marching must agree with the exhaustive v1
+marcher wherever rays are active, and drop only to background elsewhere."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lzzx_nerf_tpu.ops import march_rays_uniform, near_far_from_aabb
+from lzzx_nerf_tpu.ops.march2 import (column_intervals, compact_rays,
+                                      march_rays_window, ray_windows)
+
+GRID = 32
+BOUND = 1.0
+DT = 2 * 3 ** 0.5 / GRID
+AABB = jnp.asarray([-1, -0.5, -1, 1, 0.5, 1], jnp.float32)
+
+
+def _scene(seed=0):
+    r = jnp.linspace(-1, 1, GRID)
+    X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+    occ = (jnp.sqrt(X ** 2 + (2 * Y) ** 2 + Z ** 2) < 0.45)[None]
+    rng = np.random.default_rng(seed)
+    N = 256
+    o = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (N, 1))
+    d = rng.standard_normal((N, 3)).astype(np.float32) * 0.25
+    d[:, 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return occ, jnp.asarray(o), jnp.asarray(d)
+
+
+def test_column_intervals_cover_occupancy():
+    occ, _, _ = _scene()
+    z_lo, z_hi = column_intervals(occ, BOUND, dilate=0)
+    o = np.asarray(occ[0])
+    zl, zh = np.asarray(z_lo), np.asarray(z_hi)
+    H = GRID
+    for x in range(0, H, 5):
+        for y in range(0, H, 5):
+            zs = np.where(o[x, y])[0]
+            if len(zs):
+                lo_world = (zs.min() / H * 2 - 1) * BOUND
+                hi_world = ((zs.max() + 1) / H * 2 - 1) * BOUND
+                assert zl[x, y] <= lo_world + 1e-5
+                assert zh[x, y] >= hi_world - 1e-5
+            else:
+                assert zl[x, y] > 1e37 and zh[x, y] < -1e37
+
+
+def test_windowed_march_matches_v1_samples():
+    occ, o, d = _scene()
+    nears, fars = near_far_from_aabb(o, d, AABB, 0.05)
+    v1 = march_rays_uniform(o, d, nears, fars, occ, BOUND, DT, 112, 8)
+
+    z_lo, z_hi = column_intervals(occ, BOUND)
+    win = ray_windows(o, d, nears, fars, z_lo, z_hi, BOUND, DT)
+    B = 256  # full budget: no drops, pure correspondence check
+    cs = compact_rays(win.active, B)
+    ro = jnp.take(o, cs.ray_idx, axis=0)
+    rd = jnp.take(d, cs.ray_idx, axis=0)
+    t0 = jnp.take(win.t_start, cs.ray_idx)
+    t1 = jnp.take(win.t_end, cs.ray_idx)
+    v2 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, BOUND, DT,
+                           64, 8)
+
+    v1m = np.asarray(v1.mask)
+    v2m = np.asarray(v2.mask)
+    ridx = np.asarray(cs.ray_idx)
+    valid = np.asarray(cs.slot_valid)
+    active = np.asarray(win.active)
+
+    # every v1 ray with samples must be active in v2's window analysis
+    rays_with_samples = set(np.where(v1m.any(axis=1))[0].tolist())
+    assert rays_with_samples <= set(np.where(active)[0].tolist())
+
+    # and the per-ray sample sets must be identical (same t-lattice)
+    v1ts = np.asarray(v1.ts)
+    v2ts = np.asarray(v2.ts)
+    for slot in np.where(valid)[0]:
+        ray = ridx[slot]
+        n1 = int(v1m[ray].sum())
+        n2 = int(v2m[slot].sum())
+        assert n1 == n2, f"ray {ray}: {n1} vs {n2} samples"
+        if n1:
+            np.testing.assert_allclose(v2ts[slot, :n2], v1ts[ray, :n1],
+                                       atol=2e-4)
+
+
+def test_budget_overflow_drops_cleanly():
+    occ, o, d = _scene()
+    nears, fars = near_far_from_aabb(o, d, AABB, 0.05)
+    z_lo, z_hi = column_intervals(occ, BOUND)
+    win = ray_windows(o, d, nears, fars, z_lo, z_hi, BOUND, DT)
+    n_act = int(np.asarray(win.active).sum())
+    B = max(4, n_act // 2)
+    cs = compact_rays(win.active, B)
+    assert int(cs.n_active) == n_act
+    assert int(np.asarray(cs.slot_valid).sum()) == min(B, n_act)
+    # slots hold the FIRST B active rays, in order
+    first = np.where(np.asarray(win.active))[0][:B]
+    np.testing.assert_array_equal(np.asarray(cs.ray_idx)[:len(first)], first)
+
+
+def test_render_rays_compact_end_to_end():
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays, render_rays_compact)
+
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=8, dt=DT, num_cand=112)
+    state = init_occupancy_state(settings)
+    occ, o, d = _scene()
+    state = state._replace(occ=occ)
+
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    enc_a = jnp.zeros((1, 32))
+    bg = jnp.ones((o.shape[0], 3))
+
+    full = render_rays(field.apply, params, settings, state, o, d, enc_a,
+                       jnp.zeros(4), jnp.asarray([0.25]), bg)
+    comp = render_rays_compact(field.apply, params, settings, state, o, d,
+                               enc_a, jnp.zeros(4), jnp.asarray([0.25]), bg,
+                               budget=256)
+    np.testing.assert_allclose(np.asarray(comp["image"]),
+                               np.asarray(full["image"]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(comp["weights_sum"]),
+                               np.asarray(full["weights_sum"]), atol=2e-3)

@@ -80,7 +80,10 @@ def test_uncertainty_detached_from_encoder(field_and_params):
 
     g = jax.grad(unc_loss)(params)
     gp = g["params"]
-    assert np.all(np.asarray(gp["encoder_xy"]) == 0)
+    enc_keys = [k for k in gp if k.startswith("encoder_")]
+    assert enc_keys
+    for k in enc_keys:
+        assert np.all(np.asarray(gp[k]) == 0), k
     # but the unc_net itself does receive gradient
     unc_g = jax.tree.leaves(gp["unc_net"])
     assert any(np.any(np.asarray(t) != 0) for t in unc_g)

@@ -117,8 +117,10 @@ def test_optimizer_param_groups(world):
     for path, lab in flat:
         name = ".".join(str(getattr(k, "key", k)) for k in path)
         got[name.split(".")[0]] = lab
-    assert got["encoder_xy"] == "grid"
-    assert got["encoder_yz"] == "grid"
+    grid_keys = [k for k in got if k.startswith("encoder_")]
+    assert grid_keys
+    for k in grid_keys:
+        assert got[k] == "grid", k
     assert got["audio_att_net"] == "att"
     assert got["sigma_net"] == "net"
     assert got["individual_codes"] == "net"
