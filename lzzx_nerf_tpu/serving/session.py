@@ -1,0 +1,154 @@
+"""Per-identity inference session: model + dataset + streaming render loop.
+
+Re-design of reference HubertInferenceMQ.py + GradioSession.py +
+TrainerUtil.test_with_2 (the async batch-32 streaming loop,
+TrainerUtil.py:638-711). The reference's asyncio gather over 32 per-frame
+tasks is cooperative only — frames serialise on the GPU (SURVEY.md §3c note).
+The TPU-native equivalent is JAX async dispatch double-buffering: the render
+for frame i+1 is enqueued before frame i's pixels are fetched to the host, so
+device compute and host→ffmpeg handoff overlap with no threads.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import Config
+from .streaming import FrameSink, NullSink
+
+
+class InferenceSession:
+    """Load once per identity; feed audio features; stream frames."""
+
+    def __init__(self, cfg: Config):
+        # serving parameter overrides (reference HubertInferenceMQ.py:25-96)
+        self.cfg = cfg.replace(test=True, test_train=True, smooth_lips=True,
+                               smooth_path=True, smooth_path_window=cfg.smooth_path_window or 14)
+        self._built = False
+        self.enc_a_smooth = None  # smooth_lips EMA state (renderer.py:254-258)
+
+    # -- model/data ----------------------------------------------------------
+
+    def load_model(self, data_path: str, workspace: str) -> None:
+        """Switch identity: re-point dataset + checkpoint (reference
+        webapi.py:147-191 /api/model_select)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..cli import _build_world
+        from ..data.provider import NeRFDataset
+        from ..train import TrainState, Trainer, build_optimizer
+
+        self.cfg = self.cfg.replace(path=data_path, workspace=workspace)
+        self.ds = NeRFDataset(self.cfg, type="train")
+        self.ds.training = False
+        self.settings, self.occ, self.field, params = _build_world(
+            self.cfg, self.ds)
+        tx = build_optimizer(self.cfg.lr, self.cfg.lr_net, self.cfg.iters)
+        state = TrainState.create(params, tx)
+        trainer = Trainer(workspace)
+        self.state, self.occ, self.resumed = trainer.load_checkpoint(
+            state, self.occ)
+        self.enc_a_smooth = None
+        self._compile_render()
+        self._built = True
+
+    def _compile_render(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..render import render_rays_compact
+        from ..utils import get_rays
+
+        ds, cfg = self.ds, self.cfg
+        budget = max(1024, int(0.5 * ds.H * ds.W) // 1024 * 1024)
+        bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
+        field = self.field
+
+        @jax.jit
+        def render(params, occ, pose, enc_a, eye):
+            rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
+            c = (params["params"]["individual_codes"][0]
+                 if cfg.ind_dim > 0 else None)
+            out = render_rays_compact(
+                field.apply, params, self.settings, occ,
+                rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye, bg,
+                budget=budget)
+            img = out["image"].reshape(ds.H, ds.W, 3)
+            return (jnp.clip(img, 0, 1) * 255).astype(jnp.uint8)
+
+        @jax.jit
+        def encode_audio(params, auds):
+            return field.apply(params, auds, method="encode_audio")
+
+        self._render = render
+        self._encode_audio = encode_audio
+
+    # -- audio ---------------------------------------------------------------
+
+    def set_audio_features(self, feats: np.ndarray) -> int:
+        """Inject novel audio features directly (reference
+        provider_for_inference.init_aud_features / audFromNdarray mode).
+        Returns the number of video frames they drive."""
+        assert self._built, "load_model first"
+        self.ds.aud_features = np.asarray(feats, np.float32)
+        self.enc_a_smooth = None
+        return len(self.ds.aud_features)
+
+    # -- streaming loop ------------------------------------------------------
+
+    def run(self, sink: Optional[FrameSink] = None,
+            max_frames: Optional[int] = None,
+            on_frame: Optional[Callable[[int, np.ndarray], None]] = None):
+        """Render all frames driven by the current audio features, pushing
+        rgb24 bytes into `sink` (reference do_inference -> test_with_2).
+        Returns (num_frames, wall_seconds)."""
+        import jax
+        import jax.numpy as jnp
+
+        assert self._built, "load_model first"
+        sink = sink or NullSink()
+        ds, cfg = self.ds, self.cfg
+        n = len(ds.aud_features) if ds.aud_features is not None else 2 * ds.num_frames
+        if max_frames is not None:
+            n = min(n, max_frames)
+
+        lam = 0.35  # smooth_lips EMA (renderer.py:456-460)
+        t0 = time.time()
+        pending = None  # (index, device_image) — double buffer
+        for i in range(n):
+            fi = ds.mirror_index(i)
+            auds = jnp.asarray(ds.audio_window(i))
+            enc_a = self._encode_audio(self.state.params, auds)
+            if cfg.smooth_lips:
+                if self.enc_a_smooth is not None:
+                    enc_a = lam * self.enc_a_smooth + (1 - lam) * enc_a
+                self.enc_a_smooth = enc_a
+            if cfg.exp_eye and cfg.fix_eye >= 0:
+                eye = jnp.asarray([cfg.fix_eye], jnp.float32)
+            else:
+                eye = jnp.asarray([ds.eye_area[fi] if cfg.exp_eye else 0.0],
+                                  jnp.float32)
+            pose = jnp.asarray(ds.poses[fi])
+            img_dev = self._render(self.state.params, self.occ, pose, enc_a,
+                                   eye)
+            # fetch the PREVIOUS frame while this one computes (async dispatch)
+            if pending is not None:
+                pi, pdev = pending
+                arr = np.asarray(pdev)
+                sink.push(arr.tobytes())
+                if on_frame:
+                    on_frame(pi, arr)
+            pending = (i, img_dev)
+        if pending is not None:
+            pi, pdev = pending
+            arr = np.asarray(pdev)
+            sink.push(arr.tobytes())
+            if on_frame:
+                on_frame(pi, arr)
+        dt = time.time() - t0
+        sink.close()
+        return n, dt

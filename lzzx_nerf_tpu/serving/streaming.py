@@ -1,0 +1,173 @@
+"""Frame sinks: raw RGB frames out of the renderer into a video transport.
+
+Re-design of reference mq_consume/ConsumeMQByWebRTC.py, which pipes rawvideo
+into ffmpeg subprocesses (x264 -> RTMP to an SRS server + a local mp4, with
+an optional crop-overlay composite onto the original video) and loops a
+silent wait.mp4 between utterances.
+
+The transport is pluggable here: FfmpegRtmpSink reproduces the reference
+behaviour when ffmpeg exists; RawFileSink / NullSink serve headless and test
+environments. All sinks take rgb24 bytes of fixed WxH at a fixed fps.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import threading
+from typing import Optional
+
+
+class FrameSink:
+    """Interface: open() -> push(frame_bytes) xN -> close()."""
+
+    def open(self) -> None: ...
+
+    def push(self, rgb24: bytes) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None: ...
+
+
+class NullSink(FrameSink):
+    def __init__(self):
+        self.count = 0
+
+    def push(self, rgb24: bytes) -> None:
+        self.count += 1
+
+
+class RawFileSink(FrameSink):
+    """Appends raw rgb24 frames to one file (headless fallback)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = None
+        self.count = 0
+
+    def open(self) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        self._f = open(self.path, "wb")
+
+    def push(self, rgb24: bytes) -> None:
+        if self._f is None:
+            self.open()
+        self._f.write(rgb24)
+        self.count += 1
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()
+            self._f = None
+
+
+class _FfmpegSink(FrameSink):
+    """Base for ffmpeg-backed sinks: rawvideo on stdin at (W, H, fps)
+    (reference ConsumeMQByWebRTC.py:87-133)."""
+
+    def __init__(self, width: int, height: int, fps: int = 25):
+        self.width, self.height, self.fps = width, height, fps
+        self.proc: Optional[subprocess.Popen] = None
+        self.count = 0
+
+    def _output_args(self):
+        raise NotImplementedError
+
+    def open(self) -> None:
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError("ffmpeg not found on PATH")
+        cmd = [
+            "ffmpeg", "-y", "-loglevel", "error",
+            "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-s", f"{self.width}x{self.height}", "-r", str(self.fps),
+            "-i", "-",
+        ] + self._output_args()
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+
+    def push(self, rgb24: bytes) -> None:
+        if self.proc is None:
+            self.open()
+        self.proc.stdin.write(rgb24)
+        self.count += 1
+
+    def close(self) -> None:
+        if self.proc is not None:
+            try:
+                self.proc.stdin.close()
+                self.proc.wait(timeout=30)
+            except Exception:
+                self.proc.kill()
+            self.proc = None
+
+
+class FfmpegMp4Sink(_FfmpegSink):
+    def __init__(self, path: str, width: int, height: int, fps: int = 25):
+        super().__init__(width, height, fps)
+        self.path = path
+
+    def _output_args(self):
+        return ["-c:v", "libx264", "-pix_fmt", "yuv420p", "-r", str(self.fps),
+                self.path]
+
+
+class FfmpegRtmpSink(_FfmpegSink):
+    """x264 → RTMP (to an SRS/RTMP media server, which converts to
+    WebRTC/HLS for the browser — reference run.sh + static/jswebrtc).
+    Optionally also writes a local mp4 copy like the reference."""
+
+    def __init__(self, rtmp_url: str, width: int, height: int, fps: int = 25,
+                 local_mp4: Optional[str] = None):
+        super().__init__(width, height, fps)
+        self.rtmp_url = rtmp_url
+        self.local_mp4 = local_mp4
+
+    def _output_args(self):
+        args = ["-c:v", "libx264", "-preset", "ultrafast", "-tune",
+                "zerolatency", "-pix_fmt", "yuv420p", "-g", str(self.fps),
+                "-f", "flv", self.rtmp_url]
+        if self.local_mp4:
+            args += ["-c:v", "libx264", "-pix_fmt", "yuv420p", self.local_mp4]
+        return args
+
+
+class WaitVideoLoop:
+    """Loops a silent placeholder video to the RTMP endpoint between
+    utterances (reference ConsumeMQByWebRTC.pushWaitVideoForModel,
+    ConsumeMQByWebRTC.py:167-194)."""
+
+    def __init__(self, wait_mp4: str, rtmp_url: str):
+        self.wait_mp4 = wait_mp4
+        self.rtmp_url = rtmp_url
+        self.proc: Optional[subprocess.Popen] = None
+        self._lock = threading.Lock()
+
+    def start(self) -> None:
+        with self._lock:
+            if self.proc is not None or shutil.which("ffmpeg") is None:
+                return
+            self.proc = subprocess.Popen([
+                "ffmpeg", "-loglevel", "error", "-re", "-stream_loop", "-1",
+                "-i", self.wait_mp4, "-c", "copy", "-f", "flv", self.rtmp_url,
+            ])
+
+    def stop(self) -> None:
+        with self._lock:
+            if self.proc is not None:
+                self.proc.terminate()
+                try:
+                    self.proc.wait(timeout=5)
+                except Exception:
+                    self.proc.kill()
+                self.proc = None
+
+
+def make_sink(kind: str, width: int, height: int, fps: int = 25,
+              path: str = "", rtmp_url: str = "") -> FrameSink:
+    if kind == "rtmp":
+        return FfmpegRtmpSink(rtmp_url, width, height, fps, local_mp4=path or None)
+    if kind == "mp4":
+        return FfmpegMp4Sink(path, width, height, fps)
+    if kind == "raw":
+        return RawFileSink(path)
+    return NullSink()

@@ -1,0 +1,222 @@
+"""REST serving API (reference webapi.py, re-built on the stdlib http server
+because this image ships no Flask/gevent — same route surface and flow):
+
+  POST /api/model_select   {"model": "<name>"}       switch identity
+  POST /api/audio_upload   wav bytes (Content-Type audio/wav) or
+                           {"aud_path": "..."} JSON  extract features
+  GET  /api/inference                                start the render loop
+  GET  /api/status                                   health/progress
+
+Flow (reference webapi.py:70-204): model_select re-points workspace/ckpt and
+(with ffmpeg+RTMP configured) starts the silent wait-video loop;
+audio_upload runs the HuBERT front-end and injects features into the
+inference dataset; inference spawns the streaming render thread that pushes
+raw frames into the configured sink (RTMP/mp4/raw).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from .session import InferenceSession
+from .streaming import WaitVideoLoop, make_sink
+
+
+class ServerState:
+    def __init__(self, cfg: Config, data_root: str = "data",
+                 trial_root: str = ".", sink_kind: str = "null",
+                 rtmp_url: str = "", out_path: str = ""):
+        self.cfg = cfg
+        self.data_root = data_root
+        self.trial_root = trial_root
+        self.sink_kind = sink_kind
+        self.rtmp_url = rtmp_url
+        self.out_path = out_path
+        self.session = InferenceSession(cfg)
+        self.hubert = None          # lazy: needs pretrained weights
+        self.model_name: Optional[str] = None
+        self.num_aud_frames = 0
+        self.busy = False
+        self.frames_done = 0
+        self.last_error: Optional[str] = None
+        self.wait_loop: Optional[WaitVideoLoop] = None
+        self.lock = threading.Lock()
+
+    # -- operations (called by the HTTP handlers) --------------------------
+
+    def model_select(self, model: str) -> dict:
+        data_path = os.path.join(self.data_root, model)
+        workspace = os.path.join(self.trial_root, f"trial_{model}")
+        self.session.load_model(data_path, workspace)
+        self.model_name = model
+        if self.rtmp_url:
+            wait = os.path.join(data_path, "wait.mp4")
+            if os.path.exists(wait):
+                self.wait_loop = WaitVideoLoop(wait, self.rtmp_url)
+                self.wait_loop.start()
+        return {"model": model,
+                "frames": self.session.ds.num_frames,
+                "resumed": bool(self.session.resumed)}
+
+    def audio_upload_wav(self, wav_bytes: bytes) -> dict:
+        if self.hubert is None:
+            from ..audio import HubertFeatureExtractor
+
+            self.hubert = HubertFeatureExtractor()
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(io.BytesIO(wav_bytes))
+        if data.dtype.kind == "i":
+            data = data.astype(np.float32) / np.iinfo(data.dtype).max
+        if data.ndim == 2:
+            data = data[:, 0]
+        if sr != 16000:
+            from math import gcd
+
+            from scipy.signal import resample_poly
+
+            g = gcd(int(sr), 16000)
+            data = resample_poly(data, 16000 // g, sr // g)
+        feats = self.hubert.features(np.asarray(data, np.float32))
+        self.num_aud_frames = self.session.set_audio_features(feats)
+        return {"aud_frames": self.num_aud_frames}
+
+    def audio_upload_npy(self, path: str) -> dict:
+        feats = np.load(path)
+        self.num_aud_frames = self.session.set_audio_features(feats)
+        return {"aud_frames": self.num_aud_frames}
+
+    def start_inference(self) -> dict:
+        if not getattr(self.session, "_built", False):
+            return {"error": "no model loaded — POST /api/model_select first"}
+        with self.lock:
+            if self.busy:
+                return {"error": "inference already running"}
+            self.busy = True
+        if self.wait_loop:
+            self.wait_loop.stop()
+
+        def work():
+            try:
+                ds = self.session.ds
+                sink = make_sink(self.sink_kind, ds.W, ds.H, fps=25,
+                                 path=self.out_path, rtmp_url=self.rtmp_url)
+
+                def on_frame(i, arr):
+                    self.frames_done = i + 1
+
+                n, dt = self.session.run(sink, on_frame=on_frame)
+                self.last_error = None
+            except Exception as e:  # surfaced via /api/status
+                self.last_error = f"{type(e).__name__}: {e}"
+            finally:
+                self.busy = False
+                if self.wait_loop:
+                    self.wait_loop.start()
+
+        threading.Thread(target=work, daemon=True).start()
+        return {"started": True, "frames": self.num_aud_frames}
+
+    def status(self) -> dict:
+        return {"model": self.model_name, "busy": self.busy,
+                "frames_done": self.frames_done,
+                "aud_frames": self.num_aud_frames,
+                "error": self.last_error}
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            try:
+                if self.path.startswith("/api/inference"):
+                    self._send(200, state.start_inference())
+                elif self.path.startswith("/api/status"):
+                    self._send(200, state.status())
+                else:
+                    self._send(404, {"error": f"unknown route {self.path}"})
+            except Exception as e:
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if self.path.startswith("/api/model_select"):
+                    payload = json.loads(body or b"{}")
+                    if "model" not in payload:
+                        return self._send(400, {"error": "missing 'model'"})
+                    self._send(200, state.model_select(payload["model"]))
+                elif self.path.startswith("/api/audio_upload"):
+                    ctype = self.headers.get("Content-Type", "")
+                    if "json" in ctype:
+                        payload = json.loads(body or b"{}")
+                        if "aud_path" not in payload:
+                            return self._send(400,
+                                              {"error": "missing 'aud_path'"})
+                        self._send(200,
+                                   state.audio_upload_npy(payload["aud_path"]))
+                    else:
+                        self._send(200, state.audio_upload_wav(body))
+                else:
+                    self._send(404, {"error": f"unknown route {self.path}"})
+            except FileNotFoundError as e:
+                self._send(404, {"error": str(e)})
+            except json.JSONDecodeError as e:
+                self._send(400, {"error": f"malformed JSON body: {e}"})
+            except Exception as e:
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(cfg: Config, host: str = "0.0.0.0", port: int = 7860,
+          **state_kw) -> ThreadingHTTPServer:
+    state = ServerState(cfg, **state_kw)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.state = state
+    return httpd
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--data-root", default="data")
+    ap.add_argument("--trial-root", default=".")
+    ap.add_argument("--sink", default="null",
+                    choices=["null", "raw", "mp4", "rtmp"])
+    ap.add_argument("--rtmp-url", default="")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    cfg = Config()
+    httpd = serve(cfg, port=args.port, data_root=args.data_root,
+                  trial_root=args.trial_root, sink_kind=args.sink,
+                  rtmp_url=args.rtmp_url, out_path=args.out)
+    print(f"[INFO] serving on :{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
