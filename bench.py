@@ -35,6 +35,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the 512² render program takes 10+ minutes to
+    # compile on the remote-compile service; cache across invocations
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_lzzx_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     if args.small:
         jax.config.update("jax_platforms", "cpu")
         args.res, args.frames = 96, 4

@@ -117,15 +117,27 @@ def run_train(cfg) -> None:
         run_train_torso(cfg, ds, settings, occ, trainer)
         return
 
-    step_fn = jax.jit(make_train_step(
-        field, settings, tx, H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
+    common = dict(
+        H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
         num_rays=cfg.num_rays, iters=cfg.iters, patch_size=cfg.patch_size,
         unc_loss=cfg.unc_loss, amb_aud_loss=cfg.amb_aud_loss,
         amb_eye_loss=cfg.amb_eye_loss, lambda_amb=cfg.lambda_amb,
         ind_dim=cfg.ind_dim, exp_eye=cfg.exp_eye,
         ema_decay=cfg.ema_decay, ema_interval=cfg.ema_update_interval,
-        update_extra_interval=cfg.update_extra_interval,
-        finetune_lips=cfg.finetune_lips))
+        update_extra_interval=cfg.update_extra_interval)
+    step_fn = jax.jit(make_train_step(field, settings, tx,
+                                      finetune_lips=False, **common))
+    # lips finetune alternates the lips-crop LPIPS step with the normal step
+    # every other iteration (reference flip_finetune_lips,
+    # TrainerUtil.py:70,311-313)
+    lips_step_fn = None
+    if cfg.finetune_lips:
+        from .train import lpips as lpips_mod
+
+        lips_step_fn = jax.jit(make_train_step(
+            field, settings, tx, finetune_lips=True,
+            lips_pad=cfg.lips_crop, lpips_params=lpips_mod.get_params(),
+            **common))
     eval_fn = jax.jit(make_eval_step(
         field, settings, H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
         ind_dim=cfg.ind_dim, exp_eye=cfg.exp_eye))
@@ -152,7 +164,9 @@ def run_train(cfg) -> None:
                 occ = update_density_grid(density_fn, settings, occ, enc_a,
                                           batch.get("eye"), sub)
             rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, occ, batch, sub)
+            fn = lips_step_fn if (lips_step_fn is not None and it % 2 == 1) \
+                else step_fn
+            state, metrics = fn(state, occ, batch, sub)
             it += 1
             if it % 100 == 0:
                 trainer.log(f"step {it}: loss={float(metrics['loss']):.5f} "
@@ -225,6 +239,46 @@ def run_train_torso(cfg, ds, settings, occ, trainer) -> None:
                             f"({it / (time.time() - t0):.2f} it/s)")
         trainer.save_checkpoint(state, occ)
     trainer.log("[INFO] torso training done")
+
+
+def run_save_mesh(cfg) -> None:
+    """Density iso-surface -> .ply (reference TrainerUtil.save_mesh,
+    TrainerUtil.py:444-465)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.provider import NeRFDataset
+    from .ops.mesh import extract_geometry, save_ply
+    from .train import TrainState, Trainer, build_optimizer
+
+    ds = NeRFDataset(cfg, type="train")
+    settings, occ, field, params = _build_world(cfg, ds)
+    trainer = Trainer(cfg.workspace)
+    tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters)
+    state = TrainState.create(params, tx)
+    state, occ, _ = trainer.load_checkpoint(state, occ)
+
+    b0 = ds.frame(0)
+    enc_a = field.apply(state.params, jnp.asarray(b0["auds"]),
+                        method="encode_audio")
+    eye = jnp.asarray(b0["eye"])
+
+    @jax.jit
+    def density(pts):
+        return field.apply(state.params, pts, enc_a, eye,
+                           method="density").sigma
+
+    aabb = settings.aabb
+    verts, faces = extract_geometry(
+        aabb[:3], aabb[3:], resolution=cfg.mesh_resolution,
+        threshold=cfg.mesh_threshold,
+        query_func=lambda p: density(jnp.asarray(p, jnp.float32)))
+    out = os.path.join(cfg.workspace, "meshes")
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, f"mesh_{int(state.step)}.ply")
+    save_ply(path, verts, faces)
+    trainer.log(f"[INFO] saved mesh: {path} "
+                f"({len(verts)} verts, {len(faces)} faces)")
 
 
 def run_test(cfg) -> None:
@@ -316,7 +370,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", plat)
     cfg = build_config(argv)
     os.makedirs(cfg.workspace, exist_ok=True)
-    if cfg.test:
+    if cfg.save_mesh:
+        run_save_mesh(cfg)
+    elif cfg.test:
         run_test(cfg)
     else:
         run_train(cfg)

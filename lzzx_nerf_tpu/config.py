@@ -25,6 +25,9 @@ class Config:
     # mode
     test: bool = False
     test_train: bool = False
+    save_mesh: bool = False
+    mesh_resolution: int = 256
+    mesh_threshold: float = 10.0
     data_range: Tuple[int, int] = (0, -1)
 
     # training schedule (reference train.py:28-44)
@@ -73,6 +76,10 @@ class Config:
     init_lips: bool = False
     finetune_lips: bool = False
     smooth_lips: bool = False
+    # static lips-crop side for the finetune-lips LPIPS step (the reference
+    # uses the variable lms rect padded to >=32; static shapes need a fixed
+    # crop centred on the rect)
+    lips_crop: int = 64
 
     torso: bool = False
 

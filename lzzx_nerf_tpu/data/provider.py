@@ -294,7 +294,13 @@ class NeRFDataset:
             batch["bg_color"] = arrays["bg_torso"]
         if cfg.finetune_lips and self.training:
             r = self.lips_rect[fi]
-            batch["rect_origin"] = np.asarray([r[0], r[2]], np.int32)
+            # static crop of side cfg.lips_crop centred on the lms lips rect
+            pad = cfg.lips_crop
+            cx_ = (r[0] + r[1]) // 2
+            cy_ = (r[2] + r[3]) // 2
+            oy = int(np.clip(cx_ - pad // 2, 0, max(self.H - pad, 0)))
+            ox = int(np.clip(cy_ - pad // 2, 0, max(self.W - pad, 0)))
+            batch["rect_origin"] = np.asarray([oy, ox], np.int32)
             batch["rect"] = np.asarray(r, np.int32)
         return batch
 

@@ -108,6 +108,29 @@ def update_torso_grid(
     )
 
 
+def probe_field_grid(
+    probe_fn,
+    settings: RenderSettings,
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Diagnostic grids: evaluate `probe_fn(pts [M,3]) -> [M]` (e.g. the
+    field's ambient_aud or ambient_eye response) on the jittered cell
+    lattice and dilate — the TPU equivalent of get_audio_grid /
+    get_eye_grid (reference renderer.py:822-936)."""
+    H, C = settings.grid_size, settings.cascade
+    coords = _cell_coords(H)
+    xyzs = 2.0 * coords.astype(jnp.float32) / (H - 1) - 1.0
+    cas_grids = []
+    for cas in range(C):
+        bound = min(2 ** cas, settings.bound)
+        half = bound / H
+        pts = xyzs * (bound - half)
+        rng, sub = jax.random.split(rng)
+        pts = pts + (jax.random.uniform(sub, pts.shape) * 2.0 - 1.0) * half
+        cas_grids.append(probe_fn(pts).reshape(H, H, H))
+    return dilate_grid3d(jnp.stack(cas_grids, axis=0))
+
+
 def mark_untrained_grid(
     settings: RenderSettings,
     state: OccupancyState,
