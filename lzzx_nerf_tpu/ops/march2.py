@@ -34,7 +34,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .march import MarchResult
+from .march import MarchResult, occ_lookup
 
 
 class RayWindow(NamedTuple):
@@ -175,8 +175,7 @@ def march_rays_window(
     pos = jnp.clip(pos, -bound, bound)
     gp = jnp.clip(0.5 * (pos / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
     flat = gp[..., 0] * (H * H) + gp[..., 1] * H + gp[..., 2]
-    occ = jnp.take(occ_grid[0].reshape(-1).astype(jnp.bool_),
-                   flat.reshape(-1)).reshape(B, num_cand)
+    occ = occ_lookup(occ_grid[0], flat)
 
     valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
 

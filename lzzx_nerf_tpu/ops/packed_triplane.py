@@ -39,24 +39,45 @@ class DenseTriplaneSpec:
     # decreasing channel counts — dense 2-D storage needs no hashing)
     resolutions: Tuple[int, ...] = (64, 128, 256, 512)
     channels: Tuple[int, ...] = (4, 3, 3, 2)
+    # pack_shift k keys rows by the (fine_res >> k)-res cell. Measured on
+    # v5e: gathers from tables <= ~64K rows (VMEM-resident) run ~300M rows/s
+    # vs ~88M rows/s beyond — so k=1 (512² fine res -> 65536 rows of 58
+    # floats) is ~3x faster than k=0 (262144 rows of 48). Levels finer than
+    # the packing res store their full (ratio+1)² point window per row and
+    # the lookup selects the 4 bilinear corners in-register.
+    pack_shift: int = 1
 
     def __post_init__(self):
         R = self.resolutions[-1]
         for r in self.resolutions:
             assert R % r == 0 and (R // r) & (R // r - 1) == 0, (
                 "resolutions must nest by powers of two")
+        assert self.pack_res >= max(
+            (r for r in self.resolutions if r <= self.pack_res), default=1)
 
     @property
     def output_dim(self) -> int:
         return sum(self.channels)
 
     @property
-    def packed_dim(self) -> int:
-        return 4 * sum(self.channels)
-
-    @property
     def fine_res(self) -> int:
         return self.resolutions[-1]
+
+    @property
+    def pack_res(self) -> int:
+        return self.fine_res >> self.pack_shift
+
+    def level_points(self, r: int) -> int:
+        """Grid points stored per row for a level of resolution r."""
+        if r <= self.pack_res:
+            return 4
+        ratio = r // self.pack_res
+        return (ratio + 1) ** 2
+
+    @property
+    def packed_dim(self) -> int:
+        return sum(self.level_points(r) * c
+                   for r, c in zip(self.resolutions, self.channels))
 
     @property
     def num_params(self) -> int:
@@ -77,57 +98,92 @@ def init_dense_planes(key: jax.Array, spec: DenseTriplaneSpec,
 
 def bake_packed(levels: Sequence[jnp.ndarray], spec: DenseTriplaneSpec,
                 dtype=jnp.float32) -> jnp.ndarray:
-    """Levels -> corner-packed table [R*R, 4*sum(C)].
+    """Levels -> packed table [pack_res², packed_dim].
 
-    Row layout: for each level l (in order), 4 corner blocks of C_l channels:
-    [c00 | c10 | c01 | c11] where cXY is the grid value at
-    (cell_x + X, cell_y + Y)."""
-    R = spec.fine_res
+    Row layout per level l (in order):
+    - r <= pack_res: 4 bilinear corner blocks [c00 | c10 | c01 | c11] where
+      cXY is the grid value at (cell_x + X, cell_y + Y).
+    - r >  pack_res (ratio = r / pack_res): the (ratio+1)² point window
+      A[ratio*cx + i, ratio*cy + j], i-major, from which the lookup picks
+      any contained fine cell's 4 corners."""
+    P = spec.pack_res
     parts = []
     for lvl, (r, C) in enumerate(zip(spec.resolutions, spec.channels)):
         A = levels[lvl]
-        corners = (A[:-1, :-1], A[1:, :-1], A[:-1, 1:], A[1:, 1:])
-        s = R // r
-        for c in corners:
-            up = c if s == 1 else jnp.repeat(jnp.repeat(c, s, 0), s, 1)
-            parts.append(up.astype(dtype))
-    return jnp.concatenate(parts, axis=-1).reshape(R * R, spec.packed_dim)
+        if r <= spec.pack_res:
+            corners = (A[:-1, :-1], A[1:, :-1], A[:-1, 1:], A[1:, 1:])
+            s = P // r
+            for c in corners:
+                up = c if s == 1 else jnp.repeat(jnp.repeat(c, s, 0), s, 1)
+                parts.append(up.astype(dtype))
+        else:
+            ratio = r // spec.pack_res
+            for i in range(ratio + 1):
+                for j in range(ratio + 1):
+                    blk = A[i::ratio, j::ratio][:P, :P]
+                    parts.append(blk.astype(dtype))
+    return jnp.concatenate(parts, axis=-1).reshape(P * P, spec.packed_dim)
 
 
 def packed_lookup(packed: jnp.ndarray, xy01: jnp.ndarray,
                   spec: DenseTriplaneSpec) -> jnp.ndarray:
     """Bilinear multiresolution features via one gather row per point.
 
-    packed: [R*R, packed_dim] from bake_packed.
+    packed: [pack_res², packed_dim] from bake_packed.
     xy01: [B, 2] coordinates in [0, 1] (points outside produce zeros).
     Returns [B, output_dim] (level-major channel order)."""
-    R = spec.fine_res
+    P = spec.pack_res
     in_bounds = jnp.all((xy01 >= 0.0) & (xy01 <= 1.0), axis=-1)
     u = jnp.clip(xy01, 0.0, 1.0)
 
-    fine_pos = u * R
-    fc = jnp.clip(jnp.floor(fine_pos), 0, R - 1).astype(jnp.int32)  # [B, 2]
-    rows = jnp.take(packed, fc[:, 0] * R + fc[:, 1], axis=0)        # [B, P]
+    pc = jnp.clip(jnp.floor(u * P), 0, P - 1).astype(jnp.int32)     # [B, 2]
+    rows = jnp.take(packed, pc[:, 0] * P + pc[:, 1], axis=0)
     rows = rows.astype(jnp.float32)
 
     outs = []
     offset = 0
     for r, C in zip(spec.resolutions, spec.channels):
-        shift_pow = R // r
-        cell = fc // shift_pow                           # == floor(u * r)
+        cell = jnp.clip(jnp.floor(u * r), 0, r - 1).astype(jnp.int32)
         frac = u * r - cell.astype(jnp.float32)          # [B, 2]
         fx, fy = frac[:, :1], frac[:, 1:]
-        c00 = rows[:, offset + 0 * C: offset + 1 * C]
-        c10 = rows[:, offset + 1 * C: offset + 2 * C]
-        c01 = rows[:, offset + 2 * C: offset + 3 * C]
-        c11 = rows[:, offset + 3 * C: offset + 4 * C]
+        if r <= spec.pack_res:
+            c00 = rows[:, offset + 0 * C: offset + 1 * C]
+            c10 = rows[:, offset + 1 * C: offset + 2 * C]
+            c01 = rows[:, offset + 2 * C: offset + 3 * C]
+            c11 = rows[:, offset + 3 * C: offset + 4 * C]
+            offset += 4 * C
+        else:
+            ratio = r // spec.pack_res
+            n = ratio + 1
+            # points p[i, j] = rows block (i*n + j); the fine cell sits at
+            # local offset (px, py) within the packing cell
+            pts = [rows[:, offset + k * C: offset + (k + 1) * C]
+                   for k in range(n * n)]
+            offset += n * n * C
+            px = (cell[:, :1] - pc[:, :1] * ratio).astype(jnp.float32)
+            py = (cell[:, 1:] - pc[:, 1:] * ratio).astype(jnp.float32)
+
+            def sel(dx, dy):
+                # point index (px+dx, py+dy) in [0, n)²; mask-sum over the
+                # n*n static blocks (ratio is small: 9 blocks for ratio 2)
+                acc = 0.0
+                for i in range(n):
+                    for j in range(n):
+                        m = ((px == (i - dx)) & (py == (j - dy))).astype(
+                            jnp.float32)
+                        acc = acc + m * pts[i * n + j]
+                return acc
+
+            c00 = sel(0, 0)
+            c10 = sel(1, 0)
+            c01 = sel(0, 1)
+            c11 = sel(1, 1)
         outs.append(
             c00 * (1 - fx) * (1 - fy)
             + c10 * fx * (1 - fy)
             + c01 * (1 - fx) * fy
             + c11 * fx * fy
         )
-        offset += 4 * C
     out = jnp.concatenate(outs, axis=-1)
     return jnp.where(in_bounds[:, None], out, 0.0)
 

@@ -10,16 +10,26 @@ from lzzx_nerf_tpu.ops.packed_triplane import (
     packed_lookup, reference_dense_encode)
 
 
-SPEC = DenseTriplaneSpec(resolutions=(8, 16, 32), channels=(3, 2, 2))
+import pytest as _pytest
+
+SPEC = DenseTriplaneSpec(resolutions=(8, 16, 32), channels=(3, 2, 2),
+                         pack_shift=0)
+SPEC1 = DenseTriplaneSpec(resolutions=(8, 16, 32), channels=(3, 2, 2),
+                          pack_shift=1)
 
 
-def test_packed_matches_direct_bilinear():
-    levels = init_dense_planes(jax.random.PRNGKey(0), SPEC, scale=1.0)
+@_pytest.mark.parametrize("spec", [SPEC, SPEC1])
+def test_packed_matches_direct_bilinear(spec):
+    levels = init_dense_planes(jax.random.PRNGKey(0), spec, scale=1.0)
     xy01 = jax.random.uniform(jax.random.PRNGKey(1), (257, 2))
-    packed = bake_packed(levels, SPEC)
-    assert packed.shape == (32 * 32, SPEC.packed_dim)
-    got = packed_lookup(packed, xy01, SPEC)
-    want = reference_dense_encode(levels, xy01, SPEC)
+    # include exact boundary and near-boundary points
+    xy01 = jnp.concatenate(
+        [xy01, jnp.asarray([[0.0, 0.0], [1.0, 1.0], [0.999999, 0.5],
+                            [0.5, 1.0]])])
+    packed = bake_packed(levels, spec)
+    assert packed.shape == (spec.pack_res ** 2, spec.packed_dim)
+    got = packed_lookup(packed, xy01, spec)
+    want = reference_dense_encode(levels, xy01, spec)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
 
