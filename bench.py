@@ -74,7 +74,9 @@ def main():
             out = render_rays(field.apply, params, settings, occ,
                               rays_o, rays_d, enc_a, c, eye, bg,
                               training=False)
-        return out["image"]
+        # uint8 on device: the host handoff (→ffmpeg) wants rgb24 and the
+        # fp32 frame is 4x the transfer
+        return (jnp.clip(out["image"], 0, 1) * 255).astype(jnp.uint8)
 
     # per-frame audio windows (streaming shape [8, 16, 1024])
     rng = np.random.default_rng(0)

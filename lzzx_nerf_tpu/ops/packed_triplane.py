@@ -200,6 +200,10 @@ def dense_triplane_encode(
     table is supplied) and look up."""
     if packed is None:
         packed = bake_packed(levels, spec, dtype=dtype)
+        # materialise the baked table before gathering: without the barrier
+        # XLA fuses the bake into the gather consumer and the gather drops
+        # off its fast (~300M rows/s) path (measured: 3x slower)
+        packed = jax.lax.optimization_barrier(packed)
     u = (xy + bound) / (2.0 * bound)
     return packed_lookup(packed, u, spec)
 

@@ -152,6 +152,15 @@ def make_handler(state: ServerState):
                     self._send(200, state.start_inference())
                 elif self.path.startswith("/api/status"):
                     self._send(200, state.status())
+                elif self.path == "/" or self.path.startswith("/player"):
+                    page = os.path.join(os.path.dirname(__file__), "static",
+                                        "player.html")
+                    body = open(page, "rb").read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(404, {"error": f"unknown route {self.path}"})
             except Exception as e:
