@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--budget-frac", type=float, default=0.5,
                     help="active-ray budget as a fraction of total rays "
                          "(compact path)")
+    ap.add_argument("--k2", type=int, default=0,
+                    help="window candidates per compacted ray (0 = auto)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 MLP compute")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +55,8 @@ def main():
 
     res = args.res
     grid = 128 if not args.small else 32
-    settings, occ, field, params = _build(res=res, grid=grid, max_steps=16)
+    settings, occ, field, params = _build(res=res, grid=grid, max_steps=16,
+                                          bf16=args.bf16)
     budget = int(args.budget_frac * res * res) // 1024 * 1024
 
     pose = jnp.asarray(np.array(
@@ -69,7 +74,8 @@ def main():
         if args.path == "compact":
             out = render_rays_compact(field.apply, params, settings, occ,
                                       rays_o, rays_d, enc_a, c, eye, bg,
-                                      budget=budget)
+                                      budget=budget,
+                                      window_candidates=args.k2 or None)
         else:
             out = render_rays(field.apply, params, settings, occ,
                               rays_o, rays_d, enc_a, c, eye, bg,
@@ -89,10 +95,17 @@ def main():
     img = render_frame(params, occ, aud_stream[0], eyes[0])
     np.asarray(img)
 
+    # double-buffered loop, exactly like the serving session
+    # (serving/session.py): frame i+1 is enqueued before frame i's pixels are
+    # fetched, overlapping device compute with the host handoff
     t0 = time.perf_counter()
+    pending = None
     for f in range(args.frames):
         img = render_frame(params, occ, aud_stream[f], eyes[f])
-        frame_host = np.asarray(img)          # host handoff (ffmpeg boundary)
+        if pending is not None:
+            frame_host = np.asarray(pending)  # host handoff (ffmpeg boundary)
+        pending = img
+    frame_host = np.asarray(pending)
     dt = time.perf_counter() - t0
     fps = args.frames / dt
 
