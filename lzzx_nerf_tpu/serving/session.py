@@ -34,7 +34,12 @@ class InferenceSession:
 
     def load_model(self, data_path: str, workspace: str) -> None:
         """Switch identity: re-point dataset + checkpoint (reference
-        webapi.py:147-191 /api/model_select)."""
+        webapi.py:147-191 /api/model_select). Adopts the architecture-
+        relevant fields of the training config saved in the workspace's
+        opt.txt so the checkpoint shapes match."""
+        import json
+        import os
+
         import jax
         import jax.numpy as jnp
 
@@ -43,6 +48,19 @@ class InferenceSession:
         from ..train import TrainState, Trainer, build_optimizer
 
         self.cfg = self.cfg.replace(path=data_path, workspace=workspace)
+        opt_path = os.path.join(workspace, "opt.txt")
+        if os.path.exists(opt_path):
+            try:
+                trained = json.loads(
+                    "{" + open(opt_path).read().rsplit("{", 1)[-1])
+                keep = ("grid_size", "max_steps", "bound", "asr_model",
+                        "exp_eye", "ind_dim", "ind_num", "att", "emb",
+                        "min_near", "density_thresh", "scale", "offset")
+                self.cfg = self.cfg.replace(
+                    **{k: tuple(trained[k]) if isinstance(trained.get(k), list)
+                       else trained[k] for k in keep if k in trained})
+            except Exception:
+                pass  # malformed opt.txt: keep the server defaults
         self.ds = NeRFDataset(self.cfg, type="train")
         self.ds.training = False
         self.settings, self.occ, self.field, params = _build_world(

@@ -217,9 +217,17 @@ def main():
                     choices=["null", "raw", "mp4", "rtmp"])
     ap.add_argument("--rtmp-url", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--asr_model", default="hubert",
+                    help="audio feature family of the datasets "
+                         "(hubert | deepspeech | esperanto)")
+    ap.add_argument("--config-json", default="",
+                    help="path to a Config json for full control")
     args = ap.parse_args()
 
-    cfg = Config()
+    if args.config_json:
+        cfg = Config.from_json(open(args.config_json).read())
+    else:
+        cfg = Config(asr_model=args.asr_model)
     httpd = serve(cfg, port=args.port, data_root=args.data_root,
                   trial_root=args.trial_root, sink_kind=args.sink,
                   rtmp_url=args.rtmp_url, out_path=args.out)
