@@ -294,24 +294,60 @@ def run_test(cfg) -> None:
     from .train.metrics import LMDMeter, LPIPSMeter, PSNRMeter
     from .utils import get_rays
 
-    ds = NeRFDataset(cfg, type="train" if cfg.test_train else "test")
+    from .utils.rays import get_bg_coords
+
+    # torso-composited inference uses the head config for rendering
+    head_cfg = cfg.replace(torso=False) if cfg.torso else cfg
+    ds = NeRFDataset(head_cfg, type="train" if cfg.test_train else "test")
     ds.training = False
-    settings, occ, field, params = _build_world(cfg, ds)
+    settings, occ, field, params = _build_world(head_cfg, ds)
     trainer = Trainer(cfg.workspace)
     tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters)
     state = TrainState.create(params, tx)
     state, occ, resumed = trainer.load_checkpoint(state, occ)
     trainer.log(f"[INFO] test: {len(ds)} frames, ckpt resumed={resumed}")
 
+    # optional torso stage: looks for the torso workspace's checkpoint
+    # (reference inference runs run_torso before blending, renderer.py:553)
+    torso_state = None
+    torso = None
+    if cfg.torso:
+        from .models import TorsoField
+        from .render import run_torso  # noqa: F401 (used below)
+
+        torso_ws = cfg.workspace.rstrip("/")
+        torso_ws = torso_ws if torso_ws.endswith("_torso") else torso_ws + "_torso"
+        torso = TorsoField(torso_shrink=cfg.torso_shrink,
+                           ind_dim_torso=cfg.ind_dim_torso, ind_num=cfg.ind_num)
+        tparams = torso.init(jax.random.PRNGKey(0), jnp.zeros((4, 2)),
+                             jnp.eye(4), jnp.zeros(max(cfg.ind_dim_torso, 1)))
+        t_state = TrainState.create(tparams, tx)
+        t_trainer = Trainer(torso_ws)
+        torso_state, occ_t, t_ok = t_trainer.load_checkpoint(t_state, occ)
+        # adopt ONLY the torso grid fields: the torso stage's checkpoint has
+        # a fresh (empty) head occupancy
+        occ = occ._replace(density_grid_torso=occ_t.density_grid_torso,
+                           mean_density_torso=occ_t.mean_density_torso)
+        trainer.log(f"[INFO] torso ckpt ({torso_ws}) resumed={t_ok}")
+
     budget = max(1024, int(0.5 * ds.H * ds.W) // 1024 * 1024)
+    bg_coords_full = get_bg_coords(ds.H, ds.W)[0]
 
     @jax.jit
-    def render_frame(state, occ, pose, auds, eye):
+    def render_frame(state, torso_params, occ, pose, auds, eye):
         rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
         enc_a = field.apply(state.params, auds, method="encode_audio")
         c = (state.params["params"]["individual_codes"][0]
              if cfg.ind_dim > 0 else None)
         bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
+        if torso is not None:
+            from .render import run_torso
+
+            ct = (torso_params["params"]["individual_codes_torso"][0]
+                  if cfg.ind_dim_torso > 0 else None)
+            tres = run_torso(torso.apply, torso_params, settings, occ,
+                             bg_coords_full, pose, ct, bg)
+            bg = tres["bg_color"]
         out = render_rays_compact(
             field.apply, state.params, settings, occ, rays["rays_o"][0],
             rays["rays_d"][0], enc_a, c, eye, bg, budget=budget)
@@ -321,9 +357,10 @@ def run_test(cfg) -> None:
     os.makedirs(out_dir, exist_ok=True)
     meters = [PSNRMeter(), LPIPSMeter(), LMDMeter()] if ds.has_gt else []
     t0 = time.time()
+    tp = torso_state.params if torso_state is not None else None
     for i in range(len(ds)):
         b = ds.frame(i)
-        img = render_frame(state, occ, jnp.asarray(b["pose"]),
+        img = render_frame(state, tp, occ, jnp.asarray(b["pose"]),
                            jnp.asarray(b["auds"]), jnp.asarray(b["eye"]))
         img_np = np.asarray(img)
         _save_image(img_np, os.path.join(out_dir, f"{i:05d}.png"))

@@ -23,6 +23,6 @@ from .morton import (
     unpack_bitfield,
     dilate_grid3d,
 )
-from .ray import near_far_from_aabb
+from .ray import near_far_from_aabb, sph_from_ray
 from .march import march_rays_uniform
 from .composite import composite_rays

@@ -42,3 +42,21 @@ def near_far_from_aabb(
     near = jnp.where(miss, _BIG, near)
     far = jnp.where(miss, _BIG, far)
     return near, far
+
+
+def sph_from_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                 radius: float) -> jnp.ndarray:
+    """Background-sphere (theta, phi) coordinates of each ray's far
+    intersection with a sphere of `radius`, normalised to [-1, 1]
+    (reference kernel_sph_from_ray, raymarching.cu:163-198; part of the
+    raymarching API surface, unused by the talking-head app)."""
+    o, d = rays_o, rays_d
+    A = jnp.sum(d * d, axis=-1)
+    B = jnp.sum(o * d, axis=-1)  # B/2 in the quadratic
+    C = jnp.sum(o * o, axis=-1) - radius * radius
+    t = (-B + jnp.sqrt(jnp.maximum(B * B - A * C, 0.0))) / A
+    p = o + t[..., None] * d
+    theta = jnp.arctan2(jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2), p[..., 1])
+    phi = jnp.arctan2(p[..., 2], p[..., 0])
+    inv_pi = 1.0 / jnp.pi
+    return jnp.stack([2 * theta * inv_pi - 1, phi * inv_pi], axis=-1)
