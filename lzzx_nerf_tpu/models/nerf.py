@@ -115,24 +115,41 @@ class NeRFField(nn.Module):
                 (self.ind_num, self.ind_dim),
             )
 
-    def encode_x(self, xyz: jnp.ndarray) -> jnp.ndarray:
+    def encode_x(self, xyz: jnp.ndarray,
+                 packed: Optional[dict] = None) -> jnp.ndarray:
         """[N, 3] in [-bound, bound] -> [N, 36] triplane features
-        (reference network.py:208-223)."""
+        (reference network.py:208-223). `packed` (from bake_tables) skips
+        the in-graph bake — for inference, where params are static."""
         xy = xyz[:, :2]
         yz = xyz[:, 1:]
         xz = jnp.concatenate([xyz[:, :1], xyz[:, 2:]], axis=-1)
         if self.encoder == "dense":
+            pk = packed or {}
             f_xy = dense_triplane_encode(self.dense_planes["xy"], xy,
-                                         self.dense_spec, self.bound)
+                                         self.dense_spec, self.bound,
+                                         packed=pk.get("xy"))
             f_yz = dense_triplane_encode(self.dense_planes["yz"], yz,
-                                         self.dense_spec, self.bound)
+                                         self.dense_spec, self.bound,
+                                         packed=pk.get("yz"))
             f_xz = dense_triplane_encode(self.dense_planes["xz"], xz,
-                                         self.dense_spec, self.bound)
+                                         self.dense_spec, self.bound,
+                                         packed=pk.get("xz"))
         else:
             f_xy = grid_encode(xy, self.encoder_xy, self.spec, self.bound)
             f_yz = grid_encode(yz, self.encoder_yz, self.spec, self.bound)
             f_xz = grid_encode(xz, self.encoder_xz, self.spec, self.bound)
         return jnp.concatenate([f_xy, f_yz, f_xz], axis=-1)
+
+    def bake_tables(self) -> dict:
+        """Corner-packed lookup tables for all three planes; compute once at
+        model load when serving (params static) and pass as `packed` to
+        encode_x / density / __call__."""
+        if self.encoder != "dense":
+            return {}
+        from ..ops.packed_triplane import bake_packed
+
+        return {p: bake_packed(self.dense_planes[p], self.dense_spec)
+                for p in ("xy", "yz", "xz")}
 
     def encode_audio(self, a: jnp.ndarray) -> jnp.ndarray:
         """a: [n_frames, T, C_in] (n_frames = 8 when att > 0, else 1)
@@ -150,10 +167,11 @@ class NeRFField(nn.Module):
         enc_a: jnp.ndarray,
         e: Optional[jnp.ndarray] = None,
         enc_x: Optional[jnp.ndarray] = None,
+        packed: Optional[dict] = None,
     ) -> DensityOutputs:
         """reference network.py:283-311."""
         if enc_x is None:
-            enc_x = self.encode_x(x)
+            enc_x = self.encode_x(x, packed=packed)
         N = enc_x.shape[0]
         enc_a = jnp.broadcast_to(enc_a.reshape(1, -1), (N, self.audio_dim))
         aud_ch_att = self.aud_ch_att_net(enc_x)       # [N, audio_dim]
@@ -181,9 +199,10 @@ class NeRFField(nn.Module):
         c: Optional[jnp.ndarray],       # [ind_dim] individual code or None
         e: Optional[jnp.ndarray] = None,  # [1] / scalar eye openness
         compute_uncertainty: bool = True,
+        packed: Optional[dict] = None,
     ) -> FieldOutputs:
         """reference network.py:252-280."""
-        enc_x = self.encode_x(x)
+        enc_x = self.encode_x(x, packed=packed)
         dens = self.density(x, enc_a, e, enc_x)
 
         enc_d = sh_encode(d, 4)

@@ -71,6 +71,11 @@ class InferenceSession:
         self.state, self.occ, self.resumed = trainer.load_checkpoint(
             state, self.occ)
         self.enc_a_smooth = None
+        # bake the triplane lookup tables once — params are static while
+        # serving, so the per-frame render skips the in-graph bake
+        self.packed = jax.jit(
+            lambda p: self.field.apply(p, method="bake_tables"))(
+                self.state.params)
         self._compile_render()
         self._built = True
 
@@ -87,12 +92,16 @@ class InferenceSession:
         field = self.field
 
         @jax.jit
-        def render(params, occ, pose, enc_a, eye):
+        def render(params, packed, occ, pose, enc_a, eye):
             rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
             c = (params["params"]["individual_codes"][0]
                  if cfg.ind_dim > 0 else None)
+
+            def apply_packed(p, *a, **kw):
+                return field.apply(p, *a, packed=packed, **kw)
+
             out = render_rays_compact(
-                field.apply, params, self.settings, occ,
+                apply_packed, params, self.settings, occ,
                 rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye, bg,
                 budget=budget)
             img = out["image"].reshape(ds.H, ds.W, 3)
@@ -151,8 +160,8 @@ class InferenceSession:
                 eye = jnp.asarray([ds.eye_area[fi] if cfg.exp_eye else 0.0],
                                   jnp.float32)
             pose = jnp.asarray(ds.poses[fi])
-            img_dev = self._render(self.state.params, self.occ, pose, enc_a,
-                                   eye)
+            img_dev = self._render(self.state.params, self.packed, self.occ,
+                                   pose, enc_a, eye)
             # fetch the PREVIOUS frame while this one computes (async dispatch)
             if pending is not None:
                 pi, pdev = pending
