@@ -34,6 +34,10 @@ def main():
                     help="window candidates per compacted ray (0 = auto)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 MLP compute")
+    ap.add_argument("--samples", type=int, default=16,
+                    help="samples kept per ray (16 = reference parity; 8 is "
+                         "a faster serving point — opaque surfaces terminate "
+                         "in ~5 samples)")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +59,8 @@ def main():
 
     res = args.res
     grid = 128 if not args.small else 32
-    settings, occ, field, params = _build(res=res, grid=grid, max_steps=16,
+    settings, occ, field, params = _build(res=res, grid=grid,
+                                          max_steps=args.samples,
                                           bf16=args.bf16)
     budget = int(args.budget_frac * res * res) // 1024 * 1024
 

@@ -114,6 +114,11 @@ def march_rays_uniform(
     """
     N = rays_o.shape[0]
     cascade, H = occ_grid.shape[0], occ_grid.shape[1]
+    if max_samples > num_cand:
+        raise ValueError(
+            f"max_samples ({max_samples}) cannot exceed the candidate count "
+            f"({num_cand}); a ray cannot keep more samples than the lattice "
+            "points it tests")
 
     t0 = nears if noise is None else nears + dt * noise  # [N]
     k = jnp.arange(num_cand, dtype=jnp.float32)          # [K]

@@ -166,6 +166,10 @@ def march_rays_window(
     march_rays_uniform, but only over the per-ray window."""
     B = rays_o.shape[0]
     H = occ_grid.shape[1]
+    if max_samples > num_cand:
+        raise ValueError(
+            f"max_samples ({max_samples}) cannot exceed window candidates "
+            f"({num_cand})")
 
     t0 = t_start if noise is None else t_start + dt * noise
     k = jnp.arange(num_cand, dtype=jnp.float32)
