@@ -117,3 +117,21 @@ def test_optimizer_labels_dense_tables_as_grid():
     assert seen["encoder_xy_l0"] == "grid"
     assert seen["encoder_xz_l3"] == "grid"
     assert seen["sigma_net"] == "net"
+
+
+def test_prebaked_tables_match_in_graph_path():
+    """field.bake_tables + encode_x(packed=...) must equal the in-graph
+    bake exactly (the serving fast path vs the training path)."""
+    from lzzx_nerf_tpu.models import NeRFField
+
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 3)) * 0.4
+    params = field.init(jax.random.PRNGKey(1), x,
+                        x / jnp.linalg.norm(x, axis=-1, keepdims=True),
+                        jnp.zeros((8, 16, 29)), jnp.zeros(4),
+                        jnp.asarray([0.2]), method="init_all")
+    packed = field.apply(params, method="bake_tables")
+    assert set(packed) == {"xy", "yz", "xz"}
+    a = field.apply(params, x, method="encode_x")
+    b = field.apply(params, x, packed, method="encode_x")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
