@@ -62,7 +62,9 @@ def main():
     settings, occ, field, params = _build(res=res, grid=grid,
                                           max_steps=args.samples,
                                           bf16=args.bf16)
-    budget = int(args.budget_frac * res * res) // 1024 * 1024
+    # clamp like serving/session.py: tiny --budget-frac/--res combos must not
+    # round to a zero budget (an all-background frame benches meaninglessly)
+    budget = max(1024, int(args.budget_frac * res * res) // 1024 * 1024)
 
     pose = jnp.asarray(np.array(
         [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],

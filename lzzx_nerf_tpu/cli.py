@@ -98,14 +98,38 @@ def run_train(cfg) -> None:
     from .train.trainer import make_torso_train_step
     from .train.metrics import PSNRMeter, LPIPSMeter
 
+    from .parallel import data_sharding, make_mesh
+    from .parallel.distributed import init_distributed, is_coordinator
+
+    # multi-host: no-op unless the JAX_COORDINATOR_* env is present
+    distributed = init_distributed()
+
     ds = NeRFDataset(cfg, type="train")
     val = NeRFDataset(cfg, type="val")
     settings, occ, field, params = _build_world(cfg, ds)
     trainer = Trainer(cfg.workspace, max_keep_ckpt=cfg.max_keep_ckpt)
+
+    # data-parallel mesh over the ray batch (--data_parallel N). Params stay
+    # replicated; with_sharding_constraint in the train step shards the
+    # sampled rays and XLA inserts the gradient psum over ICI.
+    dp_sharding = None
+    if cfg.data_parallel > 0:
+        devs = jax.devices()
+        if len(devs) < cfg.data_parallel:
+            raise SystemExit(
+                f"--data_parallel {cfg.data_parallel} but only "
+                f"{len(devs)} devices visible")
+        mesh = make_mesh("data", devs[:cfg.data_parallel])
+        dp_sharding = data_sharding(mesh)
+        trainer.log(f"[INFO] data-parallel over {cfg.data_parallel} devices"
+                    + (f" ({jax.process_count()} hosts)" if distributed else ""))
+
     trainer.log(f"[INFO] {len(ds.poses)} train frames, res {ds.H}x{ds.W}, "
                 f"encoder=dense, iters={cfg.iters}")
+    # one JSON document per line (appended per run); the serving session
+    # adopts the last line when loading this workspace
     with open(os.path.join(cfg.workspace, "opt.txt"), "a") as f:
-        f.write(cfg.to_json() + "\n")
+        f.write(cfg.to_json(indent=None) + "\n")
 
     tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters, cfg.finetune_lips)
     state = TrainState.create(params, tx)
@@ -124,7 +148,8 @@ def run_train(cfg) -> None:
         amb_eye_loss=cfg.amb_eye_loss, lambda_amb=cfg.lambda_amb,
         ind_dim=cfg.ind_dim, exp_eye=cfg.exp_eye,
         ema_decay=cfg.ema_decay, ema_interval=cfg.ema_update_interval,
-        update_extra_interval=cfg.update_extra_interval)
+        update_extra_interval=cfg.update_extra_interval,
+        data_sharding=dp_sharding)
     step_fn = jax.jit(make_train_step(field, settings, tx,
                                       finetune_lips=False, **common))
     # lips finetune alternates the lips-crop LPIPS step with the normal step
@@ -140,7 +165,7 @@ def run_train(cfg) -> None:
             **common))
     eval_fn = jax.jit(make_eval_step(
         field, settings, H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
-        ind_dim=cfg.ind_dim, exp_eye=cfg.exp_eye))
+        ind_dim=cfg.ind_dim, exp_eye=cfg.exp_eye, use_ema=cfg.use_ema))
 
     def density_fn(pts, ea, eye):
         return field.apply(state.params, pts, ea, eye, method="density").sigma
@@ -330,14 +355,29 @@ def run_test(cfg) -> None:
                            mean_density_torso=occ_t.mean_density_torso)
         trainer.log(f"[INFO] torso ckpt ({torso_ws}) resumed={t_ok}")
 
-    budget = max(1024, int(0.5 * ds.H * ds.W) // 1024 * 1024)
+    budget = max(1024, int(cfg.budget_frac * ds.H * ds.W) // 1024 * 1024)
     bg_coords_full = get_bg_coords(ds.H, ds.W)[0]
 
+    # inference runs from the EMA weights (the reference's "best" checkpoint
+    # saves EMA params and infers from them, TrainerUtil.py:1262-1279)
+    infer_params = dict(state.params)
+    if cfg.use_ema:
+        infer_params["params"] = state.ema_params
+
+    # serving operating point: fewer samples/ray + window cap (guarded by
+    # tests/test_render.py PSNR checks); prebake the triplane tables once —
+    # params are static at test time (same as serving/session.py)
+    isettings = dataclasses.replace(
+        settings, max_steps=cfg.infer_samples or settings.max_steps)
+    k2 = cfg.infer_window_candidates or None
+    packed = jax.jit(lambda p: field.apply(p, method="bake_tables"))(
+        infer_params)
+
     @jax.jit
-    def render_frame(state, torso_params, occ, pose, auds, eye):
+    def render_frame(params, packed, torso_params, occ, pose, auds, eye):
         rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
-        enc_a = field.apply(state.params, auds, method="encode_audio")
-        c = (state.params["params"]["individual_codes"][0]
+        enc_a = field.apply(params, auds, method="encode_audio")
+        c = (params["params"]["individual_codes"][0]
              if cfg.ind_dim > 0 else None)
         bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
         if torso is not None:
@@ -348,24 +388,49 @@ def run_test(cfg) -> None:
             tres = run_torso(torso.apply, torso_params, settings, occ,
                              bg_coords_full, pose, ct, bg)
             bg = tres["bg_color"]
+
+        def apply_packed(p, *a, **kw):
+            return field.apply(p, *a, packed=packed, **kw)
+
         out = render_rays_compact(
-            field.apply, state.params, settings, occ, rays["rays_o"][0],
-            rays["rays_d"][0], enc_a, c, eye, bg, budget=budget)
-        return out["image"].reshape(ds.H, ds.W, 3)
+            apply_packed, params, isettings, occ, rays["rays_o"][0],
+            rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
+            window_candidates=k2)
+        return out["image"].reshape(ds.H, ds.W, 3), out["n_active"]
 
     out_dir = os.path.join(cfg.workspace, "results")
     os.makedirs(out_dir, exist_ok=True)
     meters = [PSNRMeter(), LPIPSMeter(), LMDMeter()] if ds.has_gt else []
     t0 = time.time()
     tp = torso_state.params if torso_state is not None else None
-    for i in range(len(ds)):
-        b = ds.frame(i)
-        img = render_frame(state, tp, occ, jnp.asarray(b["pose"]),
-                           jnp.asarray(b["auds"]), jnp.asarray(b["eye"]))
-        img_np = np.asarray(img)
+    overflow_warned = False
+
+    def consume(i, img_dev, n_active_dev):
+        nonlocal overflow_warned
+        img_np = np.asarray(img_dev)
+        if not overflow_warned and int(n_active_dev) > budget:
+            trainer.log(f"[WARN] frame {i}: {int(n_active_dev)} active rays "
+                        f"exceed budget {budget}; overflow rendered as "
+                        f"background (raise --budget_frac)")
+            overflow_warned = True
         _save_image(img_np, os.path.join(out_dir, f"{i:05d}.png"))
         for m in meters:
-            m.update(img_np, b["image"])
+            m.update(img_np, ds.frame(i)["image"])
+
+    # double-buffered loop: frame i+1 is enqueued before frame i's pixels are
+    # fetched (same overlap as serving/session.py run)
+    pending = None
+    for i in range(len(ds)):
+        b = ds.frame(i)
+        img, n_act = render_frame(infer_params, packed, tp, occ,
+                                  jnp.asarray(b["pose"]),
+                                  jnp.asarray(b["auds"]),
+                                  jnp.asarray(b["eye"]))
+        if pending is not None:
+            consume(*pending)
+        pending = (i, img, n_act)
+    if pending is not None:
+        consume(*pending)
     fps = len(ds) / (time.time() - t0)
     trainer.log(f"[INFO] rendered {len(ds)} frames at {fps:.2f} FPS")
     for m in meters:

@@ -130,8 +130,20 @@ class Config:
     # TPU-specific knobs (no reference equivalent)
     mesh_shape: Tuple[int, ...] = (1,)       # data-parallel mesh over rays
     mesh_axis_names: Tuple[str, ...] = ("data",)
+    data_parallel: int = 0    # >0: train over an N-device 'data' mesh
     ema_decay: float = 0.95
     ema_update_interval: int = 1000
+    # evaluate/test/serve from the EMA weights (the reference's "best"
+    # checkpoint saves EMA params and infers from them,
+    # TrainerUtil.py:1262-1279)
+    use_ema: bool = True
+    # serving fast-path knobs (render_rays_compact): samples per ray and
+    # window candidates at inference; 0 = inherit max_steps / auto-K2.
+    # S=8 is safe for opaque heads (transmittance < T_thresh after ~5
+    # samples) and measurably faster — guarded by a synthetic PSNR test.
+    infer_samples: int = 8
+    infer_window_candidates: int = 40
+    budget_frac: float = 0.5  # active-ray budget as a fraction of the frame
     eval_interval: int = 1
     max_keep_ckpt: int = 2
 
@@ -161,8 +173,8 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
-    def to_json(self) -> str:
-        return json.dumps(dataclasses.asdict(self), indent=2)
+    def to_json(self, indent=2) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=indent)
 
     @staticmethod
     def from_json(s: str) -> "Config":

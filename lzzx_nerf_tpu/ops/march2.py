@@ -64,7 +64,8 @@ def column_intervals(occ: jnp.ndarray, bound: float, dilate: int = 2
                                       jax.lax.max, (3, 3), (1, 1), "SAME")
         zmax = jax.lax.reduce_window(zmax, jnp.asarray(-1, zmax.dtype),
                                      jax.lax.max, (3, 3), (1, 1), "SAME")
-    big = jnp.float32(3.0e38)
+    big = jnp.float32(1.0e30)  # empty-column sentinel (kept finite so
+    # downstream t = (z - o)/d arithmetic cannot overflow to inf)
     # cell n spans world [(n/H*2-1)*b, ((n+1)/H*2-1)*b]
     z_lo = (zmin.astype(jnp.float32) / H * 2.0 - 1.0) * bound
     z_hi = ((zmax.astype(jnp.float32) + 1.0) / H * 2.0 - 1.0) * bound
@@ -104,11 +105,18 @@ def ray_windows(
     oz = rays_o[:, 2]
     dz = rays_d[:, 2]
     safe_dz = jnp.where(jnp.abs(dz) < 1e-6, 1e-6, dz)
+    big = jnp.float32(1.0e30)
 
     def slab_to_t(zl, zh):
         t1 = (zl - oz) / safe_dz
         t2 = (zh - oz) / safe_dz
-        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+        ta = jnp.minimum(t1, t2)
+        tb = jnp.maximum(t1, t2)
+        # empty columns carry the (+big, -big) sentinel; min/max above would
+        # flip it into an everything-window — keep it EMPTY instead so rays
+        # through unoccupied columns deactivate
+        empty = zl > zh
+        return jnp.where(empty, big, ta), jnp.where(empty, -big, tb)
 
     zl1, zh1 = col_lookup(nears)
     ta1, tb1 = slab_to_t(zl1, zh1)

@@ -14,14 +14,6 @@ from typing import Callable, Tuple
 
 import numpy as np
 
-# the 6 tetrahedra of a unit cube (corner indices into the 8 cube corners)
-_TETS = np.array([
-    [0, 5, 1, 6],
-    [0, 1, 3, 6],
-    [0, 3, 2, 6],
-    [0, 2, 4, 6],  # wait — keep a standard 6-tet decomposition below
-], dtype=np.int32)
-
 # standard 6-tet decomposition of a cube with corners indexed by bits (x,y,z):
 # corner i has coords ((i>>2)&1, (i>>1)&1, i&1)
 _TETS = np.array([

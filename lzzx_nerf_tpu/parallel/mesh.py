@@ -31,15 +31,17 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-_BATCH_SHARDED_KEYS = {
-    "rays_o", "rays_d", "bg_coords", "images", "bg_color", "face_mask",
-    "eye_mask", "lhalf_mask", "noise", "inds", "bg_torso_color",
-}
+# keys that are genuinely per-ray (leading axis = ray). Full-frame tensors
+# (image [H,W,3], masks, bg_color, pose, auds) are REPLICATED: the train step
+# samples random pixels from them inside jit, so row-sharding them would just
+# force cross-device gathers. Ray-level sharding happens inside the step via
+# with_sharding_constraint on the sampled per-ray tensors (trainer.py).
+_BATCH_SHARDED_KEYS = {"rays_o", "rays_d", "noise", "inds"}
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
-    """Put per-ray arrays on the mesh sharded along their leading axis; small
-    per-frame tensors (pose, auds, eye, index) are replicated."""
+    """Place a provider batch on the mesh: per-ray arrays sharded along their
+    leading axis, everything else (full frames, per-frame scalars) replicated."""
     ds = data_sharding(mesh, axis_name)
     rep = replicate(mesh)
     out = {}

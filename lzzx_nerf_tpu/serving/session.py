@@ -51,8 +51,14 @@ class InferenceSession:
         opt_path = os.path.join(workspace, "opt.txt")
         if os.path.exists(opt_path):
             try:
-                trained = json.loads(
-                    "{" + open(opt_path).read().rsplit("{", 1)[-1])
+                text = open(opt_path).read()
+                lines = [ln for ln in text.splitlines() if ln.strip()]
+                try:
+                    # current format: one JSON document per line, last wins
+                    trained = json.loads(lines[-1])
+                except json.JSONDecodeError:
+                    # legacy multi-line appended dumps: last flat object
+                    trained = json.loads("{" + text.rsplit("{", 1)[-1])
                 keep = ("grid_size", "max_steps", "bound", "asr_model",
                         "exp_eye", "ind_dim", "ind_num", "att", "emb",
                         "min_near", "density_thresh", "scale", "offset")
@@ -71,15 +77,23 @@ class InferenceSession:
         self.state, self.occ, self.resumed = trainer.load_checkpoint(
             state, self.occ)
         self.enc_a_smooth = None
+        # serve from the EMA weights (the reference's "best" checkpoint saves
+        # EMA params and infers from them, TrainerUtil.py:1262-1279)
+        self.infer_params = dict(self.state.params)
+        if self.cfg.use_ema:
+            self.infer_params["params"] = self.state.ema_params
         # bake the triplane lookup tables once — params are static while
         # serving, so the per-frame render skips the in-graph bake
         self.packed = jax.jit(
             lambda p: self.field.apply(p, method="bake_tables"))(
-                self.state.params)
+                self.infer_params)
+        self._overflow_warned = False
         self._compile_render()
         self._built = True
 
     def _compile_render(self) -> None:
+        import dataclasses
+
         import jax
         import jax.numpy as jnp
 
@@ -87,7 +101,15 @@ class InferenceSession:
         from ..utils import get_rays
 
         ds, cfg = self.ds, self.cfg
-        budget = max(1024, int(0.5 * ds.H * ds.W) // 1024 * 1024)
+        budget = max(1024,
+                     int(cfg.budget_frac * ds.H * ds.W) // 1024 * 1024)
+        self.budget = budget
+        # serving operating point: S=infer_samples, capped window candidates
+        # (guarded by tests/test_render.py PSNR checks)
+        isettings = dataclasses.replace(
+            self.settings,
+            max_steps=cfg.infer_samples or self.settings.max_steps)
+        k2 = cfg.infer_window_candidates or None
         bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
         field = self.field
 
@@ -101,11 +123,12 @@ class InferenceSession:
                 return field.apply(p, *a, packed=packed, **kw)
 
             out = render_rays_compact(
-                apply_packed, params, self.settings, occ,
+                apply_packed, params, isettings, occ,
                 rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye, bg,
-                budget=budget)
+                budget=budget, window_candidates=k2)
             img = out["image"].reshape(ds.H, ds.W, 3)
-            return (jnp.clip(img, 0, 1) * 255).astype(jnp.uint8)
+            return ((jnp.clip(img, 0, 1) * 255).astype(jnp.uint8),
+                    out["n_active"])
 
         @jax.jit
         def encode_audio(params, auds):
@@ -145,11 +168,23 @@ class InferenceSession:
 
         lam = 0.35  # smooth_lips EMA (renderer.py:456-460)
         t0 = time.time()
-        pending = None  # (index, device_image) — double buffer
+        pending = None  # (index, device_image, device_n_active)
+
+        def consume(pi, pdev, pact):
+            arr = np.asarray(pdev)
+            if not self._overflow_warned and int(pact) > self.budget:
+                print(f"[WARN] frame {pi}: {int(pact)} active rays exceed "
+                      f"budget {self.budget}; overflow rendered as "
+                      f"background (raise budget_frac)")
+                self._overflow_warned = True
+            sink.push(arr.tobytes())
+            if on_frame:
+                on_frame(pi, arr)
+
         for i in range(n):
             fi = ds.mirror_index(i)
             auds = jnp.asarray(ds.audio_window(i))
-            enc_a = self._encode_audio(self.state.params, auds)
+            enc_a = self._encode_audio(self.infer_params, auds)
             if cfg.smooth_lips:
                 if self.enc_a_smooth is not None:
                     enc_a = lam * self.enc_a_smooth + (1 - lam) * enc_a
@@ -160,22 +195,14 @@ class InferenceSession:
                 eye = jnp.asarray([ds.eye_area[fi] if cfg.exp_eye else 0.0],
                                   jnp.float32)
             pose = jnp.asarray(ds.poses[fi])
-            img_dev = self._render(self.state.params, self.packed, self.occ,
-                                   pose, enc_a, eye)
+            img_dev, n_act = self._render(self.infer_params, self.packed,
+                                          self.occ, pose, enc_a, eye)
             # fetch the PREVIOUS frame while this one computes (async dispatch)
             if pending is not None:
-                pi, pdev = pending
-                arr = np.asarray(pdev)
-                sink.push(arr.tobytes())
-                if on_frame:
-                    on_frame(pi, arr)
-            pending = (i, img_dev)
+                consume(*pending)
+            pending = (i, img_dev, n_act)
         if pending is not None:
-            pi, pdev = pending
-            arr = np.asarray(pdev)
-            sink.push(arr.tobytes())
-            if on_frame:
-                on_frame(pi, arr)
+            consume(*pending)
         dt = time.time() - t0
         sink.close()
         return n, dt

@@ -53,6 +53,11 @@ class ServerState:
     # -- operations (called by the HTTP handlers) --------------------------
 
     def model_select(self, model: str) -> dict:
+        # harden the user-supplied name against path traversal: a model name
+        # must be a plain directory name under data_root
+        if (not model or os.path.basename(model) != model
+                or model in (".", "..")):
+            raise ValueError(f"invalid model name {model!r}")
         data_path = os.path.join(self.data_root, model)
         workspace = os.path.join(self.trial_root, f"trial_{model}")
         self.session.load_model(data_path, workspace)
@@ -90,7 +95,14 @@ class ServerState:
         return {"aud_frames": self.num_aud_frames}
 
     def audio_upload_npy(self, path: str) -> dict:
-        feats = np.load(path)
+        # restrict server-side feature files to the configured data root so a
+        # client cannot point np.load at arbitrary server paths
+        real = os.path.realpath(path)
+        root = os.path.realpath(self.data_root)
+        if not real.startswith(root + os.sep):
+            raise ValueError(
+                f"aud_path must live under the data root {self.data_root!r}")
+        feats = np.load(real)
         self.num_aud_frames = self.session.set_audio_features(feats)
         return {"aud_frames": self.num_aud_frames}
 
@@ -190,6 +202,8 @@ def make_handler(state: ServerState):
                     self._send(404, {"error": f"unknown route {self.path}"})
             except FileNotFoundError as e:
                 self._send(404, {"error": str(e)})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
             except json.JSONDecodeError as e:
                 self._send(400, {"error": f"malformed JSON body: {e}"})
             except Exception as e:
@@ -198,7 +212,7 @@ def make_handler(state: ServerState):
     return Handler
 
 
-def serve(cfg: Config, host: str = "0.0.0.0", port: int = 7860,
+def serve(cfg: Config, host: str = "127.0.0.1", port: int = 7860,
           **state_kw) -> ThreadingHTTPServer:
     state = ServerState(cfg, **state_kw)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
@@ -210,6 +224,8 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (use 0.0.0.0 to expose externally)")
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--trial-root", default=".")
@@ -228,7 +244,8 @@ def main():
         cfg = Config.from_json(open(args.config_json).read())
     else:
         cfg = Config(asr_model=args.asr_model)
-    httpd = serve(cfg, port=args.port, data_root=args.data_root,
+    httpd = serve(cfg, host=args.host, port=args.port,
+                  data_root=args.data_root,
                   trial_root=args.trial_root, sink_kind=args.sink,
                   rtmp_url=args.rtmp_url, out_path=args.out)
     print(f"[INFO] serving on :{args.port}")

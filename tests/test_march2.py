@@ -43,7 +43,7 @@ def test_column_intervals_cover_occupancy():
                 assert zl[x, y] <= lo_world + 1e-5
                 assert zh[x, y] >= hi_world - 1e-5
             else:
-                assert zl[x, y] > 1e37 and zh[x, y] < -1e37
+                assert zl[x, y] > 1e29 and zh[x, y] < -1e29
 
 
 def test_windowed_march_matches_v1_samples():
@@ -83,6 +83,26 @@ def test_windowed_march_matches_v1_samples():
         if n1:
             np.testing.assert_allclose(v2ts[slot, :n2], v1ts[ray, :n1],
                                        atol=2e-4)
+
+
+def test_empty_columns_deactivate_rays():
+    """Rays through unoccupied (x,y) columns must come out INACTIVE — the
+    empty-column sentinel (+big, -big) must not be flipped into an
+    everything-window by the slab min/max (regression: round-1 marked all
+    262144 rays of a 512² frame active, silently overflowing the budget)."""
+    occ, o, d = _scene()
+    nears, fars = near_far_from_aabb(o, d, AABB, 0.05)
+    z_lo, z_hi = column_intervals(occ, BOUND)
+    win = ray_windows(o, d, nears, fars, z_lo, z_hi, BOUND, DT)
+    active = np.asarray(win.active)
+    # the ellipsoid occupies a minority of the aabb cross-section: the random
+    # ray fan must contain both hits and (deactivated) misses
+    assert active.any()
+    assert not active.all(), "rays missing every occupied column stayed active"
+    # every ray that the exhaustive marcher finds samples for is still active
+    v1 = march_rays_uniform(o, d, nears, fars, occ, BOUND, DT, 112, 8)
+    v1_hit = np.asarray(v1.mask).any(axis=1)
+    assert (active | ~v1_hit).all()
 
 
 def test_budget_overflow_drops_cleanly():
