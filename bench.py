@@ -30,14 +30,23 @@ def main():
     ap.add_argument("--budget-frac", type=float, default=0.5,
                     help="active-ray budget as a fraction of total rays "
                          "(compact path)")
-    ap.add_argument("--k2", type=int, default=0,
-                    help="window candidates per compacted ray (0 = auto)")
+    ap.add_argument("--k2", type=int, default=40,
+                    help="window candidates per compacted ray (0 = auto); "
+                         "40 covers a generously dilated head column at "
+                         "dt=2sqrt(3)/128 (serving default)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 MLP compute")
-    ap.add_argument("--samples", type=int, default=16,
-                    help="samples kept per ray (16 = reference parity; 8 is "
-                         "a faster serving point — opaque surfaces terminate "
-                         "in ~5 samples)")
+    ap.add_argument("--f32-tables", action="store_true",
+                    help="fp32 prebaked triplane tables (default bf16: "
+                         "VMEM-resident, 3x gather rate)")
+    ap.add_argument("--samples", type=int, default=8,
+                    help="samples kept per ray (serving default 8: opaque "
+                         "surfaces terminate in ~5 samples, PSNR-guarded by "
+                         "tests/test_render.py; 16 = reference parity)")
+    ap.add_argument("--torso", action="store_true",
+                    help="composite a torso pass under the head every frame "
+                         "(the reference's operating point does, "
+                         "renderer.py:553-561)")
     args = ap.parse_args()
 
     import jax
@@ -53,9 +62,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         args.res, args.frames = 96, 4
 
-    from __graft_entry__ import _build
-    from lzzx_nerf_tpu.render import render_rays, render_rays_compact
+    from __graft_entry__ import _build, _build_torso
+    from lzzx_nerf_tpu.ops.march2 import build_inference_tables
+    from lzzx_nerf_tpu.render import render_rays, render_rays_compact, run_torso
     from lzzx_nerf_tpu.utils import get_rays
+    from lzzx_nerf_tpu.utils.rays import get_bg_coords
 
     res = args.res
     grid = 128 if not args.small else 32
@@ -74,25 +85,42 @@ def main():
     rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
     bg = jnp.ones((res * res, 3))
 
-    # bake lookup tables once (params are static while serving)
-    packed = jax.jit(lambda p: field.apply(p, method="bake_tables"))(params)
+    torso = tparams = None
+    if args.torso:
+        torso, tparams = _build_torso(bf16=args.bf16)
+    bg_coords = get_bg_coords(res, res)[0]
+
+    # bake lookup tables once (params + occupancy are static while serving)
+    tdtype = jnp.float32 if args.f32_tables else jnp.bfloat16
+    packed = jax.jit(
+        lambda p: field.apply(p, method="bake_tables", dtype=tdtype))(params)
+    tables = jax.jit(
+        lambda o: build_inference_tables(o, settings.bound))(occ.occ)
 
     @jax.jit
-    def render_frame(params, packed, occ, auds, eye):
+    def render_frame(params, packed, tables, occ, auds, eye, tparams):
         enc_a = field.apply(params, auds, method="encode_audio")
         c = params["params"]["individual_codes"][0]
 
         def apply_packed(p, *a, **kw):
             return field.apply(p, *a, packed=packed, **kw)
 
+        frame_bg = bg
+        if torso is not None:
+            ct = tparams["params"]["individual_codes_torso"][0]
+            tres = run_torso(torso.apply, tparams, settings, occ,
+                             bg_coords, pose[0], ct, bg)
+            frame_bg = tres["bg_color"]
+
         if args.path == "compact":
             out = render_rays_compact(apply_packed, params, settings, occ,
-                                      rays_o, rays_d, enc_a, c, eye, bg,
+                                      rays_o, rays_d, enc_a, c, eye, frame_bg,
                                       budget=budget,
-                                      window_candidates=args.k2 or None)
+                                      window_candidates=args.k2 or None,
+                                      tables=tables, minimal=True)
         else:
             out = render_rays(field.apply, params, settings, occ,
-                              rays_o, rays_d, enc_a, c, eye, bg,
+                              rays_o, rays_d, enc_a, c, eye, frame_bg,
                               training=False)
         # uint8 on device: the host handoff (→ffmpeg) wants rgb24 and the
         # fp32 frame is 4x the transfer
@@ -106,7 +134,7 @@ def main():
             for i in range(args.frames)]
 
     # warmup/compile
-    img = render_frame(params, packed, occ, aud_stream[0], eyes[0])
+    img = render_frame(params, packed, tables, occ, aud_stream[0], eyes[0], tparams)
     np.asarray(img)
 
     # double-buffered loop, exactly like the serving session
@@ -115,7 +143,7 @@ def main():
     t0 = time.perf_counter()
     pending = None
     for f in range(args.frames):
-        img = render_frame(params, packed, occ, aud_stream[f], eyes[f])
+        img = render_frame(params, packed, tables, occ, aud_stream[f], eyes[f], tparams)
         if pending is not None:
             frame_host = np.asarray(pending)  # host handoff (ffmpeg boundary)
         pending = img

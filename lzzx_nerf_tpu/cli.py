@@ -370,8 +370,14 @@ def run_test(cfg) -> None:
     isettings = dataclasses.replace(
         settings, max_steps=cfg.infer_samples or settings.max_steps)
     k2 = cfg.infer_window_candidates or None
-    packed = jax.jit(lambda p: field.apply(p, method="bake_tables"))(
-        infer_params)
+    tdtype = jnp.bfloat16 if cfg.infer_table_bf16 else None
+    packed = jax.jit(
+        lambda p: field.apply(p, method="bake_tables", dtype=tdtype))(
+            infer_params)
+    from .ops.march2 import build_inference_tables
+
+    tables = jax.jit(
+        lambda o: build_inference_tables(o, settings.bound))(occ.occ)
 
     @jax.jit
     def render_frame(params, packed, torso_params, occ, pose, auds, eye):
@@ -395,7 +401,7 @@ def run_test(cfg) -> None:
         out = render_rays_compact(
             apply_packed, params, isettings, occ, rays["rays_o"][0],
             rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
-            window_candidates=k2)
+            window_candidates=k2, tables=tables, minimal=True)
         return out["image"].reshape(ds.H, ds.W, 3), out["n_active"]
 
     out_dir = os.path.join(cfg.workspace, "results")

@@ -144,6 +144,10 @@ class Config:
     infer_samples: int = 8
     infer_window_candidates: int = 40
     budget_frac: float = 0.5  # active-ray budget as a fraction of the frame
+    # bf16 prebaked triplane tables at inference: half the bytes keeps the
+    # packed table VMEM-resident -> 3x gather rate on v5e (quality-guarded
+    # by tests/test_render.py)
+    infer_table_bf16: bool = True
     eval_interval: int = 1
     max_keep_ckpt: int = 2
 

@@ -140,15 +140,18 @@ class NeRFField(nn.Module):
             f_xz = grid_encode(xz, self.encoder_xz, self.spec, self.bound)
         return jnp.concatenate([f_xy, f_yz, f_xz], axis=-1)
 
-    def bake_tables(self) -> dict:
+    def bake_tables(self, dtype=None) -> dict:
         """Corner-packed lookup tables for all three planes; compute once at
         model load when serving (params static) and pass as `packed` to
-        encode_x / density / __call__."""
+        encode_x / density / __call__. dtype=jnp.bfloat16 halves the table
+        to VMEM-resident size — 3x the gather rate on v5e (serving default);
+        None keeps fp32 (bit-exact with the in-graph bake)."""
         if self.encoder != "dense":
             return {}
         from ..ops.packed_triplane import bake_packed
 
-        return {p: bake_packed(self.dense_planes[p], self.dense_spec)
+        return {p: bake_packed(self.dense_planes[p], self.dense_spec,
+                               dtype=dtype or jnp.float32)
                 for p in ("xy", "yz", "xz")}
 
     def encode_audio(self, a: jnp.ndarray) -> jnp.ndarray:

@@ -43,6 +43,16 @@ class RayWindow(NamedTuple):
     active: jnp.ndarray    # [N] bool
 
 
+class InferenceTables(NamedTuple):
+    """Occupancy products derivable from the grid; at serving the grid is
+    static, so these are built ONCE per model load (serving/session.py)
+    instead of in-graph per frame."""
+
+    z_lo: jnp.ndarray         # [H, H] per-column window lower bound (world z)
+    z_hi: jnp.ndarray         # [H, H] upper bound
+    col_bitmask: jnp.ndarray  # [H*H, H//32] uint32, xy-dilated z-occupancy
+
+
 class CompactSet(NamedTuple):
     ray_idx: jnp.ndarray   # [B] source ray index per slot (0 for empty slots)
     slot_valid: jnp.ndarray  # [B] bool
@@ -142,6 +152,38 @@ def ray_windows(
     return RayWindow(t_start=t_start, t_end=t_end, active=active)
 
 
+def column_bitmasks(occ: jnp.ndarray, dilate: int = 2) -> jnp.ndarray:
+    """occ [CAS, H, H, H] -> [H*H, H//32] uint32: each (x,y) column's
+    z-occupancy as a bitstring, OR-dilated `dilate` x 3x3 passes in-plane.
+
+    The dilation makes a single column fetch conservative for every
+    candidate in a small marching group even though the ray's (x,y) drifts
+    (march_rays_window_bitmask); the occupancy grid itself is already
+    3x3x3-dilated by the update pass (reference morton3D_dilation,
+    raymarching.cu:304-351), so the extra margin only admits a few more
+    near-surface samples."""
+    H = occ.shape[1]
+    assert H % 32 == 0, "grid size must be a multiple of 32 for bit-packing"
+    od = occ[0].astype(jnp.float32)
+    for _ in range(dilate):
+        od = jax.lax.reduce_window(od, 0.0, jax.lax.max, (3, 3, 1), (1, 1, 1),
+                                   "SAME")
+    bits = (od > 0).reshape(H, H, H // 32, 32)
+    words = jnp.sum(
+        bits.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32),
+        axis=-1, dtype=jnp.uint32)
+    return words.reshape(H * H, H // 32)
+
+
+def build_inference_tables(occ: jnp.ndarray, bound: float,
+                           dilate_intervals: int = 2,
+                           dilate_mask: int = 2) -> InferenceTables:
+    """All occupancy-derived lookup tables the compact render needs."""
+    z_lo, z_hi = column_intervals(occ, bound, dilate=dilate_intervals)
+    return InferenceTables(z_lo=z_lo, z_hi=z_hi,
+                           col_bitmask=column_bitmasks(occ, dilate_mask))
+
+
 def compact_rays(active: jnp.ndarray, budget: int) -> CompactSet:
     """First-`budget` active rays -> slot table (static shapes)."""
     rank = jnp.cumsum(active.astype(jnp.int32)) - 1           # [N]
@@ -203,6 +245,82 @@ def march_rays_window(
     deltas = jnp.where(mask, dt, 0.0)
     ts = t_sel + dt
     return MarchResult(xyzs=xyzs, deltas=deltas, ts=ts, mask=mask)
+
+
+def march_rays_window_bitmask(
+    rays_o: jnp.ndarray,       # [B, 3] (already compacted)
+    rays_d: jnp.ndarray,       # [B, 3]
+    t_start: jnp.ndarray,      # [B]
+    t_end: jnp.ndarray,        # [B]
+    slot_valid: jnp.ndarray,   # [B]
+    col_bitmask: jnp.ndarray,  # [H*H, H//32] uint32 from column_bitmasks
+    bound: float,
+    dt: float,
+    num_cand: int,             # K2
+    max_samples: int,          # S
+    group: int = 4,
+) -> MarchResult:
+    """march_rays_window with the occupancy test restructured for the TPU
+    memory system: instead of one gather row per (ray, candidate) —
+    budget x K2 rows/frame, the dominant cost of the v2 marcher — fetch each
+    ray's COLUMN bitstring once per `group` consecutive candidates (the
+    0.25-1 MB bitmask table lives in VMEM) and test the per-candidate z bits
+    with dense VPU math. Measured v5e @512²: 24 ms -> ~7 ms.
+
+    Correctness envelope: within a group the ray's (x,y) cell drifts by at
+    most group*dt*|d_xy| — ≈1 cell for group=4 with the production fov —
+    and the mask's `dilate`x3x3 OR absorbs the drift, so every sample the
+    exact per-candidate test keeps is kept here too (guarded by
+    tests/test_march2.py::test_bitmask_march_superset)."""
+    B = rays_o.shape[0]
+    W32 = col_bitmask.shape[1]
+    H = W32 * 32
+    if max_samples > num_cand:
+        raise ValueError(
+            f"max_samples ({max_samples}) cannot exceed window candidates "
+            f"({num_cand})")
+    G = (num_cand + group - 1) // group
+
+    k = jnp.arange(num_cand, dtype=jnp.float32)
+    t_cand = t_start[:, None] + k[None] * dt                   # [B, K2]
+
+    # one column fetch per candidate GROUP, at the group's midpoint
+    gk = jnp.arange(G, dtype=jnp.float32) * group + (group - 1) / 2.0
+    t_g = t_start[:, None] + gk[None] * dt                     # [B, G]
+    pg = rays_o[:, None, :] + t_g[..., None] * rays_d[:, None, :]
+    pg = jnp.clip(pg, -bound, bound)
+    cx = jnp.clip((pg[..., 0] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    cy = jnp.clip((pg[..., 1] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    rows = jnp.take(col_bitmask, (cx * H + cy).reshape(-1),
+                    axis=0).reshape(B, G, W32)                 # [B, G, W32]
+
+    # per-candidate z bit test, all dense (repeat + masked word select)
+    pz = rays_o[:, 2:3] + t_cand * rays_d[:, 2:3]
+    pz = jnp.clip(pz, -bound, bound)
+    cz = jnp.clip((pz / bound + 1.0) * 0.5 * H, 0, H - 1).astype(jnp.int32)
+    word = cz >> 5                                             # [B, K2]
+    bit = (cz & 31).astype(jnp.uint32)
+    rows_k = jnp.repeat(rows, group, axis=1)[:, :num_cand]     # [B, K2, W32]
+    wmask = word[..., None] == jnp.arange(W32, dtype=jnp.int32)
+    wsel = jnp.sum(jnp.where(wmask, rows_k, jnp.uint32(0)), axis=-1,
+                   dtype=jnp.uint32)
+    occ = ((wsel >> bit) & jnp.uint32(1)) > 0
+
+    valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
+    score = jnp.where(valid, k[None], jnp.float32(num_cand))
+    neg_topk, _ = jax.lax.top_k(-score, max_samples)
+    sel_k = -neg_topk
+    mask = sel_k < num_cand
+    sel_k = jnp.where(mask, sel_k, 0.0)
+
+    t_sel = t_start[:, None] + sel_k * dt
+    xyzs = jnp.clip(
+        rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :],
+        -bound, bound)
+    deltas = jnp.where(mask, dt, 0.0)
+    return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
 
 
 def default_window_candidates(bound: float, grid_size: int, dt: float,

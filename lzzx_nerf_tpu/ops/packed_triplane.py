@@ -115,14 +115,19 @@ def bake_packed(levels: Sequence[jnp.ndarray], spec: DenseTriplaneSpec,
             s = P // r
             for c in corners:
                 up = c if s == 1 else jnp.repeat(jnp.repeat(c, s, 0), s, 1)
-                parts.append(up.astype(dtype))
+                parts.append(up)
         else:
             ratio = r // spec.pack_res
             for i in range(ratio + 1):
                 for j in range(ratio + 1):
                     blk = A[i::ratio, j::ratio][:P, :P]
-                    parts.append(blk.astype(dtype))
-    return jnp.concatenate(parts, axis=-1).reshape(P * P, spec.packed_dim)
+                    parts.append(blk)
+    # assemble in the level dtype and cast ONCE at the end: a bf16 serving
+    # table (half the bytes -> VMEM-resident -> 3x gather rate on v5e) must
+    # not cast per-part — per-part bf16 repeat/concat faults the axon
+    # platform (measured), and a single final cast is also cheaper
+    out = jnp.concatenate(parts, axis=-1).reshape(P * P, spec.packed_dim)
+    return out.astype(dtype)
 
 
 def packed_lookup(packed: jnp.ndarray, xy01: jnp.ndarray,

@@ -1,18 +1,22 @@
-"""3DMM head-pose tracking (task 8) — JAX port of the landmark-driven stages.
+"""3DMM head-pose tracking (task 8) — JAX port of all four fit stages.
 
 Reference: data_utils/face_tracking/ (facemodel.py Face_3DMM,
 util.py geometry helpers, ajian_util.py fit loops, face_tracker.py driver).
 The reference pipeline is: focal search (600..1400) -> coarse landmark fit
 over all frames -> photometric light/texture fit via a pytorch3d rasterizer
--> fine batched fit with laplacian temporal smoothing, resumable from
-track_iter_params.pt.
+(render_3dmm.py:79-207, ajian_util.py:167-253) -> fine batched fit with
+laplacian temporal smoothing, resumable from track_iter_params.pt.
 
 This port implements the landmark-driven stages (focal search, coarse fit,
-fine fit with laplacian smoothing, resume files) as jitted optax loops; they
-produce the euler/trans/focal that transforms.json needs. The photometric
-refinement stage is gated: it requires the Basel Face Model textures plus a
-differentiable rasterizer, neither of which ships here (the BFM assets are
-gitignored in the reference snapshot too).
+fine fit with laplacian smoothing, resume files) as jitted optax loops, plus
+a TPU-native photometric stage: instead of a triangle rasterizer, vertices
+are point-splatted with differentiable bilinear scatter-add (sigma-free,
+static shapes, one fused XLA program) under 9-band spherical-harmonics
+lighting over per-vertex BFM albedo — same optimization variables as the
+reference (shared texture code, per-frame SH gamma, then pose/exp refinement
+against the photometric + landmark loss). The stage activates when the BFM
+assets include the texture basis + topology and is a no-op otherwise (the
+BFM itself is not redistributable and is gitignored in the reference too).
 
 Convention notes (kept bit-compatible with the reference):
 - euler2rot uses the tracker's transposed-sine convention (util.py:18-50) —
@@ -77,10 +81,24 @@ def lap_loss_1d(x: jnp.ndarray) -> jnp.ndarray:
 
 # ---------- model ----------
 
+def _load_tris(info: dict, modelpath: str) -> Optional[np.ndarray]:
+    """Triangle topology: prefer 3DMM_info.npy['tris'] (written by
+    scripts/convert_bfm.py), else the reference's topology_info.npy."""
+    if "tris" in info:
+        return np.asarray(info["tris"], np.int64)
+    topo_p = os.path.join(modelpath, "topology_info.npy")
+    if os.path.exists(topo_p):
+        topo = np.load(topo_p, allow_pickle=True).item()
+        if "tris" in topo:
+            return np.asarray(topo["tris"], np.int64)
+    return None
+
+
 @dataclass
 class Face3DMM:
     """BFM bases (facemodel.py:8-50). Loads 3DMM_info.npy + keys_info.npy
-    from `modelpath`; raises with instructions when absent."""
+    from `modelpath`; raises with instructions when absent. Texture basis +
+    topology are optional — when present they enable the photometric stage."""
 
     base_id: jnp.ndarray      # [id_dim, 3N]
     base_exp: jnp.ndarray     # [exp_dim, 3N]
@@ -90,22 +108,37 @@ class Face3DMM:
     keyinds: np.ndarray       # [68]
     left_contour: np.ndarray  # [8, K]
     right_contour: np.ndarray  # [8, K]
+    base_tex: Optional[jnp.ndarray] = None   # [tex_dim, 3N]
+    mu_tex: Optional[jnp.ndarray] = None     # [3N] in 0..255
+    sig_tex: Optional[jnp.ndarray] = None    # [tex_dim]
+    tris: Optional[np.ndarray] = None        # [T, 3] vertex indices
 
     @staticmethod
-    def load(modelpath: str, id_dim: int = 100, exp_dim: int = 79) -> "Face3DMM":
+    def load(modelpath: str, id_dim: int = 100, exp_dim: int = 79,
+             tex_dim: int = 100) -> "Face3DMM":
         info_p = os.path.join(modelpath, "3DMM_info.npy")
         keys_p = os.path.join(modelpath, "keys_info.npy")
         if not (os.path.exists(info_p) and os.path.exists(keys_p)):
             raise RuntimeError(
                 f"3DMM assets not found in {modelpath}. The Basel Face Model "
                 "is not redistributable; obtain 01_MorphableModel.mat + "
-                "exp_info.npy and convert them (the reference ships "
-                "data_utils/face_tracking/convert_BFM.py), then place "
-                "3DMM_info.npy and keys_info.npy here.")
+                "exp_info.npy and convert them (scripts/convert_bfm.py, "
+                "mirroring the reference data_utils/face_tracking/"
+                "convert_BFM.py), then place 3DMM_info.npy and keys_info.npy "
+                "here.")
         info = np.load(info_p, allow_pickle=True).item()
         keys = np.load(keys_p, allow_pickle=True).item()
         mu = (info["mu_shape"] + info["mu_exp"]).reshape(-1, 3)
         mu = mu - mu.mean(0, keepdims=True)
+
+        def opt(key, scale=1.0, dims=None):
+            if key not in info:
+                return None
+            v = np.asarray(info[key], np.float32)
+            if dims is not None:
+                v = v[:dims]
+            return jnp.asarray(v * scale, jnp.float32)
+
         return Face3DMM(
             base_id=jnp.asarray(info["b_shape"][:id_dim] / 1e5, jnp.float32),
             base_exp=jnp.asarray(info["b_exp"][:exp_dim] / 1e5, jnp.float32),
@@ -115,7 +148,30 @@ class Face3DMM:
             keyinds=np.asarray(keys["keyinds"], np.int64),
             left_contour=np.asarray(keys["left_contour"], np.int64),
             right_contour=np.asarray(keys["right_contour"], np.int64),
+            base_tex=opt("b_tex", dims=tex_dim),
+            mu_tex=opt("mu_tex"),
+            sig_tex=opt("sig_tex", dims=tex_dim),
+            tris=_load_tris(info, modelpath),
         )
+
+    @property
+    def has_texture(self) -> bool:
+        return (self.base_tex is not None and self.mu_tex is not None
+                and self.tris is not None)
+
+    def geometry(self, id_para: jnp.ndarray, exp_para: jnp.ndarray
+                 ) -> jnp.ndarray:
+        """Full model-space vertices [B, N, 3] (facemodel.py forward_geo)."""
+        idp = id_para * self.sig_id
+        expp = exp_para * self.sig_exp
+        g = idp @ self.base_id + expp @ self.base_exp + self.mu
+        return g.reshape(g.shape[0], -1, 3)
+
+    def albedo(self, tex_para: jnp.ndarray) -> jnp.ndarray:
+        """Per-vertex albedo [N, 3] in [0, 1] (facemodel.py forward_tex)."""
+        sig = self.sig_tex if self.sig_tex is not None else 1.0
+        t = self.mu_tex + (tex_para * sig) @ self.base_tex
+        return jnp.clip(t.reshape(-1, 3) / 255.0, 0.0, 1.0)
 
     def _sel(self, vert_ids: np.ndarray) -> np.ndarray:
         v = np.asarray(vert_ids).reshape(-1)
@@ -153,16 +209,180 @@ class Face3DMM:
         return lands
 
 
+# ---------- photometric stage (render_3dmm.py + ajian_util.py:167-253,
+# re-designed as a differentiable point-splat instead of a triangle raster) --
+
+
+def vertex_normals(verts: jnp.ndarray, tris: np.ndarray) -> jnp.ndarray:
+    """Area-weighted vertex normals. verts [B, N, 3], tris [T, 3] ->
+    [B, N, 3] unit normals (the raster normals of render_3dmm.py:120-140)."""
+    v0 = verts[:, tris[:, 0]]
+    v1 = verts[:, tris[:, 1]]
+    v2 = verts[:, tris[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)                  # [B, T, 3]
+    N = verts.shape[1]
+    vn = jnp.zeros_like(verts)
+    for k in range(3):
+        vn = vn.at[:, tris[:, k]].add(fn)
+    return vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-8)
+
+
+# 9-band SH constants (the standard Ramamoorthi/Hanrahan irradiance basis
+# used by the reference's SHLights, render_3dmm.py:79-118)
+_SH_A = np.array([np.pi, 2 * np.pi / np.sqrt(3.0), 2 * np.pi / np.sqrt(8.0)])
+_SH_C = np.array([1 / np.sqrt(4 * np.pi),
+                  np.sqrt(3.0) / np.sqrt(4 * np.pi),
+                  3 * np.sqrt(5.0) / np.sqrt(12 * np.pi)])
+
+
+def sh_irradiance(normals: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+    """normals [B, N, 3], gamma [B, 9, 3] SH coefficients -> [B, N, 3]
+    per-vertex RGB irradiance. gamma[:, 0] carries a +0.8 ambient offset
+    convention (as in the reference's init_gamma=0.8)."""
+    nx, ny, nz = normals[..., 0], normals[..., 1], normals[..., 2]
+    a, c = _SH_A, _SH_C
+    basis = jnp.stack([
+        jnp.full_like(nx, float(a[0] * c[0])),
+        -float(a[1] * c[1]) * ny,
+        float(a[1] * c[1]) * nz,
+        -float(a[1] * c[1]) * nx,
+        float(a[2] * c[2]) * nx * ny,
+        -float(a[2] * c[2]) * ny * nz,
+        float(a[2] * c[2] / (2 * np.sqrt(3.0))) * (3 * nz ** 2 - 1),
+        -float(a[2] * c[2]) * nx * nz,
+        float(a[2] * c[2] / 2) * (nx ** 2 - ny ** 2),
+    ], axis=-1)                                        # [B, N, 9]
+    g = gamma.at[:, 0].add(0.8) if gamma.ndim == 3 else gamma
+    return jnp.einsum("bnk,bkc->bnc", basis, g)
+
+
+def splat_render(proj: jnp.ndarray, colors: jnp.ndarray, weights: jnp.ndarray,
+                 H: int, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable point-splat: bilinear scatter-add of per-vertex colors.
+
+    proj [B, N, 2] pixel coords (x, y), colors [B, N, 3], weights [B, N]
+    (visibility/facing weights) -> (image [B, H, W, 3], wsum [B, H, W]).
+    Static shapes, no sort: occlusion is approximated by the facing weights
+    (back-facing vertices contribute ~0) — adequate for the near-frontal
+    talking-head footage this tracker ingests, and self-consistent for the
+    optimization because the target fit uses the same forward model."""
+    B, N = proj.shape[:2]
+    x = proj[..., 0]
+    y = proj[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    img = jnp.zeros((B, H * W, 3))
+    wsum = jnp.zeros((B, H * W))
+    for dx, dy, w in ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
+                      (0, 1, (1 - fx) * fy), (1, 1, fx * fy)):
+        xi = jnp.clip(x0 + dx, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(y0 + dy, 0, H - 1).astype(jnp.int32)
+        idx = yi * W + xi                              # [B, N]
+        ww = w * weights
+        img = jax.vmap(lambda im, i, v: im.at[i].add(v))(
+            img, idx, colors * ww[..., None])
+        wsum = jax.vmap(lambda ws, i, v: ws.at[i].add(v))(wsum, idx, ww)
+    img = img / jnp.maximum(wsum, 1e-6)[..., None]
+    return img.reshape(B, H, W, 3), wsum.reshape(B, H, W)
+
+
+def render_photometric(model: Face3DMM, params: Dict, cxy, H: int, W: int,
+                       scale: float = 1.0, frames_idx: Optional[slice] = None):
+    """Forward photometric model: geometry -> normals -> SH shading ->
+    point-splat. Returns (image [F, H', W', 3], wsum) at resolution/scale."""
+    idb = jnp.broadcast_to(params["id"],
+                           (params["exp"].shape[0], params["id"].shape[-1]))
+    verts = model.geometry(idb, params["exp"])
+    rot = euler2rot(params["euler"])
+    verts_view = jnp.einsum("bij,bnj->bni", rot, verts) \
+        + params["trans"][:, None, :]
+    normals = vertex_normals(verts, model.tris)
+    normals_view = jnp.einsum("bij,bnj->bni", rot, normals)
+    # facing weight: camera looks along -Z from the origin (projection
+    # px = -f X/Z, util.py:73-83); front-facing surfaces have view-space
+    # normal z > 0
+    facing = jax.nn.relu(normals_view[..., 2])
+    albedo = model.albedo(params["tex"])               # [N, 3]
+    shade = sh_irradiance(normals_view, params["gamma"])
+    colors = jnp.clip(albedo[None] * shade, 0.0, 1.0)
+
+    X, Y, Z = verts_view[..., 0], verts_view[..., 1], verts_view[..., 2]
+    px = (-params["focal"] * X / Z + cxy[0]) * scale
+    py = (params["focal"] * Y / Z + cxy[1]) * scale
+    proj = jnp.stack([px, py], -1)
+    h, w = int(round(H * scale)), int(round(W * scale))
+    return splat_render(proj, colors, facing, h, w)
+
+
+def fit_light(model: Face3DMM, frames: jnp.ndarray, cxy, params: Dict,
+              scale: float = 0.25, tex_dim: Optional[int] = None,
+              iters: int = 300, lr: float = 0.05,
+              reg_tex: float = 0.05) -> Dict:
+    """Photometric light/texture fit (ajian_util.py:167-253): holding the
+    landmark-fit pose, optimize the shared texture code + per-frame SH gamma
+    against the downscaled video frames. frames: [F, h, w, 3] float in
+    [0, 1] ALREADY at the downscaled resolution (h = H*scale)."""
+    if not model.has_texture:
+        raise RuntimeError("photometric stage needs texture basis + topology "
+                           "(b_tex/mu_tex/tris in 3DMM_info.npy)")
+    F = params["exp"].shape[0]
+    td = tex_dim or model.base_tex.shape[0]
+    H = int(round(frames.shape[1] / scale))
+    W = int(round(frames.shape[2] / scale))
+    p = dict(params)
+    p.setdefault("tex", jnp.zeros((1, td)))
+    p.setdefault("gamma", jnp.zeros((F, 9, 3)))
+
+    tx = optax.adam(lr)
+    trainable = ("tex", "gamma")
+    opt_state = tx.init({k: p[k] for k in trainable})
+
+    def loss_fn(tp, frozen):
+        q = {**frozen, **tp}
+        img, wsum = render_photometric(model, q, cxy, H, W, scale)
+        cover = (wsum > 0.5).astype(jnp.float32)[..., None]
+        photo = jnp.sum(((img - frames) ** 2) * cover) / \
+            jnp.maximum(jnp.sum(cover), 1.0)
+        return photo + reg_tex * jnp.mean(tp["tex"] ** 2), photo
+
+    @jax.jit
+    def step(tp, frozen, opt_state):
+        (_, photo), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            tp, frozen)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(tp, updates), opt_state, photo
+
+    tp = {k: p[k] for k in trainable}
+    frozen = {k: v for k, v in p.items() if k not in trainable}
+    photo = jnp.float32(0.0)
+    for _ in range(iters):
+        tp, opt_state, photo = step(tp, frozen, opt_state)
+    p.update(tp)
+    p["photo_loss"] = float(photo)
+    return p
+
+
 # ---------- fit stages (ajian_util.py ports) ----------
 
 def _adam_fit(model: Face3DMM, lms, cxy, params: Dict, trainable, iters: int,
               lr: float, reg_id: float = 0.0, reg_exp: float = 0.0,
-              lap_w: float = 0.0, decay_at: Optional[int] = None):
+              lap_w: float = 0.0, decay_at: Optional[int] = None,
+              photo_frames: Optional[jnp.ndarray] = None,
+              photo_scale: float = 0.25, photo_w: float = 0.0):
     """Generic landmark-loss Adam loop; params: dict with id (shared [1,Did]),
-    exp/euler/trans per-frame. Only keys in `trainable` get gradients."""
+    exp/euler/trans per-frame. Only keys in `trainable` get gradients.
+    With photo_frames ([F, h, w, 3] downscaled video) and photo_w > 0 the
+    loss adds the point-splat photometric term (the fine stage's color loss,
+    ajian_util.py:255-488)."""
     tx = optax.adam(lr)
     opt_state = tx.init({k: params[k] for k in trainable})
     F = lms.shape[0]
+    if photo_frames is not None and photo_w > 0:
+        ph = int(round(photo_frames.shape[1] / photo_scale))
+        pw = int(round(photo_frames.shape[2] / photo_scale))
 
     def loss_fn(tp, frozen):
         p = {**frozen, **tp}
@@ -181,6 +401,12 @@ def _adam_fit(model: Face3DMM, lms, cxy, params: Dict, trainable, iters: int,
             total = total + lap_w * (lap_loss_1d(p["euler"])
                                      + lap_loss_1d(p["trans"])
                                      + lap_loss_1d(p["exp"]))
+        if photo_frames is not None and photo_w > 0:
+            img, wsum = render_photometric(model, p, cxy, ph, pw, photo_scale)
+            cover = (wsum > 0.5).astype(jnp.float32)[..., None]
+            photo = jnp.sum(((img - photo_frames) ** 2) * cover) / \
+                jnp.maximum(jnp.sum(cover), 1.0)
+            total = total + photo_w * photo
         return total, loss
 
     @jax.jit
@@ -249,33 +475,45 @@ def fit_coarse(model: Face3DMM, lms: jnp.ndarray, cxy, focal: float,
 def fit_fine(model: Face3DMM, lms: jnp.ndarray, cxy, params: Dict,
              iters: int = 1000, lap_w: float = 0.05,
              resume_path: Optional[str] = None,
-             save_every: int = 200) -> Dict:
-    """Fine fit with laplacian temporal smoothing (the landmark terms of
-    ajian_util.py:255-488; the photometric color term is gated — see module
-    docstring). Periodically checkpoints to `resume_path` (.npz) like the
-    reference's track_iter_params.pt."""
+             save_every: int = 200,
+             photo_frames: Optional[jnp.ndarray] = None,
+             photo_scale: float = 0.25,
+             photo_w: float = 0.0) -> Dict:
+    """Fine fit with laplacian temporal smoothing and (when photo_frames +
+    tex/gamma params are present) the photometric color term
+    (ajian_util.py:255-488). Periodically checkpoints to `resume_path`
+    (.npz) like the reference's track_iter_params.pt."""
     if resume_path and os.path.exists(resume_path):
         data = np.load(resume_path)
-        params = {k: jnp.asarray(data[k]) for k in
-                  ("id", "exp", "euler", "trans")} | {
-                      "focal": jnp.float32(data["focal"])}
+        restored = {k: jnp.asarray(data[k]) for k in data.files
+                    if k != "focal"}
+        params = {**params, **restored, "focal": jnp.float32(data["focal"])}
+    use_photo = (photo_frames is not None and photo_w > 0
+                 and "tex" in params and "gamma" in params)
+    trainable = ("exp", "euler", "trans") + (("gamma",) if use_photo else ())
     done = 0
     while done < iters:
         n = min(save_every, iters - done)
-        params, _ = _adam_fit(model, lms, cxy, params,
-                              ("exp", "euler", "trans"), n, 0.01,
-                              reg_exp=0.2, lap_w=lap_w)
+        params, _ = _adam_fit(
+            model, lms, cxy, params, trainable, n, 0.01,
+            reg_exp=0.2, lap_w=lap_w,
+            photo_frames=photo_frames if use_photo else None,
+            photo_scale=photo_scale, photo_w=photo_w if use_photo else 0.0)
         done += n
         if resume_path:
             np.savez(resume_path,
-                     **{k: np.asarray(v) for k, v in params.items()})
+                     **{k: np.asarray(v) for k, v in params.items()
+                        if k != "photo_loss"})
     return params
 
 
 def track_video(ori_dir: str, base_dir: str, modelpath: str,
-                sel_num: int = 25) -> Dict:
+                sel_num: int = 25, photometric: bool = True,
+                photo_scale: float = 0.25, photo_w: float = 0.5) -> Dict:
     """Full tracking driver (face_tracker.py:24-132): load .lms files,
-    focal search on a subset, coarse fit, fine fit, save track_params."""
+    focal search on a subset, coarse fit, photometric light/texture fit
+    (when the BFM texture assets are present), fine fit, save
+    track_params."""
     import glob
 
     lms_files = sorted(glob.glob(os.path.join(ori_dir, "*.lms")),
@@ -293,9 +531,22 @@ def track_video(ori_dir: str, base_dir: str, modelpath: str,
     sel = np.arange(0, F, max(1, F // sel_num))[:sel_num]
     focal, landis = fit_focal(model, lms[sel], cxy)
     params = fit_coarse(model, lms, cxy, focal)
+
+    photo_frames = None
+    if photometric and model.has_texture:
+        hw = (int(round(h * photo_scale)), int(round(w * photo_scale)))
+        frames = [cv2.resize(
+            cv2.cvtColor(cv2.imread(p.replace(".lms", ".jpg")),
+                         cv2.COLOR_BGR2RGB), (hw[1], hw[0]))
+            for p in lms_files]
+        photo_frames = jnp.asarray(np.stack(frames), jnp.float32) / 255.0
+        params = fit_light(model, photo_frames, cxy, params,
+                           scale=photo_scale)
     params = fit_fine(model, lms, cxy, params,
                       resume_path=os.path.join(base_dir,
-                                               "track_iter_params.npz"))
+                                               "track_iter_params.npz"),
+                      photo_frames=photo_frames, photo_scale=photo_scale,
+                      photo_w=photo_w)
 
     # trans is saved in tracker units; save_transforms divides by 10
     # (process.py:327) exactly as with the reference's track_params.pt

@@ -236,15 +236,20 @@ def extract_landmarks(ori_dir: str) -> None:
             np.savetxt(p.replace(".jpg", ".lms"), lms[-1], "%f")
 
 
-def face_tracking(ori_dir: str, base_dir: str) -> None:
-    """Task 8 (process.py:288-311 + face_tracking/): 3DMM head-pose fit.
-    Requires the Basel Face Model assets (gitignored even in the reference
-    snapshot) and a differentiable rasterizer; gated here."""
-    raise RuntimeError(
-        "3DMM face tracking requires the BFM 2009 model assets (not "
-        "redistributable; absent from the reference snapshot too). Produce "
-        f"track_params.pt elsewhere and place it in {base_dir}, then run "
-        "save_transforms.")
+def face_tracking(ori_dir: str, base_dir: str,
+                  modelpath: Optional[str] = None) -> None:
+    """Task 8 (process.py:288-311 + face_tracking/): 3DMM head-pose fit via
+    preprocess.face_tracking.track_video (all four stages: focal search,
+    coarse fit, photometric light/texture when the BFM textures are present,
+    fine fit). Gated ONLY on the BFM assets: point LZZX_BFM_DIR (or
+    `modelpath`) at a directory holding 3DMM_info.npy + keys_info.npy
+    (convert with scripts/convert_bfm.py; the BFM itself is not
+    redistributable and is gitignored in the reference snapshot too)."""
+    from .face_tracking import track_video
+
+    modelpath = modelpath or os.environ.get("LZZX_BFM_DIR") or os.path.join(
+        base_dir, "..", "3DMM")
+    track_video(ori_dir, base_dir, modelpath)
 
 
 def save_transforms(base_dir: str, ori_dir: str,
@@ -261,11 +266,16 @@ def save_transforms(base_dir: str, ori_dir: str,
     h, w = first.shape[:2]
 
     if track_params is None:
-        import torch
+        npz = os.path.join(base_dir, "track_params.npz")
+        if os.path.exists(npz):
+            d = np.load(npz)
+            track_params = {k: np.asarray(d[k]) for k in d.files}
+        else:
+            import torch
 
-        d = torch.load(os.path.join(base_dir, "track_params.pt"),
-                       map_location="cpu")
-        track_params = {k: np.asarray(v) for k, v in d.items()}
+            d = torch.load(os.path.join(base_dir, "track_params.pt"),
+                           map_location="cpu")
+            track_params = {k: np.asarray(v) for k, v in d.items()}
 
     focal = np.asarray(track_params["focal"]).reshape(-1)
     euler = np.asarray(track_params["euler"], np.float32)        # [N, 3]

@@ -18,9 +18,10 @@ import jax.numpy as jnp
 
 from ..ops.composite import composite_rays
 from ..ops.march import march_rays_uniform
-from ..ops.march2 import (column_intervals, compact_rays,
+from ..ops.march2 import (InferenceTables, build_inference_tables,
+                          column_intervals, compact_rays,
                           default_window_candidates, march_rays_window,
-                          ray_windows)
+                          march_rays_window_bitmask, ray_windows)
 from ..ops.ray import near_far_from_aabb
 from .state import OccupancyState, RenderSettings
 
@@ -106,6 +107,9 @@ def render_rays_compact(
     budget: int,
     window_candidates: Optional[int] = None,
     compute_uncertainty: bool = False,
+    tables: Optional[InferenceTables] = None,
+    use_bitmask: bool = True,
+    minimal: bool = False,
 ) -> Dict[str, Any]:
     """Fast inference path: per-(x,y)-column z-windows + static-budget ray
     compaction (ops/march2.py), then the same field-eval + composite as
@@ -113,7 +117,17 @@ def render_rays_compact(
 
     Rays beyond `budget` active rays in a frame are dropped to background
     (static-budget semantics, like the reference's point-budget trick).
-    Requires cascade == 1."""
+    Requires cascade == 1.
+
+    tables: prebuilt occupancy products (build_inference_tables) — pass them
+    when the grid is static (serving) to keep the per-frame program free of
+    the dense grid reductions; derived in-graph when None.
+    use_bitmask: march with one column-bitstring fetch per candidate group
+    (march_rays_window_bitmask, ~3.5x faster) instead of per-candidate
+    occupancy gathers.
+    minimal: emit only image/weights_sum/n_active — drops the depth and
+    ambient/uncertainty buffers and their scatters (the streaming server
+    needs pixels only)."""
     assert settings.cascade == 1, "compact path supports cascade == 1 only"
     N = rays_o.shape[0]
     S = settings.max_steps
@@ -123,21 +137,29 @@ def render_rays_compact(
     aabb = jnp.asarray(settings.aabb, jnp.float32)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, settings.min_near)
 
-    z_lo, z_hi = column_intervals(state.occ, settings.bound)
-    win = ray_windows(rays_o, rays_d, nears, fars, z_lo, z_hi,
+    if tables is None:
+        tables = build_inference_tables(state.occ, settings.bound)
+    win = ray_windows(rays_o, rays_d, nears, fars, tables.z_lo, tables.z_hi,
                       settings.bound, settings.dt)
     cs = compact_rays(win.active, budget)
 
-    ro = jnp.take(rays_o, cs.ray_idx, axis=0)
-    rd = jnp.take(rays_d, cs.ray_idx, axis=0)
-    t0 = jnp.take(win.t_start, cs.ray_idx)
-    t1 = jnp.take(win.t_end, cs.ray_idx)
-    bg_c = jnp.take(bg_color, cs.ray_idx, axis=0)
-    nears_c = jnp.take(nears, cs.ray_idx)
-    fars_c = jnp.take(fars, cs.ray_idx)
+    # ONE fused per-ray gather for all compacted ray attributes (one wide
+    # row per ray instead of 5-7 separate gathers)
+    cols = [rays_o, rays_d, win.t_start[:, None], win.t_end[:, None]]
+    if not minimal:
+        cols += [nears[:, None], fars[:, None], bg_color]
+    packed_rows = jnp.take(jnp.concatenate(cols, axis=-1), cs.ray_idx,
+                           axis=0)
+    ro, rd = packed_rows[:, 0:3], packed_rows[:, 3:6]
+    t0, t1 = packed_rows[:, 6], packed_rows[:, 7]
 
-    m = march_rays_window(ro, rd, t0, t1, cs.slot_valid, state.occ,
-                          settings.bound, settings.dt, K2, S)
+    if use_bitmask:
+        m = march_rays_window_bitmask(
+            ro, rd, t0, t1, cs.slot_valid, tables.col_bitmask,
+            settings.bound, settings.dt, K2, S)
+    else:
+        m = march_rays_window(ro, rd, t0, t1, cs.slot_valid, state.occ,
+                              settings.bound, settings.dt, K2, S)
 
     pts = m.xyzs.reshape(budget * S, 3)
     dirs = jnp.repeat(rd, S, axis=0)
@@ -152,13 +174,24 @@ def render_rays_compact(
     comp = composite_rays(sigmas, rgbs, amb_aud, amb_eye, unc,
                           m.deltas, m.ts, m.mask, T_thresh=settings.T_thresh)
 
+    tgt = jnp.where(cs.slot_valid, cs.ray_idx, N)
+
+    if minimal:
+        # scatter the premultiplied color + coverage, blend the background
+        # DENSELY on the full frame (saves the per-ray bg gather)
+        img_acc = jnp.zeros((N, 3)).at[tgt].set(comp.image, mode="drop")
+        wsum = jnp.zeros((N,)).at[tgt].set(comp.weights_sum, mode="drop")
+        image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
+        return {"image": image, "weights_sum": wsum, "n_active": cs.n_active}
+
+    nears_c, fars_c = packed_rows[:, 8], packed_rows[:, 9]
+    bg_c = packed_rows[:, 10:13]
     image_c = jnp.clip(
         comp.image + (1.0 - comp.weights_sum)[:, None] * bg_c, 0.0, 1.0)
     depth_c = jnp.clip(comp.depth - nears_c, 0.0) / jnp.maximum(
         fars_c - nears_c, 1e-6)
 
     # scatter back; inactive/overflow rays keep pure background
-    tgt = jnp.where(cs.slot_valid, cs.ray_idx, N)
     image = jnp.clip(bg_color, 0.0, 1.0).at[tgt].set(image_c, mode="drop")
 
     def scat(vals):

@@ -83,10 +83,19 @@ class InferenceSession:
         if self.cfg.use_ema:
             self.infer_params["params"] = self.state.ema_params
         # bake the triplane lookup tables once — params are static while
-        # serving, so the per-frame render skips the in-graph bake
+        # serving, so the per-frame render skips the in-graph bake. bf16
+        # tables keep the gather VMEM-resident (3x rate on v5e).
+        tdtype = jnp.bfloat16 if self.cfg.infer_table_bf16 else None
         self.packed = jax.jit(
-            lambda p: self.field.apply(p, method="bake_tables"))(
-                self.infer_params)
+            lambda p: self.field.apply(p, method="bake_tables",
+                                       dtype=tdtype))(self.infer_params)
+        # the occupancy grid is equally static: derive the window + bitmask
+        # tables once instead of in-graph per frame
+        from ..ops.march2 import build_inference_tables
+
+        self.tables = jax.jit(
+            lambda o: build_inference_tables(o, self.settings.bound))(
+                self.occ.occ)
         self._overflow_warned = False
         self._compile_render()
         self._built = True
@@ -114,7 +123,7 @@ class InferenceSession:
         field = self.field
 
         @jax.jit
-        def render(params, packed, occ, pose, enc_a, eye):
+        def render(params, packed, tables, occ, pose, enc_a, eye):
             rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
             c = (params["params"]["individual_codes"][0]
                  if cfg.ind_dim > 0 else None)
@@ -125,7 +134,8 @@ class InferenceSession:
             out = render_rays_compact(
                 apply_packed, params, isettings, occ,
                 rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye, bg,
-                budget=budget, window_candidates=k2)
+                budget=budget, window_candidates=k2, tables=tables,
+                minimal=True)
             img = out["image"].reshape(ds.H, ds.W, 3)
             return ((jnp.clip(img, 0, 1) * 255).astype(jnp.uint8),
                     out["n_active"])
@@ -196,7 +206,8 @@ class InferenceSession:
                                   jnp.float32)
             pose = jnp.asarray(ds.poses[fi])
             img_dev, n_act = self._render(self.infer_params, self.packed,
-                                          self.occ, pose, enc_a, eye)
+                                          self.tables, self.occ, pose,
+                                          enc_a, eye)
             # fetch the PREVIOUS frame while this one computes (async dispatch)
             if pending is not None:
                 consume(*pending)

@@ -238,6 +238,37 @@ def main():
     print(f"mask agreement: {(mm == mm3).mean():.4f} "
           f"(v2 kept {mm.mean():.4f}, v3 kept {mm3.mean():.4f})")
 
+    # ---- triplane table variants: pack_shift x dtype (3 planes like the
+    # real encoder; per-plane gather of budget*S points)
+    from lzzx_nerf_tpu.ops.packed_triplane import (DenseTriplaneSpec,
+                                                   bake_packed,
+                                                   init_dense_planes,
+                                                   packed_lookup)
+
+    M = budget * S
+    u = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (M, 2)),
+                    jnp.float32)
+
+    for shift in (1, 2):
+        spec = DenseTriplaneSpec(pack_shift=shift)
+        levels = init_dense_planes(jax.random.PRNGKey(0), spec)
+        for dt_ in ("f32", "bf16"):
+            dtype = jnp.float32 if dt_ == "f32" else jnp.bfloat16
+            tbl = jax.jit(lambda: bake_packed(levels, spec, dtype=dtype))()
+            tbls = [tbl, tbl, tbl]
+
+            @jax.jit
+            def tri(tbls, u):
+                # returned (not reduced away) so XLA cannot eliminate it
+                return sum(packed_lookup(t, u, spec) for t in tbls)
+
+            tri(tbls, u)
+            t = timeit(tri, tbls, u, reps=args.reps)
+            rows = tbl.shape[0]
+            mb = tbl.size * tbl.dtype.itemsize / 1e6
+            print(f"triplane shift={shift} {dt_:4s}: {t:8.2f} ms   "
+                  f"({rows} rows x {tbl.shape[1]}, {mb:.1f} MB/plane)")
+
 
 if __name__ == "__main__":
     main()

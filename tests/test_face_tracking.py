@@ -7,10 +7,11 @@ import pytest
 import jax.numpy as jnp
 
 from lzzx_nerf_tpu.preprocess.face_tracking import (
-    Face3DMM, euler2rot, fit_coarse, fit_fine, forward_transform)
+    Face3DMM, euler2rot, fit_coarse, fit_fine, fit_light, forward_transform,
+    render_photometric, sh_irradiance, splat_render, vertex_normals)
 
 
-def _synthetic_model(n_verts=120, id_dim=8, exp_dim=6, seed=0):
+def _synthetic_model(n_verts=120, id_dim=8, exp_dim=6, seed=0, texture=False):
     rng = np.random.default_rng(seed)
     # a face-ish blob of 3D points with small id/exp bases
     mu = rng.uniform(-1, 1, (n_verts, 3))
@@ -19,6 +20,36 @@ def _synthetic_model(n_verts=120, id_dim=8, exp_dim=6, seed=0):
     keyinds = rng.choice(n_verts, 68, replace=False)
     left = rng.choice(n_verts, (8, 5))
     right = rng.choice(n_verts, (8, 5))
+    kw = {}
+    if texture:
+        # a paraboloid "face" with consistent outward (+z-ish) normals so
+        # the facing weights of the splat renderer are well-defined
+        g = int(np.sqrt(n_verts))
+        n_verts = g * g
+        xs, ys = np.meshgrid(np.linspace(-1, 1, g), np.linspace(-1, 1, g),
+                             indexing="xy")
+        zs = 0.6 * (1 - 0.5 * (xs ** 2 + ys ** 2))
+        mu = np.stack([xs, ys, zs], -1).reshape(-1, 3)
+        mu -= mu.mean(0)
+        tris = []
+        for r in range(g - 1):
+            for c in range(g - 1):
+                a, b = r * g + c, r * g + c + 1
+                cc, dd = (r + 1) * g + c, (r + 1) * g + c + 1
+                tris += [[a, b, cc], [b, dd, cc]]  # +z-facing winding
+        keyinds = rng.choice(n_verts, 68, replace=False)
+        left = rng.choice(n_verts, (8, 5))
+        right = rng.choice(n_verts, (8, 5))
+        tex_dim = 4
+        kw = dict(
+            base_tex=jnp.asarray(
+                rng.standard_normal((tex_dim, n_verts * 3)) * 20.0,
+                jnp.float32),
+            mu_tex=jnp.asarray(
+                rng.uniform(80, 200, n_verts * 3), jnp.float32),
+            sig_tex=jnp.ones(tex_dim, jnp.float32),
+            tris=np.asarray(tris, np.int64),
+        )
     return Face3DMM(
         base_id=jnp.asarray(rng.standard_normal((id_dim, n_verts * 3)) * 1e-3,
                             jnp.float32),
@@ -28,6 +59,7 @@ def _synthetic_model(n_verts=120, id_dim=8, exp_dim=6, seed=0):
         sig_id=jnp.ones(id_dim, jnp.float32),
         sig_exp=jnp.ones(exp_dim, jnp.float32),
         keyinds=keyinds, left_contour=left, right_contour=right,
+        **kw,
     )
 
 
@@ -70,6 +102,89 @@ def test_coarse_fit_recovers_pose():
     # translation recovered to within ~2% of camera distance
     terr = float(jnp.abs(params["trans"] - true_trans).max())
     assert terr < 0.35, terr
+
+
+def _photo_params(model, F, rng):
+    return {
+        "id": jnp.zeros((1, 8)), "exp": jnp.zeros((F, 6)),
+        "euler": jnp.asarray(rng.uniform(-0.05, 0.05, (F, 3)), jnp.float32),
+        "trans": jnp.asarray(rng.uniform(-0.1, 0.1, (F, 3)) + [0, 0, -7.0],
+                             jnp.float32),
+        "focal": jnp.float32(900.0),
+        "tex": jnp.asarray(rng.uniform(-1, 1, (1, 4)), jnp.float32),
+        "gamma": jnp.asarray(rng.uniform(-0.1, 0.1, (F, 9, 3)), jnp.float32),
+    }
+
+
+def test_vertex_normals_unit_and_outward():
+    model = _synthetic_model(texture=True)
+    verts = model.geometry(jnp.zeros((1, 8)), jnp.zeros((1, 6)))
+    n = vertex_normals(verts, model.tris)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(n[0]), axis=-1),
+                               1.0, atol=1e-5)
+    # the paraboloid fixture's winding gives +z-dominant normals
+    assert float(jnp.mean(n[0, :, 2])) > 0.5
+
+
+def test_splat_render_covers_projection():
+    model = _synthetic_model(texture=True)
+    rng = np.random.default_rng(3)
+    p = _photo_params(model, 2, rng)
+    img, wsum = render_photometric(model, p, (64.0, 64.0), 128, 128,
+                                   scale=0.5)
+    img, wsum = np.asarray(img), np.asarray(wsum)
+    assert img.shape == (2, 64, 64, 3) and np.isfinite(img).all()
+    assert (img >= 0).all() and (img <= 1).all()
+    cover = (wsum > 0.5).mean()
+    assert 0.005 < cover < 0.9, cover
+
+
+def test_fit_light_recovers_photometric_target():
+    """Self-consistency: frames rendered with a known texture/light must be
+    reproduced by fit_light starting from zeros (photometric loss ~ 0)."""
+    model = _synthetic_model(texture=True)
+    F = 3
+    rng = np.random.default_rng(4)
+    true = _photo_params(model, F, rng)
+    frames, _ = render_photometric(model, true, (64.0, 64.0), 128, 128,
+                                   scale=0.5)
+    start = dict(true)
+    del start["tex"], start["gamma"]
+    out = fit_light(model, frames, (64.0, 64.0), start, scale=0.5,
+                    iters=150, lr=0.05, reg_tex=0.0)
+    assert out["photo_loss"] < 5e-4, out["photo_loss"]
+
+
+def test_fine_fit_with_photometric_term_improves_pose():
+    model = _synthetic_model(texture=True)
+    F = 2
+    rng = np.random.default_rng(5)
+    true = _photo_params(model, F, rng)
+    cxy = (64.0, 64.0)
+    frames, _ = render_photometric(model, true, cxy, 128, 128, scale=0.5)
+    lands = model.landmarks_3d(
+        jnp.broadcast_to(true["id"], (F, 8)), true["exp"], true["euler"],
+        true["trans"], true["focal"], cxy)
+    gt_lms = forward_transform(lands, true["euler"], true["trans"],
+                               true["focal"], cxy)[..., :2]
+    start = dict(true)
+    start["euler"] = true["euler"] + 0.02
+    start["trans"] = true["trans"] + jnp.asarray([0.05, -0.05, 0.0])
+
+    def reproj_err(p):
+        lp = model.landmarks_3d(
+            jnp.broadcast_to(p["id"], (F, 8)), p["exp"], p["euler"],
+            p["trans"], p["focal"], cxy)
+        pr = forward_transform(lp, p["euler"], p["trans"], p["focal"],
+                               cxy)[..., :2]
+        return float(jnp.sqrt(jnp.mean((pr[:, 17:] - gt_lms[:, 17:]) ** 2)))
+
+    err0 = reproj_err(start)
+    out = fit_fine(model, gt_lms, cxy, dict(start), iters=150, lap_w=0.0,
+                   photo_frames=frames, photo_scale=0.5, photo_w=0.5,
+                   save_every=150)
+    err1 = reproj_err(out)
+    assert err1 < err0, (err0, err1)
 
 
 def test_fine_fit_resume(tmp_path):

@@ -6,8 +6,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from lzzx_nerf_tpu.ops import march_rays_uniform, near_far_from_aabb
-from lzzx_nerf_tpu.ops.march2 import (column_intervals, compact_rays,
-                                      march_rays_window, ray_windows)
+from lzzx_nerf_tpu.ops.march2 import (build_inference_tables,
+                                      column_bitmasks, column_intervals,
+                                      compact_rays, march_rays_window,
+                                      march_rays_window_bitmask, ray_windows)
 
 GRID = 32
 BOUND = 1.0
@@ -120,6 +122,116 @@ def test_budget_overflow_drops_cleanly():
     np.testing.assert_array_equal(np.asarray(cs.ray_idx)[:len(first)], first)
 
 
+def _windows_and_slots(occ, o, d, budget=256):
+    nears, fars = near_far_from_aabb(o, d, AABB, 0.05)
+    z_lo, z_hi = column_intervals(occ, BOUND)
+    win = ray_windows(o, d, nears, fars, z_lo, z_hi, BOUND, DT)
+    cs = compact_rays(win.active, budget)
+    ro = jnp.take(o, cs.ray_idx, axis=0)
+    rd = jnp.take(d, cs.ray_idx, axis=0)
+    t0 = jnp.take(win.t_start, cs.ray_idx)
+    t1 = jnp.take(win.t_end, cs.ray_idx)
+    return ro, rd, t0, t1, cs
+
+
+def test_bitmask_march_axial_rays_exact():
+    """For purely axial rays ((x,y) constant along the ray) the bitmask
+    marcher must EXACTLY reproduce the per-candidate marcher run on the same
+    dilated occupancy — the group-midpoint column IS the ray's column."""
+    occ, o, _ = _scene()
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (o.shape[0], 1))
+    ro, rd, t0, t1, cs = _windows_and_slots(occ, o, d)
+
+    # dilate the grid exactly like column_bitmasks does (2 x 3x3 in-plane)
+    od = occ.astype(jnp.float32)[0]
+    for _ in range(2):
+        od = jax.lax.reduce_window(od, 0.0, jax.lax.max, (3, 3, 1), (1, 1, 1),
+                                   "SAME")
+    occ_dil = (od > 0)[None]
+
+    v2 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ_dil, BOUND, DT,
+                           40, 8)
+    masks = column_bitmasks(occ, dilate=2)
+    v3 = march_rays_window_bitmask(ro, rd, t0, t1, cs.slot_valid, masks,
+                                   BOUND, DT, 40, 8)
+    np.testing.assert_array_equal(np.asarray(v2.mask), np.asarray(v3.mask))
+    np.testing.assert_allclose(np.asarray(v2.ts), np.asarray(v3.ts),
+                               atol=1e-5)
+
+
+def test_bitmask_march_superset():
+    """With drifting (off-axis) rays and no S-budget crowding, every sample
+    the exact per-candidate marcher keeps must also be kept by the bitmask
+    marcher (its xy dilation absorbs in-group drift)."""
+    occ, o, d = _scene()
+    ro, rd, t0, t1, cs = _windows_and_slots(occ, o, d)
+    K2, S = 40, 40  # S == K2: nothing can be crowded out
+    v2 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, BOUND, DT,
+                           K2, S)
+    masks = column_bitmasks(occ, dilate=2)
+    v3 = march_rays_window_bitmask(ro, rd, t0, t1, cs.slot_valid, masks,
+                                   BOUND, DT, K2, S)
+    # compare as per-ray sets of lattice t values
+    for slot in np.where(np.asarray(cs.slot_valid))[0]:
+        t2 = set(np.round(np.asarray(v2.ts[slot])[np.asarray(v2.mask[slot])],
+                          4).tolist())
+        t3 = set(np.round(np.asarray(v3.ts[slot])[np.asarray(v3.mask[slot])],
+                          4).tolist())
+        assert t2 <= t3, f"slot {slot}: exact-march samples missing {t2 - t3}"
+
+
+def test_build_inference_tables_shapes():
+    occ, _, _ = _scene()
+    t = build_inference_tables(occ, BOUND)
+    H = GRID
+    assert t.z_lo.shape == (H, H) and t.z_hi.shape == (H, H)
+    assert t.col_bitmask.shape == (H * H, H // 32)
+    assert t.col_bitmask.dtype == jnp.uint32
+    # dilated bitmask covers at least the raw occupancy
+    raw = np.asarray(occ[0]).reshape(H * H, H)
+    words = np.asarray(t.col_bitmask)
+    for c in range(0, H * H, 37):
+        got = np.asarray([(words[c, z // 32] >> (z % 32)) & 1
+                          for z in range(H)], bool)
+        assert (got | ~raw[c]).all()
+
+
+def test_render_rays_compact_minimal_bitmask(tiny_field=None):
+    """minimal+bitmask output must blend exactly like the standard output
+    wherever the sample sets agree, and always stay finite/in-range."""
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays_compact)
+
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=8, dt=DT, num_cand=112)
+    state = init_occupancy_state(settings)
+    occ, o, d = _scene()
+    state = state._replace(occ=occ)
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    enc_a = jnp.zeros((1, 32))
+    bg = jnp.full((o.shape[0], 3), 0.7)
+
+    kw = dict(budget=256, window_candidates=40)
+    full = render_rays_compact(field.apply, params, settings, state, o, d,
+                               enc_a, jnp.zeros(4), jnp.asarray([0.25]), bg,
+                               use_bitmask=True, minimal=False, **kw)
+    mini = render_rays_compact(field.apply, params, settings, state, o, d,
+                               enc_a, jnp.zeros(4), jnp.asarray([0.25]), bg,
+                               use_bitmask=True, minimal=True, **kw)
+    assert set(mini.keys()) == {"image", "weights_sum", "n_active"}
+    np.testing.assert_allclose(np.asarray(mini["image"]),
+                               np.asarray(full["image"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mini["weights_sum"]),
+                               np.asarray(full["weights_sum"]), atol=2e-6)
+    img = np.asarray(mini["image"])
+    assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
+
+
 def test_render_rays_compact_end_to_end():
     from lzzx_nerf_tpu.models import NeRFField
     from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
@@ -141,9 +253,12 @@ def test_render_rays_compact_end_to_end():
 
     full = render_rays(field.apply, params, settings, state, o, d, enc_a,
                        jnp.zeros(4), jnp.asarray([0.25]), bg)
+    # use_bitmask=False: this test checks exact sample-set parity with the
+    # exhaustive path (the bitmask marcher is a conservative superset by
+    # design — covered by test_bitmask_march_* above)
     comp = render_rays_compact(field.apply, params, settings, state, o, d,
                                enc_a, jnp.zeros(4), jnp.asarray([0.25]), bg,
-                               budget=256)
+                               budget=256, use_bitmask=False)
     np.testing.assert_allclose(np.asarray(comp["image"]),
                                np.asarray(full["image"]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(comp["weights_sum"]),

@@ -135,3 +135,27 @@ def test_prebaked_tables_match_in_graph_path():
     a = field.apply(params, x, method="encode_x")
     b = field.apply(params, x, packed, method="encode_x")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_tables_close_and_pack_shift2():
+    """bf16 serving tables (VMEM-resident fast path) must track the fp32
+    bake within bf16 precision, for both pack layouts."""
+    from lzzx_nerf_tpu.ops.packed_triplane import (DenseTriplaneSpec,
+                                                   bake_packed,
+                                                   packed_lookup)
+
+    rng = jax.random.PRNGKey(3)
+    u = jax.random.uniform(jax.random.PRNGKey(4), (512, 2))
+    for shift in (1, 2):
+        spec = DenseTriplaneSpec(pack_shift=shift)
+        # O(1)-magnitude levels so the relative bf16 error is visible
+        levels = [jax.random.normal(k, (r + 1, r + 1, c))
+                  for k, r, c in zip(jax.random.split(rng, 4),
+                                     spec.resolutions, spec.channels)]
+        t32 = bake_packed(levels, spec, dtype=jnp.float32)
+        t16 = bake_packed(levels, spec, dtype=jnp.bfloat16)
+        assert t16.dtype == jnp.bfloat16
+        a = np.asarray(packed_lookup(t32, u, spec))
+        b = np.asarray(packed_lookup(t16, u, spec))
+        # bf16 mantissa: 8 bits -> ~0.4% relative
+        np.testing.assert_allclose(b, a, atol=2e-2, rtol=1e-2)
