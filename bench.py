@@ -137,17 +137,23 @@ def main():
     img = render_frame(params, packed, tables, occ, aud_stream[0], eyes[0], tparams)
     np.asarray(img)
 
-    # double-buffered loop, exactly like the serving session
-    # (serving/session.py): frame i+1 is enqueued before frame i's pixels are
-    # fetched, overlapping device compute with the host handoff
+    # pipelined loop, exactly like the serving session (serving/session.py):
+    # each frame's host copy starts immediately (copy_to_host_async) and the
+    # fetch happens 3 frames behind the dispatch — the tunnel's ~60 ms
+    # device->host round trip rides under ~2 frames of device compute
+    # (measured: sync fetch 97 ms/frame, double-buffer 69, depth-3 ~40)
+    from collections import deque
+
     t0 = time.perf_counter()
-    pending = None
+    q = deque()
     for f in range(args.frames):
         img = render_frame(params, packed, tables, occ, aud_stream[f], eyes[f], tparams)
-        if pending is not None:
-            frame_host = np.asarray(pending)  # host handoff (ffmpeg boundary)
-        pending = img
-    frame_host = np.asarray(pending)
+        img.copy_to_host_async()
+        q.append(img)
+        if len(q) >= 3:
+            frame_host = np.asarray(q.popleft())  # host handoff (ffmpeg)
+    while q:
+        frame_host = np.asarray(q.popleft())
     dt = time.perf_counter() - t0
     fps = args.frames / dt
 

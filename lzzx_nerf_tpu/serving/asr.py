@@ -189,3 +189,56 @@ def wav_chunk_stream(path: str, fps: int = 50) -> Iterator[np.ndarray]:
     chunk = SAMPLE_RATE // fps
     for i in range(0, len(data) - chunk + 1, chunk):
         yield np.asarray(data[i:i + chunk], np.float32)
+
+
+def mic_chunk_stream(fps: int = 50, device=None,
+                     stop_event=None) -> Iterator[np.ndarray]:
+    """Live-microphone chunk generator (reference create_pyaudio_stream,
+    asr.py:268-310): 16 kHz mono float chunks of 1/fps seconds, produced
+    until `stop_event` (a threading.Event) is set. Uses the sounddevice
+    package when present, else pyaudio; raises with instructions when
+    neither is installed (this build image ships no audio stack)."""
+    chunk = SAMPLE_RATE // fps
+    try:
+        import queue as _queue
+
+        import sounddevice as sd
+
+        q: "_queue.Queue[np.ndarray]" = _queue.Queue()
+
+        def cb(indata, frames, time_info, status):
+            q.put(np.asarray(indata[:, 0], np.float32).copy())
+
+        with sd.InputStream(samplerate=SAMPLE_RATE, channels=1,
+                            blocksize=chunk, dtype="float32", device=device,
+                            callback=cb):
+            while stop_event is None or not stop_event.is_set():
+                try:
+                    yield q.get(timeout=0.5)
+                except _queue.Empty:
+                    continue
+        return
+    except ImportError:
+        pass
+    try:
+        import pyaudio
+
+        pa = pyaudio.PyAudio()
+        stream = pa.open(format=pyaudio.paInt16, channels=1,
+                         rate=SAMPLE_RATE, input=True,
+                         frames_per_buffer=chunk,
+                         input_device_index=device)
+        try:
+            while stop_event is None or not stop_event.is_set():
+                raw = stream.read(chunk, exception_on_overflow=False)
+                yield np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        finally:
+            stream.stop_stream()
+            stream.close()
+            pa.terminate()
+        return
+    except ImportError:
+        raise RuntimeError(
+            "live-mic ASR needs the `sounddevice` or `pyaudio` package "
+            "(neither ships in this image); use wav_chunk_stream for file "
+            "input or install one of them") from None

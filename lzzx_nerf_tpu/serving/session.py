@@ -178,9 +178,15 @@ class InferenceSession:
 
         lam = 0.35  # smooth_lips EMA (renderer.py:456-460)
         t0 = time.time()
-        pending = None  # (index, device_image, device_n_active)
+        # depth-3 pipeline with async host copies: the tunnel's device->host
+        # round trip (~60 ms on the remote v5e) rides under ~2 frames of
+        # device compute; frames still reach the sink strictly in order
+        from collections import deque
 
-        def consume(pi, pdev, pact):
+        queue: deque = deque()
+
+        def consume():
+            pi, pdev, pact = queue.popleft()
             arr = np.asarray(pdev)
             if not self._overflow_warned and int(pact) > self.budget:
                 print(f"[WARN] frame {pi}: {int(pact)} active rays exceed "
@@ -208,12 +214,13 @@ class InferenceSession:
             img_dev, n_act = self._render(self.infer_params, self.packed,
                                           self.tables, self.occ, pose,
                                           enc_a, eye)
-            # fetch the PREVIOUS frame while this one computes (async dispatch)
-            if pending is not None:
-                consume(*pending)
-            pending = (i, img_dev, n_act)
-        if pending is not None:
-            consume(*pending)
+            if hasattr(img_dev, "copy_to_host_async"):
+                img_dev.copy_to_host_async()
+            queue.append((i, img_dev, n_act))
+            if len(queue) >= 3:
+                consume()
+        while queue:
+            consume()
         dt = time.time() - t0
         sink.close()
         return n, dt

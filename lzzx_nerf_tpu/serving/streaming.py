@@ -131,6 +131,71 @@ class FfmpegRtmpSink(_FfmpegSink):
         return args
 
 
+class FfmpegOverlaySink(_FfmpegSink):
+    """Composite the rendered crop back onto the original full-frame video
+    while streaming (reference ConsumeMQByWebRTC.py:87-133): the model was
+    trained on a crop of the source video (video_crop_parameter.json from
+    the crop tool, preprocess/crop.py), and the stream overlays the rendered
+    WxH frames onto `readySourceVideo.mp4` (the source with the crop region
+    neutralised) at (x, y), muxing the driving audio when given."""
+
+    def __init__(self, width: int, height: int, fps: int = 25,
+                 ready_video: str = "", crop_xy: tuple = (0, 0),
+                 audio_path: Optional[str] = None,
+                 rtmp_url: Optional[str] = None,
+                 local_mp4: Optional[str] = None):
+        super().__init__(width, height, fps)
+        if not (rtmp_url or local_mp4):
+            raise ValueError("overlay sink needs an rtmp_url and/or mp4 path")
+        self.ready_video = ready_video
+        self.crop_xy = crop_xy
+        self.audio_path = audio_path
+        self.rtmp_url = rtmp_url
+        self.local_mp4 = local_mp4
+
+    def _input_args(self):
+        args = ["-stream_loop", "-1", "-i", self.ready_video]
+        if self.audio_path:
+            args += ["-i", self.audio_path]
+        return args
+
+    def _output_args(self):
+        x, y = self.crop_xy
+        n_out = int(bool(self.rtmp_url)) + int(bool(self.local_mp4))
+        split = (f",split={n_out}[out1][out2]" if n_out == 2 else "[out1]")
+        # [1:v] = looped source video (base), [0:v] = rendered crop (top)
+        fc = f"[1:v][0:v]overlay={x}:{y}{split}"
+        args = ["-filter_complex", fc]
+        amap = ["-map", "2:a:0", "-c:a", "aac"] if self.audio_path else []
+        tag = 1
+        if self.rtmp_url:
+            args += (["-map", f"[out{tag}]"] + amap
+                     + ["-c:v", "libx264", "-preset", "ultrafast", "-tune",
+                        "zerolatency", "-pix_fmt", "yuv420p",
+                        "-g", str(self.fps), "-f", "flv", self.rtmp_url])
+            tag += 1
+        if self.local_mp4:
+            args += (["-map", f"[out{tag}]"] + amap
+                     + ["-c:v", "libx264", "-pix_fmt", "yuv420p",
+                        "-shortest", self.local_mp4])
+        return args
+
+    def command(self) -> list:
+        """The full ffmpeg argv (exposed for tests; open() runs exactly
+        this)."""
+        return [
+            "ffmpeg", "-y", "-loglevel", "error",
+            "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-s", f"{self.width}x{self.height}", "-r", str(self.fps),
+            "-i", "-",
+        ] + self._input_args() + self._output_args()
+
+    def open(self) -> None:
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError("ffmpeg not found on PATH")
+        self.proc = subprocess.Popen(self.command(), stdin=subprocess.PIPE)
+
+
 class WaitVideoLoop:
     """Loops a silent placeholder video to the RTMP endpoint between
     utterances (reference ConsumeMQByWebRTC.pushWaitVideoForModel,
@@ -163,7 +228,26 @@ class WaitVideoLoop:
 
 
 def make_sink(kind: str, width: int, height: int, fps: int = 25,
-              path: str = "", rtmp_url: str = "") -> FrameSink:
+              path: str = "", rtmp_url: str = "",
+              model_dir: str = "", audio_path: str = "") -> FrameSink:
+    """Sink factory. For rtmp/mp4 kinds, when `model_dir` carries the crop
+    tool's video_crop_parameter.json + readySourceVideo.mp4, the stream
+    composites the rendered crop onto the source video like the reference
+    (ConsumeMQByWebRTC.py:87-133); plain full-frame sinks otherwise."""
+    if kind in ("rtmp", "mp4") and model_dir:
+        import json as _json
+        import os as _os
+
+        crop_cfg = _os.path.join(model_dir, "video_crop_parameter.json")
+        ready = _os.path.join(model_dir, "readySourceVideo.mp4")
+        if _os.path.exists(crop_cfg) and _os.path.exists(ready):
+            param = _json.load(open(crop_cfg))
+            return FfmpegOverlaySink(
+                width, height, fps, ready_video=ready,
+                crop_xy=(int(param.get("x", 0)), int(param.get("y", 0))),
+                audio_path=audio_path or None,
+                rtmp_url=rtmp_url or None if kind == "rtmp" else None,
+                local_mp4=path or None)
     if kind == "rtmp":
         return FfmpegRtmpSink(rtmp_url, width, height, fps, local_mp4=path or None)
     if kind == "mp4":

@@ -43,6 +43,7 @@ class ServerState:
         self.session = InferenceSession(cfg)
         self.hubert = None          # lazy: needs pretrained weights
         self.model_name: Optional[str] = None
+        self.audio_path: str = ""   # last uploaded wav (muxed into streams)
         self.num_aud_frames = 0
         self.busy = False
         self.frames_done = 0
@@ -71,12 +72,31 @@ class ServerState:
                 "frames": self.session.ds.num_frames,
                 "resumed": bool(self.session.resumed)}
 
+    def list_models(self) -> dict:
+        """Identities under data_root that carry a trained dataset."""
+        models = []
+        if os.path.isdir(self.data_root):
+            for name in sorted(os.listdir(self.data_root)):
+                d = os.path.join(self.data_root, name)
+                if os.path.isdir(d) and os.path.exists(
+                        os.path.join(d, "transforms_train.json")):
+                    models.append(name)
+        return {"models": models, "current": self.model_name}
+
     def audio_upload_wav(self, wav_bytes: bytes) -> dict:
         if self.hubert is None:
             from ..audio import HubertFeatureExtractor
 
             self.hubert = HubertFeatureExtractor()
         from scipy.io import wavfile
+
+        # keep the wav on disk: the streaming sinks mux it as the audio
+        # track (reference webapi.py:132 ffmpeg 16k mono + mq audio input)
+        updir = os.path.join(self.trial_root, "uploads")
+        os.makedirs(updir, exist_ok=True)
+        self.audio_path = os.path.join(updir, "upload.wav")
+        with open(self.audio_path, "wb") as f:
+            f.write(wav_bytes)
 
         sr, data = wavfile.read(io.BytesIO(wav_bytes))
         if data.dtype.kind == "i":
@@ -115,12 +135,17 @@ class ServerState:
             self.busy = True
         if self.wait_loop:
             self.wait_loop.stop()
+        self.frames_done = 0
 
         def work():
             try:
                 ds = self.session.ds
+                model_dir = (os.path.join(self.data_root, self.model_name)
+                             if self.model_name else "")
                 sink = make_sink(self.sink_kind, ds.W, ds.H, fps=25,
-                                 path=self.out_path, rtmp_url=self.rtmp_url)
+                                 path=self.out_path, rtmp_url=self.rtmp_url,
+                                 model_dir=model_dir,
+                                 audio_path=self.audio_path)
 
                 def on_frame(i, arr):
                     self.frames_done = i + 1
@@ -141,6 +166,9 @@ class ServerState:
         return {"model": self.model_name, "busy": self.busy,
                 "frames_done": self.frames_done,
                 "aud_frames": self.num_aud_frames,
+                "result_ready": bool(self.out_path
+                                     and os.path.exists(self.out_path)
+                                     and not self.busy),
                 "error": self.last_error}
 
 
@@ -164,6 +192,18 @@ def make_handler(state: ServerState):
                     self._send(200, state.start_inference())
                 elif self.path.startswith("/api/status"):
                     self._send(200, state.status())
+                elif self.path.startswith("/api/models"):
+                    self._send(200, state.list_models())
+                elif self.path.startswith("/result.mp4"):
+                    if not (state.out_path
+                            and os.path.exists(state.out_path)):
+                        return self._send(404, {"error": "no result yet"})
+                    data = open(state.out_path, "rb").read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "video/mp4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 elif self.path == "/" or self.path.startswith("/player"):
                     page = os.path.join(os.path.dirname(__file__), "static",
                                         "player.html")

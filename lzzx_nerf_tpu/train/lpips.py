@@ -61,10 +61,28 @@ def load_weights(path: str) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(data[k]) for k in data.files}
 
 
+DEFAULT_WEIGHTS = os.path.expanduser("~/.cache/lzzx/lpips_alex.npz")
+
+
+def default_weights_path() -> Optional[str]:
+    """First existing candidate: $LZZX_LPIPS_NPZ, then the cache default.
+    Export with scripts/export_lpips.py on any machine with the `lpips`
+    package and copy the npz here."""
+    for cand in (os.environ.get("LZZX_LPIPS_NPZ"), DEFAULT_WEIGHTS):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
 def get_params(path: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+    path = path or default_weights_path()
     if path and os.path.exists(path):
         return load_weights(path)
     return random_params()
+
+
+def is_pretrained(path: Optional[str] = None) -> bool:
+    return bool((path and os.path.exists(path)) or default_weights_path())
 
 
 def _features(params, x):

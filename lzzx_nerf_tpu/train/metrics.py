@@ -42,7 +42,7 @@ class LPIPSMeter:
 
     def __init__(self, weights_path: Optional[str] = None):
         self.params = lpips_mod.get_params(weights_path)
-        self.pretrained = bool(weights_path)
+        self.pretrained = lpips_mod.is_pretrained(weights_path)
         self.clear()
 
     def clear(self):

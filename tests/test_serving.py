@@ -91,3 +91,125 @@ def test_mel_chunks_at_25fps():
     mel = melspectrogram(wav)
     assert mel.shape[0] == 80
     assert mel.min() >= -4.0 and mel.max() <= 4.0
+
+
+def test_overlay_sink_command(tmp_path):
+    """The crop-overlay composite must mirror the reference's stream graph
+    (ConsumeMQByWebRTC.py:87-133): source video as base, rendered crop
+    overlaid at (x, y), audio muxed, rtmp + local mp4 outputs split."""
+    from lzzx_nerf_tpu.serving.streaming import FfmpegOverlaySink
+
+    s = FfmpegOverlaySink(512, 512, 25, ready_video="ready.mp4",
+                          crop_xy=(120, 80), audio_path="a.wav",
+                          rtmp_url="rtmp://h/live/x", local_mp4="out.mp4")
+    cmd = s.command()
+    fc = cmd[cmd.index("-filter_complex") + 1]
+    assert "[1:v][0:v]overlay=120:80" in fc     # source base, render on top
+    assert "split=2" in fc
+    assert "rtmp://h/live/x" in cmd and "out.mp4" in cmd
+    assert cmd.count("-map") == 4               # 2 video outs + 2 audio maps
+    assert "a.wav" in cmd
+
+    single = FfmpegOverlaySink(512, 512, 25, ready_video="r.mp4",
+                               crop_xy=(0, 0), local_mp4="only.mp4")
+    fc = single.command()[single.command().index("-filter_complex") + 1]
+    assert "split" not in fc and "overlay=0:0" in fc
+
+
+def test_make_sink_picks_overlay_when_crop_params_exist(tmp_path):
+    import json as js
+
+    from lzzx_nerf_tpu.serving.streaming import (FfmpegMp4Sink,
+                                                 FfmpegOverlaySink, make_sink)
+
+    model = tmp_path / "model"
+    model.mkdir()
+    # without crop assets: plain mp4 sink
+    s = make_sink("mp4", 512, 512, path=str(tmp_path / "o.mp4"),
+                  model_dir=str(model))
+    assert isinstance(s, FfmpegMp4Sink)
+    # with crop assets: overlay composite
+    js.dump({"x": 7, "y": 9, "w": 512, "h": 512},
+            open(model / "video_crop_parameter.json", "w"))
+    (model / "readySourceVideo.mp4").write_bytes(b"x")
+    s = make_sink("mp4", 512, 512, path=str(tmp_path / "o.mp4"),
+                  model_dir=str(model), audio_path="a.wav")
+    assert isinstance(s, FfmpegOverlaySink)
+    assert s.crop_xy == (7, 9)
+
+
+def test_crop_tool_commands(tmp_path):
+    from lzzx_nerf_tpu.preprocess.crop import crop_commands, run_crop_tool
+
+    cmds = crop_commands("/d/v.mp4", 10, 20, 300, 400, bc="/d/bc.jpg")
+    assert "crop=300:400:10:20" in " ".join(cmds["train"])
+    assert "overlay=10:20" in " ".join(cmds["ready"])
+    assert any(p.endswith("readySourceVideo.mp4") for p in cmds["ready"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_crop_tool("/d/v.mp4", 0, 0, 301, 400)  # odd width
+
+
+def test_webapi_models_route_and_traversal(tmp_path):
+    import json as js
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.webapi import serve
+
+    data = tmp_path / "data"
+    (data / "alice").mkdir(parents=True)
+    (data / "alice" / "transforms_train.json").write_text("{}")
+    (data / "not_a_model").mkdir()
+
+    httpd = serve(Config(), host="127.0.0.1", port=0,
+                  data_root=str(data), trial_root=str(tmp_path))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/models") as r:
+            got = js.loads(r.read())
+        assert got == {"models": ["alice"], "current": None}
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/model_select",
+            js.dumps({"model": "../alice"}).encode(),
+            {"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("traversal accepted")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/result.mp4") as r:
+            raise AssertionError("missing result served")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_mic_chunk_stream_gated():
+    """Without an audio stack the mic source must raise with instructions,
+    not crash obscurely."""
+    import pytest as _pytest
+
+    from lzzx_nerf_tpu.serving.asr import mic_chunk_stream
+
+    try:
+        import sounddevice  # noqa: F401
+        _pytest.skip("sounddevice installed — gating not applicable")
+    except ImportError:
+        pass
+    try:
+        import pyaudio  # noqa: F401
+        _pytest.skip("pyaudio installed — gating not applicable")
+    except ImportError:
+        pass
+    with _pytest.raises(RuntimeError, match="sounddevice"):
+        next(mic_chunk_stream())
