@@ -86,8 +86,6 @@ def main():
     bg = jnp.ones((res * res, 3))
 
     torso = tparams = None
-    if args.torso:
-        torso, tparams = _build_torso(bf16=args.bf16)
     bg_coords = get_bg_coords(res, res)[0]
 
     # bake lookup tables once (params + occupancy are static while serving)
@@ -96,9 +94,16 @@ def main():
         lambda p: field.apply(p, method="bake_tables", dtype=tdtype))(params)
     tables = jax.jit(
         lambda o: build_inference_tables(o, settings.bound))(occ.occ)
+    torso_packed = None
+    if args.torso:
+        torso, tparams = _build_torso(bf16=args.bf16)
+        torso_packed = jax.jit(
+            lambda p: torso.apply(p, method="bake_table", dtype=tdtype))(
+                tparams)
 
     @jax.jit
-    def render_frame(params, packed, tables, occ, auds, eye, tparams):
+    def render_frame(params, packed, tables, occ, auds, eye, tparams,
+                     torso_packed):
         enc_a = field.apply(params, auds, method="encode_audio")
         c = params["params"]["individual_codes"][0]
 
@@ -108,7 +113,11 @@ def main():
         frame_bg = bg
         if torso is not None:
             ct = tparams["params"]["individual_codes_torso"][0]
-            tres = run_torso(torso.apply, tparams, settings, occ,
+
+            def torso_packed_apply(p, *a, **kw):
+                return torso.apply(p, *a, packed=torso_packed, **kw)
+
+            tres = run_torso(torso_packed_apply, tparams, settings, occ,
                              bg_coords, pose[0], ct, bg)
             frame_bg = tres["bg_color"]
 
@@ -134,7 +143,7 @@ def main():
             for i in range(args.frames)]
 
     # warmup/compile
-    img = render_frame(params, packed, tables, occ, aud_stream[0], eyes[0], tparams)
+    img = render_frame(params, packed, tables, occ, aud_stream[0], eyes[0], tparams, torso_packed)
     np.asarray(img)
 
     # pipelined loop, exactly like the serving session (serving/session.py):
@@ -147,7 +156,7 @@ def main():
     t0 = time.perf_counter()
     q = deque()
     for f in range(args.frames):
-        img = render_frame(params, packed, tables, occ, aud_stream[f], eyes[f], tparams)
+        img = render_frame(params, packed, tables, occ, aud_stream[f], eyes[f], tparams, torso_packed)
         img.copy_to_host_async()
         q.append(img)
         if len(q) >= 3:

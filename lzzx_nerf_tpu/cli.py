@@ -194,9 +194,11 @@ def run_train(cfg) -> None:
             state, metrics = fn(state, occ, batch, sub)
             it += 1
             if it % 100 == 0:
-                trainer.log(f"step {it}: loss={float(metrics['loss']):.5f} "
-                            f"mse={float(metrics['mse']):.5f} "
+                loss_v, mse_v = float(metrics["loss"]), float(metrics["mse"])
+                trainer.log(f"step {it}: loss={loss_v:.5f} mse={mse_v:.5f} "
                             f"({it / (time.time() - t_start):.2f} it/s)")
+                trainer.scalar("train/loss", loss_v, it)
+                trainer.scalar("train/mse", mse_v, it)
         trainer.save_checkpoint(state, occ)
         if epoch % eval_interval == 0:
             psnr_meter.clear(); lpips_meter.clear()
@@ -212,6 +214,8 @@ def run_train(cfg) -> None:
                                          f"ep{epoch:04d}_{vi}.png"))
             trainer.log(f"[eval] epoch {epoch}: {psnr_meter.report()} | "
                         f"{lpips_meter.report()}")
+            trainer.scalar("eval/psnr", psnr_meter.measure(), it)
+            trainer.scalar("eval/lpips", lpips_meter.measure(), it)
     trainer.save_checkpoint(state, occ)
     trainer.log("[INFO] training done")
 

@@ -244,12 +244,22 @@ def torso_tiled_spec() -> GridSpec:
 
 
 class TorsoField(nn.Module):
-    """2-D deformation-field torso model (reference network.py:156-205)."""
+    """2-D deformation-field torso model (reference network.py:156-205).
+
+    encoder="dense" (TPU flagship): the reference's 16-level x 2ch TILED
+    hash grid needs 64 gather rows per point — 16.8M rows for a dense 512²
+    torso pass, ~83 ms/frame on v5e (measured; it alone broke the 25 FPS
+    budget). The corner-packed nested-octave pyramid (ops/packed_triplane,
+    one gather row per point, bf16 table VMEM-resident) models the same
+    smooth 2-D color/deform field at 512-cell resolution for ~0.5 ms.
+    encoder="tiled" keeps the reference-exact grid (golden parity tests).
+    """
 
     torso_shrink: float = 0.8
     ind_dim_torso: int = 8
     ind_num: int = 10_000
     dtype: jnp.dtype = jnp.float32
+    encoder: str = "dense"
 
     def setup(self):
         self.anchor_points = self.param(
@@ -260,16 +270,32 @@ class TorsoField(nn.Module):
                  [0.1, -0.1, 0.1, 1.0]], jnp.float32),
             (3, 4),
         )
-        spec = torso_tiled_spec()
-        self.spec = spec
-        self.torso_encoder = self.param(
-            "torso_encoder",
-            lambda k, s: jax.random.uniform(k, s, minval=-1e-4, maxval=1e-4),
-            (spec.total_params, spec.level_dim),
-        )
+
+        def table_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype,
+                                      minval=-1e-4, maxval=1e-4)
+
+        if self.encoder == "dense":
+            dspec = DenseTriplaneSpec()
+            self.dense_spec = dspec
+            self.torso_planes = [
+                self.param(f"torso_encoder_l{l}", table_init, (r + 1, r + 1, c))
+                for l, (r, c) in enumerate(
+                    zip(dspec.resolutions, dspec.channels))
+            ]
+            feat_dim = dspec.output_dim  # 12
+        else:
+            spec = torso_tiled_spec()
+            self.spec = spec
+            self.torso_encoder = self.param(
+                "torso_encoder", table_init,
+                (spec.total_params, spec.level_dim),
+            )
+            feat_dim = spec.output_dim  # 32
+
         # in dims: freq(2, deg8)=34 + freq(6, deg3)=42 + ind(8) = 84
         self.torso_deform_net = MLP(2, 32, 3, dtype=self.dtype)
-        # 32 (tiled grid) + 84 = 116
+        # feat_dim (grid) + 84
         self.torso_net = MLP(4, 32, 3, dtype=self.dtype)
         if self.ind_dim_torso > 0:
             self.individual_codes_torso = self.param(
@@ -278,8 +304,19 @@ class TorsoField(nn.Module):
                 (self.ind_num, self.ind_dim_torso),
             )
 
+    def bake_table(self, dtype=None) -> Optional[jnp.ndarray]:
+        """Corner-packed lookup table for serving (params static);
+        None for the tiled encoder."""
+        if self.encoder != "dense":
+            return None
+        from ..ops.packed_triplane import bake_packed
+
+        return bake_packed(self.torso_planes, self.dense_spec,
+                           dtype=dtype or jnp.float32)
+
     def __call__(self, x: jnp.ndarray, pose: jnp.ndarray,
-                 c: Optional[jnp.ndarray] = None):
+                 c: Optional[jnp.ndarray] = None,
+                 packed: Optional[jnp.ndarray] = None):
         """x: [N, 2] in [-1,1] screen coords; pose: [4, 4] head c2w.
         Returns (alpha [N,1], color [N,3], dx [N,2]);
         reference network.py:170-205."""
@@ -302,7 +339,12 @@ class TorsoField(nn.Module):
         dx = self.torso_deform_net(h)                           # [N, 2]
         xd = jnp.clip(x + dx, -1.0, 1.0)
 
-        feat = grid_encode(xd, self.torso_encoder, self.spec, bound=1.0)
+        if self.encoder == "dense":
+            feat = dense_triplane_encode(self.torso_planes, xd,
+                                         self.dense_spec, bound=1.0,
+                                         packed=packed)
+        else:
+            feat = grid_encode(xd, self.torso_encoder, self.spec, bound=1.0)
         h = jnp.concatenate([feat, h], axis=-1)
         h = self.torso_net(h).astype(jnp.float32)
 

@@ -70,18 +70,15 @@ def extract_images(video_path: str, ori_dir: str, fps: int = 25) -> None:
             "-start_number", "0", os.path.join(ori_dir, "%d.jpg"))
 
 
-def extract_semantics(ori_dir: str, parsing_dir: str) -> None:
-    """Task 4 (process.py:53-76): head/neck/torso/background segmentation.
-    Needs a pretrained parser (the reference uses ModelScope M2FP)."""
-    try:
-        from modelscope.pipelines import pipeline  # noqa
-    except ImportError:
-        raise RuntimeError(
-            "no semantic parsing model available (reference uses ModelScope "
-            "M2FP); run parsing elsewhere and drop color-coded PNGs into "
-            f"{parsing_dir} (head=blue-ch255, neck=green, torso=red-ch255, "
-            "bg=white, cv2/BGR channel convention)")
-    raise NotImplementedError("modelscope path not wired in this build")
+def extract_semantics(ori_dir: str, parsing_dir: str, parser=None) -> None:
+    """Task 4 (process.py:53-76): head/neck/torso/background segmentation
+    via preprocess.parsing (TorchScript BiSeNet-style parser through
+    LZZX_PARSER_TS, or ModelScope M2FP — the reference's backend — when
+    installed). Color contract documented in the module docstring."""
+    from .parsing import run_parsing
+
+    n = run_parsing(ori_dir, parsing_dir, parser=parser)
+    print(f"[INFO] parsed {n} frames -> {parsing_dir}")
 
 
 def extract_background(base_dir: str, ori_dir: str, every: int = 20,

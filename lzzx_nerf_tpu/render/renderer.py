@@ -208,6 +208,111 @@ def render_rays_compact(
     }
 
 
+def render_rays_compact_blocks(
+    field_apply,
+    params,
+    settings: RenderSettings,
+    state: OccupancyState,
+    rays_o_origin: jnp.ndarray,     # [3] camera origin (shared by all rays)
+    rays_d: jnp.ndarray,            # [H*W, 3] row-major unit dirs
+    H: int,
+    W: int,
+    enc_a: jnp.ndarray,
+    ind_code: Optional[jnp.ndarray],
+    eye: Optional[jnp.ndarray],
+    bg_color: jnp.ndarray,          # [H*W, 3]
+    budget: int,                    # in RAYS (multiple of 4)
+    window_candidates: Optional[int] = None,
+    tables: Optional[InferenceTables] = None,
+) -> Dict[str, Any]:
+    """Serving fast path with 2x2-pixel-block window analysis/compaction.
+
+    The window/active/compaction stages run once per 2x2 pixel BLOCK instead
+    of per ray — every N-sized gather/cumsum/scatter in that phase drops 4x
+    (measured: the windows+compact block was ~40% of the 512² frame). The
+    2x2 rays of a block share (x, y) columns to within ~0.1 grid cell, so
+    the block-centre window is as conservative as the per-ray one; per-ray
+    t-lattices stay anchored at each ray's own near (reference semantics).
+    March/field-eval/composite still run per ray. Minimal outputs only
+    (image + weights_sum + n_active; n_active counts rays = 4x blocks)."""
+    assert settings.cascade == 1, "compact path supports cascade == 1 only"
+    assert H % 2 == 0 and W % 2 == 0 and budget % 4 == 0
+    N = H * W
+    NB = N // 4
+    S = settings.max_steps
+    K2 = window_candidates or default_window_candidates(
+        settings.bound, settings.grid_size, settings.dt)
+    budget_b = budget // 4
+    aabb = jnp.asarray(settings.aabb, jnp.float32)
+
+    if tables is None:
+        tables = build_inference_tables(state.occ, settings.bound)
+
+    # block view: [H/2, 2, W/2, 2, 3] -> [NB, 4(dy,dx), 3]
+    d_blocks = rays_d.reshape(H // 2, 2, W // 2, 2, 3).transpose(
+        0, 2, 1, 3, 4).reshape(NB, 4, 3)
+    d_center = d_blocks.mean(axis=1)
+    d_center = d_center / jnp.linalg.norm(d_center, axis=-1, keepdims=True)
+    o_center = jnp.broadcast_to(rays_o_origin, d_center.shape)
+
+    nears_b, fars_b = near_far_from_aabb(o_center, d_center, aabb,
+                                         settings.min_near)
+    # one extra pad step absorbs the <=0.3-cell intra-block drift
+    win = ray_windows(o_center, d_center, nears_b, fars_b,
+                      tables.z_lo, tables.z_hi, settings.bound, settings.dt,
+                      pad_steps=3.0)
+    cs = compact_rays(win.active, budget_b)
+
+    cols = jnp.concatenate(
+        [d_blocks.reshape(NB, 12), win.t_start[:, None], win.t_end[:, None]],
+        axis=-1)
+    rows = jnp.take(cols, cs.ray_idx, axis=0)            # [Bb, 14]
+    rd = rows[:, :12].reshape(budget_b * 4, 3)
+    t0b = jnp.repeat(rows[:, 12], 4)
+    t1b = jnp.repeat(rows[:, 13], 4)
+    ro = jnp.broadcast_to(rays_o_origin, rd.shape)
+    slot_valid = jnp.repeat(cs.slot_valid, 4)
+
+    # per-ray window: re-anchor the block window on each ray's own
+    # near-based dt lattice (march_rays_window's snap, ray_windows:127-134)
+    nears_r, fars_r = near_far_from_aabb(ro, rd, aabb, settings.min_near)
+    t_start = jnp.maximum(nears_r, t0b)
+    k0 = jnp.ceil(jnp.maximum(t_start - nears_r, 0.0) / settings.dt - 1e-4)
+    t_start = nears_r + k0 * settings.dt
+    t_end = jnp.minimum(fars_r, t1b)
+
+    m = march_rays_window_bitmask(
+        ro, rd, t_start, t_end, slot_valid, tables.col_bitmask,
+        settings.bound, settings.dt, K2, S)
+
+    B = budget_b * 4
+    pts = m.xyzs.reshape(B * S, 3)
+    dirs = jnp.repeat(rd, S, axis=0)
+    out = field_apply(params, pts, dirs, enc_a, ind_code, eye,
+                      compute_uncertainty=False)
+    sigmas = (out.sigma * settings.density_scale).reshape(B, S)
+    rgbs = out.color.reshape(B, S, 3)
+    amb_aud = jnp.abs(out.ambient_aud).reshape(B, S)
+    amb_eye = jnp.abs(out.ambient_eye).reshape(B, S)
+    unc = out.uncertainty.reshape(B, S)
+    comp = composite_rays(sigmas, rgbs, amb_aud, amb_eye, unc,
+                          m.deltas, m.ts, m.mask, T_thresh=settings.T_thresh)
+
+    # scatter per BLOCK: 16-wide rows (4 rays x (rgb + wsum))
+    tgt = jnp.where(cs.slot_valid, cs.ray_idx, NB)
+    payload = jnp.concatenate(
+        [comp.image.reshape(budget_b, 12),
+         comp.weights_sum.reshape(budget_b, 4)], axis=-1)
+    acc = jnp.zeros((NB, 16)).at[tgt].set(payload, mode="drop")
+    img_acc = acc[:, :12].reshape(H // 2, W // 2, 2, 2, 3).transpose(
+        0, 2, 1, 3, 4).reshape(N, 3)
+    wsum = acc[:, 12:16].reshape(H // 2, W // 2, 2, 2).transpose(
+        0, 2, 1, 3).reshape(N)
+    image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
+    return {"image": image, "weights_sum": wsum,
+            "n_active": cs.n_active * 4}
+
+
 def _bilinear_sample_2d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """align_corners=True bilinear sample of grid [H, W] at coords [N, 2] in
     [-1, 1]; coords[:, 0] indexes width, coords[:, 1] height — matching

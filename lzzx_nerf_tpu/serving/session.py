@@ -96,6 +96,33 @@ class InferenceSession:
         self.tables = jax.jit(
             lambda o: build_inference_tables(o, self.settings.bound))(
                 self.occ.occ)
+        # torso stage: composite under the head every frame when the torso
+        # workspace has a checkpoint (reference renderer.py:553-561)
+        self.torso = self.torso_params = self.torso_packed = None
+        torso_ws = workspace.rstrip("/") + "_torso"
+        if os.path.isdir(os.path.join(torso_ws, "checkpoints")):
+            from ..models import TorsoField
+
+            torso = TorsoField(torso_shrink=self.cfg.torso_shrink,
+                               ind_dim_torso=self.cfg.ind_dim_torso,
+                               ind_num=self.cfg.ind_num)
+            tp = torso.init(jax.random.PRNGKey(0), jnp.zeros((4, 2)),
+                            jnp.eye(4),
+                            jnp.zeros(max(self.cfg.ind_dim_torso, 1)))
+            t_state = TrainState.create(tp, tx)
+            t_state, occ_t, t_ok = Trainer(torso_ws).load_checkpoint(
+                t_state, self.occ)
+            if t_ok:
+                self.torso = torso
+                self.torso_params = dict(t_state.params)
+                if self.cfg.use_ema:
+                    self.torso_params["params"] = t_state.ema_params
+                self.torso_packed = jax.jit(
+                    lambda p: torso.apply(p, method="bake_table",
+                                          dtype=tdtype))(self.torso_params)
+                self.occ = self.occ._replace(
+                    density_grid_torso=occ_t.density_grid_torso,
+                    mean_density_torso=occ_t.mean_density_torso)
         self._overflow_warned = False
         self._compile_render()
         self._built = True
@@ -121,9 +148,16 @@ class InferenceSession:
         k2 = cfg.infer_window_candidates or None
         bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
         field = self.field
+        torso = self.torso
+        if torso is not None:
+            from ..render import run_torso
+            from ..utils.rays import get_bg_coords
+
+            bg_coords = get_bg_coords(ds.H, ds.W)[0]
 
         @jax.jit
-        def render(params, packed, tables, occ, pose, enc_a, eye):
+        def render(params, packed, tables, occ, pose, enc_a, eye,
+                   torso_params, torso_packed):
             rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
             c = (params["params"]["individual_codes"][0]
                  if cfg.ind_dim > 0 else None)
@@ -131,11 +165,23 @@ class InferenceSession:
             def apply_packed(p, *a, **kw):
                 return field.apply(p, *a, packed=packed, **kw)
 
+            frame_bg = bg
+            if torso is not None:
+                ct = (torso_params["params"]["individual_codes_torso"][0]
+                      if cfg.ind_dim_torso > 0 else None)
+
+                def torso_apply(p, *a, **kw):
+                    return torso.apply(p, *a, packed=torso_packed, **kw)
+
+                tres = run_torso(torso_apply, torso_params, self.settings,
+                                 occ, bg_coords, pose, ct, bg)
+                frame_bg = tres["bg_color"]
+
             out = render_rays_compact(
                 apply_packed, params, isettings, occ,
-                rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye, bg,
-                budget=budget, window_candidates=k2, tables=tables,
-                minimal=True)
+                rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye,
+                frame_bg, budget=budget, window_candidates=k2,
+                tables=tables, minimal=True)
             img = out["image"].reshape(ds.H, ds.W, 3)
             return ((jnp.clip(img, 0, 1) * 255).astype(jnp.uint8),
                     out["n_active"])
@@ -213,7 +259,8 @@ class InferenceSession:
             pose = jnp.asarray(ds.poses[fi])
             img_dev, n_act = self._render(self.infer_params, self.packed,
                                           self.tables, self.occ, pose,
-                                          enc_a, eye)
+                                          enc_a, eye, self.torso_params,
+                                          self.torso_packed)
             if hasattr(img_dev, "copy_to_host_async"):
                 img_dev.copy_to_host_async()
             queue.append((i, img_dev, n_act))

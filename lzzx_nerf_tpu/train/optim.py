@@ -23,7 +23,8 @@ def param_label_fn(path, leaf) -> str:
     names = {str(getattr(k, "key", getattr(k, "name", k))) for k in path}
     # matches both the hash tables (encoder_xy) and the dense-octave tables
     # (encoder_xy_l0 ... encoder_xz_l3, torso_encoder)
-    if any(n.startswith("encoder_") or n == "torso_encoder" for n in names):
+    if any(n.startswith("encoder_") or n.startswith("torso_encoder")
+           for n in names):
         return "grid"
     if "audio_att_net" in names:
         return "att"

@@ -328,12 +328,29 @@ class Trainer:
         self._ckpt_dir = os.path.join(os.path.abspath(workspace), "checkpoints")
         self.max_keep_ckpt = max_keep_ckpt
         self._mgr = None
+        self._tb = None
 
     def log(self, *args):
         msg = " ".join(str(a) for a in args)
         print(msg)
         with open(self.log_path, "a") as f:
             f.write(msg + "\n")
+
+    def scalar(self, tag: str, value: float, step: int):
+        """Tensorboard scalar export (reference tensorboardX writer,
+        TrainerUtil.py:470-471,1095-1096); silently off when the package is
+        absent."""
+        if self._tb is None:
+            try:
+                from tensorboardX import SummaryWriter
+                import os
+
+                self._tb = SummaryWriter(
+                    os.path.join(self.workspace, "run"))
+            except ImportError:
+                self._tb = False
+        if self._tb:
+            self._tb.add_scalar(tag, value, step)
 
     def _manager(self):
         if self._mgr is None:

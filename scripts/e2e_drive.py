@@ -91,8 +91,13 @@ def main():
     log = open(os.path.join(ws, "log_ngp.txt")).read()
     assert "training done" in log, log[-500:]
 
-    print("== test (offline inference)")
-    cli.main(base + ["--test", "1", "--test_train", "1",
+    print("== torso stage (train)")
+    cli.main(base + ["--torso", "1", "--workspace", ws + "_torso",
+                     "--iters", "20"])
+    assert os.path.isdir(os.path.join(ws + "_torso", "checkpoints"))
+
+    print("== test (offline inference, torso composited)")
+    cli.main(base + ["--test", "1", "--test_train", "1", "--torso", "1",
                      "--infer_samples", "8", "--infer_window_candidates",
                      "24", "--iters", str(args.iters)])
     results = os.listdir(os.path.join(ws, "results"))

@@ -86,3 +86,75 @@ def test_save_transforms_roundtrip(scene):
     # pose inverts the tracker transform: R_inv @ t == -pose_trans * 10?? just
     # check translation magnitude is ~|trans|/10
     assert 0.2 < np.linalg.norm(m[:3, 3]) < 1.0
+
+
+def test_parsing_color_code_and_tasks_4_to_6(tmp_path):
+    """Task 4 with a tiny TorchScript backend, then tasks 5-6 consume its
+    PNGs end-to-end (VERDICT r1 #5)."""
+    import cv2
+    import torch
+
+    from lzzx_nerf_tpu.preprocess import extract_semantics
+    from lzzx_nerf_tpu.preprocess.parsing import (FaceParser, color_code,
+                                                  run_parsing)
+
+    base = tmp_path
+    for d in ("ori_imgs", "parsing", "gt_imgs", "torso_imgs"):
+        (base / d).mkdir()
+
+    # frames: head block (reddish), neck strip (greenish), clothes bottom
+    # (bluish), rest background grey
+    for i in range(3):
+        img = np.full((H, W, 3), 128, np.uint8)        # BGR on disk
+        img[4:20, 16:32] = (40, 40, 220)               # red-ish head
+        img[20:26, 18:30] = (40, 220, 40)              # green-ish neck
+        img[26:, 10:38] = (220, 40, 40)                # blue-ish clothes
+        cv2.imwrite(str(base / "ori_imgs" / f"{i}.jpg"), img)
+
+    class ColorSeg(torch.nn.Module):
+        """RGB dominance -> CelebAMask classes 1 (skin), 14 (neck),
+        16 (cloth), 0 (bg)."""
+
+        def forward(self, x):  # [1, 3, H, W] in [0, 1]
+            r, g, b = x[:, 0], x[:, 1], x[:, 2]
+            logits = torch.zeros(x.shape[0], 19, x.shape[2], x.shape[3])
+            logits[:, 0] = 0.55   # grey bg (0.5) loses; region colors (0.86) win
+            logits[:, 1] = r
+            logits[:, 14] = g
+            logits[:, 16] = b
+            return logits
+
+    ts = base / "parser.pt"
+    torch.jit.script(ColorSeg()).save(str(ts))
+
+    parser = FaceParser(ts_path=str(ts))
+    extract_semantics(str(base / "ori_imgs"), str(base / "parsing"),
+                      parser=parser)
+
+    seg = cv2.imread(str(base / "parsing" / "0.png"))   # BGR
+    # head blue file -> BGR ch0==255; interior of each region is unambiguous
+    assert (seg[10, 24] == [255, 0, 0]).all(), seg[10, 24]
+    assert (seg[23, 24] == [0, 255, 0]).all(), seg[23, 24]
+    assert (seg[40, 24] == [0, 0, 255]).all(), seg[40, 24]
+    assert (seg[1, 1] == [255, 255, 255]).all(), seg[1, 1]
+
+    # tasks 5 + 6 consume the parsing output end-to-end
+    extract_background(str(base), str(base / "ori_imgs"), every=1,
+                       dist_thresh=2.0)
+    assert (base / "bc.jpg").exists()
+    extract_torso_and_gt(str(base), str(base / "ori_imgs"))
+    gt = cv2.imread(str(base / "gt_imgs" / "0.jpg"))
+    torso = cv2.imread(str(base / "torso_imgs" / "0.png"),
+                       cv2.IMREAD_UNCHANGED)
+    assert gt.shape == (H, W, 3) and torso.shape == (H, W, 4)
+    assert torso[..., 3].any()                          # torso alpha present
+    # color_code label sanity: hat + hair count as head
+    lbl = np.zeros((4, 4), np.int32)
+    lbl[0, 0], lbl[1, 1], lbl[2, 2] = 17, 18, 14
+    cc = color_code(lbl)
+    assert (cc[0, 0] == [0, 0, 255]).all() and (cc[1, 1] == [0, 0, 255]).all()
+
+    # missing backend raises with instructions
+    os.environ.pop("LZZX_PARSER_TS", None)
+    with pytest.raises(RuntimeError, match="LZZX_PARSER_TS"):
+        FaceParser()
