@@ -94,12 +94,23 @@ def main():
         lambda p: field.apply(p, method="bake_tables", dtype=tdtype))(params)
     tables = jax.jit(
         lambda o: build_inference_tables(o, settings.bound))(occ.occ)
-    torso_packed = None
+    torso_packed = torso_plan = None
     if args.torso:
+        from lzzx_nerf_tpu.render import build_torso_plan
+
         torso, tparams = _build_torso(bf16=args.bf16)
+        # NOTE: torso table stays f32 — the bf16 torso program faults the
+        # axon compiler (head bf16 tables are fine), and the torso gathers
+        # only ~100K rows/frame so residency matters little there
         torso_packed = jax.jit(
-            lambda p: torso.apply(p, method="bake_table", dtype=tdtype))(
-                tparams)
+            lambda p: torso.apply(p, method="bake_table"))(tparams)
+        # synthetic torso occupancy: bottom-half band (a real session builds
+        # the plan from the trained torso grid)
+        occ = occ._replace(
+            density_grid_torso=jnp.concatenate(
+                [jnp.zeros((grid // 2, grid)), jnp.ones((grid // 2, grid))]),
+            mean_density_torso=jnp.asarray(1.0))
+        torso_plan = build_torso_plan(settings, occ, bg_coords)
 
     @jax.jit
     def render_frame(params, packed, tables, occ, auds, eye, tparams,
@@ -112,14 +123,15 @@ def main():
 
         frame_bg = bg
         if torso is not None:
+            from lzzx_nerf_tpu.render import run_torso_compact
+
             ct = tparams["params"]["individual_codes_torso"][0]
 
             def torso_packed_apply(p, *a, **kw):
                 return torso.apply(p, *a, packed=torso_packed, **kw)
 
-            tres = run_torso(torso_packed_apply, tparams, settings, occ,
-                             bg_coords, pose[0], ct, bg)
-            frame_bg = tres["bg_color"]
+            frame_bg = run_torso_compact(torso_packed_apply, tparams,
+                                         torso_plan, pose[0], ct, bg)
 
         if args.path == "compact":
             out = render_rays_compact(apply_packed, params, settings, occ,

@@ -11,7 +11,7 @@ programs; the static-shape formulation (ops/march.py) removes the split.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -333,6 +333,57 @@ def _bilinear_sample_2d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     v11 = g[y1, x1]
     return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
             + v10 * (1 - wx) * wy + v11 * wx * wy)
+
+
+class TorsoPlan(NamedTuple):
+    """Serving-time torso evaluation plan. The torso occupancy mask depends
+    only on the (static) 2-D torso grid and the (static) screen coords, so
+    the set of pixels the torso can touch is FRAME-INVARIANT: precompute it
+    once per model load and evaluate the torso nets only there (the
+    reference compacts per frame with nonzero() — renderer.py:584-586)."""
+
+    idx: jnp.ndarray       # [M] pixel indices (padded slots point at N)
+    coords: jnp.ndarray    # [M, 2] their bg_coords
+    n_pixels: int          # frame pixel count N
+
+
+def build_torso_plan(settings: RenderSettings, state: OccupancyState,
+                     bg_coords, pad_to: int = 1024) -> TorsoPlan:
+    """Host-side, once per model load (grid static while serving)."""
+    import numpy as np
+
+    thresh = float(jnp.minimum(settings.density_thresh_torso,
+                               state.mean_density_torso))
+    occupancy = np.asarray(_bilinear_sample_2d(state.density_grid_torso,
+                                               bg_coords))
+    N = bg_coords.shape[0]
+    idx = np.nonzero(occupancy > thresh)[0]
+    M = max(pad_to, (len(idx) + pad_to - 1) // pad_to * pad_to)
+    pad = np.full(M - len(idx), N, np.int32)        # drop-sentinel slots
+    idx_p = np.concatenate([idx.astype(np.int32), pad])
+    coords = np.zeros((M, 2), np.float32)
+    coords[:len(idx)] = np.asarray(bg_coords)[idx]
+    return TorsoPlan(idx=jnp.asarray(idx_p), coords=jnp.asarray(coords),
+                     n_pixels=N)
+
+
+def run_torso_compact(
+    torso_apply,
+    torso_params,
+    plan: TorsoPlan,
+    pose: jnp.ndarray,
+    ind_code_torso: Optional[jnp.ndarray],
+    bg_color: jnp.ndarray,          # [N, 3]
+) -> jnp.ndarray:
+    """Torso pass over the precomputed active pixels only (serving fast
+    path; ~2-3x less MLP work than the dense run_torso at 512² and no
+    per-frame occupancy sampling). Returns the composited background."""
+    alpha, color, _ = torso_apply(torso_params, plan.coords, pose,
+                                  ind_code_torso)
+    bg_c = jnp.take(bg_color, jnp.minimum(plan.idx, plan.n_pixels - 1),
+                    axis=0)
+    blended = color * alpha + bg_c * (1.0 - alpha)
+    return bg_color.at[plan.idx].set(blended, mode="drop")
 
 
 def run_torso(

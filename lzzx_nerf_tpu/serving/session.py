@@ -117,9 +117,11 @@ class InferenceSession:
                 self.torso_params = dict(t_state.params)
                 if self.cfg.use_ema:
                     self.torso_params["params"] = t_state.ema_params
+                # f32 torso table: the bf16 torso program faults the axon
+                # compiler, and the torso gather volume is tiny
                 self.torso_packed = jax.jit(
-                    lambda p: torso.apply(p, method="bake_table",
-                                          dtype=tdtype))(self.torso_params)
+                    lambda p: torso.apply(p, method="bake_table"))(
+                        self.torso_params)
                 self.occ = self.occ._replace(
                     density_grid_torso=occ_t.density_grid_torso,
                     mean_density_torso=occ_t.mean_density_torso)
@@ -150,10 +152,13 @@ class InferenceSession:
         field = self.field
         torso = self.torso
         if torso is not None:
-            from ..render import run_torso
+            from ..render import build_torso_plan, run_torso_compact
             from ..utils.rays import get_bg_coords
 
             bg_coords = get_bg_coords(ds.H, ds.W)[0]
+            # the torso mask is frame-invariant while serving (static grid,
+            # static screen coords): precompute the active-pixel plan once
+            torso_plan = build_torso_plan(self.settings, self.occ, bg_coords)
 
         @jax.jit
         def render(params, packed, tables, occ, pose, enc_a, eye,
@@ -173,9 +178,8 @@ class InferenceSession:
                 def torso_apply(p, *a, **kw):
                     return torso.apply(p, *a, packed=torso_packed, **kw)
 
-                tres = run_torso(torso_apply, torso_params, self.settings,
-                                 occ, bg_coords, pose, ct, bg)
-                frame_bg = tres["bg_color"]
+                frame_bg = run_torso_compact(torso_apply, torso_params,
+                                             torso_plan, pose, ct, bg)
 
             out = render_rays_compact(
                 apply_packed, params, isettings, occ,

@@ -84,16 +84,36 @@ class _FfmpegSink(FrameSink):
             "-i", "-",
         ] + self._output_args()
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        self._attach_pump()
+
+    def _attach_pump(self) -> None:
+        # native ring-buffer writer (lzzx_nerf_tpu/native): the render loop's
+        # push() returns after a memcpy; a C++ thread feeds ffmpeg and
+        # absorbs encoder stalls without holding the GIL
+        self.pump = None
+        try:
+            from ..native import FramePump
+
+            self.pump = FramePump(self.proc.stdin.fileno(),
+                                  self.width * self.height * 3)
+        except Exception:
+            pass  # pure-Python writes below
 
     def push(self, rgb24: bytes) -> None:
         if self.proc is None:
             self.open()
-        self.proc.stdin.write(rgb24)
+        if self.pump is not None:
+            self.pump.push(rgb24)
+        else:
+            self.proc.stdin.write(rgb24)
         self.count += 1
 
     def close(self) -> None:
         if self.proc is not None:
             try:
+                if self.pump is not None:
+                    self.pump.close()
+                    self.pump = None
                 self.proc.stdin.close()
                 self.proc.wait(timeout=30)
             except Exception:

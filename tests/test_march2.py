@@ -263,3 +263,60 @@ def test_render_rays_compact_end_to_end():
                                np.asarray(full["image"]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(comp["weights_sum"]),
                                np.asarray(full["weights_sum"]), atol=2e-3)
+
+
+def test_block_compaction_matches_per_ray_path():
+    """render_rays_compact_blocks (2x2-block window analysis) must match the
+    per-ray bitmask path closely: same t-lattices per ray, block windows are
+    conservative supersets, so images agree except where the extra window
+    margin admits an (empty-cell) sample that crowds the S budget."""
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays_compact,
+                                      render_rays_compact_blocks)
+    from lzzx_nerf_tpu.utils import get_rays
+
+    H = W = 32
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=8, dt=DT, num_cand=112)
+    state = init_occupancy_state(settings)
+    occ, _, _ = _scene()
+    state = state._replace(occ=occ)
+
+    pose = jnp.asarray(np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
+        np.float32))[None]
+    intr = (W / 0.6, W / 0.6, W / 2, H / 2)
+    rays = get_rays(pose, intr, H, W, N=-1)
+    ro_full, rd = rays["rays_o"][0], rays["rays_d"][0]
+
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    enc_a = jnp.zeros((1, 32))
+    bg = jnp.full((H * W, 3), 0.6)
+
+    ray = render_rays_compact(field.apply, params, settings, state,
+                              ro_full, rd, enc_a, jnp.zeros(4),
+                              jnp.asarray([0.25]), bg, budget=H * W,
+                              window_candidates=40, minimal=True)
+    blk = render_rays_compact_blocks(field.apply, params, settings, state,
+                                     ro_full[0], rd, H, W, enc_a,
+                                     jnp.zeros(4), jnp.asarray([0.25]), bg,
+                                     budget=H * W, window_candidates=40)
+    a = np.asarray(ray["image"])
+    b = np.asarray(blk["image"])
+    # pixels differ only where the (slightly wider) block window admits an
+    # extra leading lattice cell — visible here because the RANDOM-init
+    # field colors every cell; on a trained field those cells are empty.
+    close = np.abs(a - b).max(-1) < 1e-4
+    assert close.mean() > 0.9, close.mean()
+    np.testing.assert_allclose(b, a, atol=0.35)
+    assert np.isfinite(b).all() and b.min() >= 0 and b.max() <= 1
+    # block coverage is a conservative superset of per-ray coverage
+    wa = np.asarray(ray["weights_sum"]) > 0.5
+    wb = np.asarray(blk["weights_sum"]) > 0.5
+    assert (wb | ~wa).all()
+    assert (wa == wb).mean() > 0.97

@@ -170,3 +170,28 @@ def test_get_rays_sampling_modes():
 
     rect = get_rays(pose, intr, H, W, rect=(2, 6, 3, 8))
     assert rect["rays_d"].shape == (1, 4 * 5, 3)
+
+
+def test_torso_compact_matches_dense(setup):
+    """run_torso_compact over the precomputed plan must equal the dense
+    run_torso composite exactly (same pixels, same nets)."""
+    from lzzx_nerf_tpu.render import build_torso_plan, run_torso_compact
+
+    settings, state, field, params = setup
+    torso = TorsoField(ind_dim_torso=8)
+    bg_coords = get_bg_coords(16, 16)[0]
+    pose = jnp.eye(4)
+    tp = torso.init(jax.random.PRNGKey(1), bg_coords, pose, jnp.zeros(8))
+
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.uniform(0, 1, (GRID, GRID)), jnp.float32)
+    state2 = state._replace(density_grid_torso=grid,
+                            mean_density_torso=jnp.asarray(0.5))
+    bg = jnp.asarray(rng.uniform(0, 1, (bg_coords.shape[0], 3)), jnp.float32)
+
+    dense = run_torso(torso.apply, tp, settings, state2, bg_coords, pose,
+                      jnp.zeros(8), bg)["bg_color"]
+    plan = build_torso_plan(settings, state2, bg_coords, pad_to=32)
+    compact = run_torso_compact(torso.apply, tp, plan, pose, jnp.zeros(8), bg)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(dense),
+                               atol=1e-5)
