@@ -39,10 +39,24 @@ def main():
     ap.add_argument("--f32-tables", action="store_true",
                     help="fp32 prebaked triplane tables (default bf16: "
                          "VMEM-resident, 3x gather rate)")
-    ap.add_argument("--samples", type=int, default=8,
-                    help="samples kept per ray (serving default 8: opaque "
-                         "surfaces terminate in ~5 samples, PSNR-guarded by "
-                         "tests/test_render.py; 16 = reference parity)")
+    ap.add_argument("--samples", type=int, default=16,
+                    help="samples kept per ray (16 = reference parity AND "
+                         "the quality default: trained density crusts need "
+                         "all 16 — see scripts/quality_check.py; speed "
+                         "comes from --stage-split instead)")
+    ap.add_argument("--stage-split", type=int, default=8,
+                    help="two-stage early-termination eval: samples "
+                         "[0,split) for all rays, [split,S) only for rays "
+                         "still transmissive (0 = single pass)")
+    ap.add_argument("--stage2-frac", type=float, default=0.375,
+                    help="stage-2 ray budget as a fraction of the budget")
+    ap.add_argument("--pix-fmt", choices=["yuv420p", "rgb24"],
+                    default="yuv420p",
+                    help="frame layout pushed to the encoder; yuv420p halves "
+                         "the device->host bytes (serving default)")
+    ap.add_argument("--block", type=int, choices=[1, 2], default=2,
+                    help="2 = 2x2-block window analysis (4x less "
+                         "windows/compaction work, -5 ms @512²); 1 = per-ray")
     ap.add_argument("--torso", action="store_true",
                     help="composite a torso pass under the head every frame "
                          "(the reference's operating point does, "
@@ -133,19 +147,35 @@ def main():
             frame_bg = run_torso_compact(torso_packed_apply, tparams,
                                          torso_plan, pose[0], ct, bg)
 
-        if args.path == "compact":
+        staged = dict(
+            stage_split=args.stage_split,
+            stage2_budget=max(1024, int(budget * args.stage2_frac)
+                              // 1024 * 1024))
+        if args.path == "compact" and args.block == 2:
+            from lzzx_nerf_tpu.render import render_rays_compact_blocks
+
+            out = render_rays_compact_blocks(
+                apply_packed, params, settings, occ, rays_o[0], rays_d,
+                res, res, enc_a, c, eye, frame_bg, budget=budget,
+                window_candidates=args.k2 or None, tables=tables, **staged)
+        elif args.path == "compact":
             out = render_rays_compact(apply_packed, params, settings, occ,
                                       rays_o, rays_d, enc_a, c, eye, frame_bg,
                                       budget=budget,
                                       window_candidates=args.k2 or None,
-                                      tables=tables, minimal=True)
+                                      tables=tables, minimal=True, **staged)
         else:
             out = render_rays(field.apply, params, settings, occ,
                               rays_o, rays_d, enc_a, c, eye, frame_bg,
                               training=False)
-        # uint8 on device: the host handoff (→ffmpeg) wants rgb24 and the
-        # fp32 frame is 4x the transfer
-        return (jnp.clip(out["image"], 0, 1) * 255).astype(jnp.uint8)
+        # device-side packing for the host handoff (→ffmpeg): yuv420p is
+        # 1.5 B/px (the encoder converts to 4:2:0 anyway) vs rgb24's 3
+        img = jnp.clip(out["image"].reshape(res, res, 3), 0, 1)
+        if args.pix_fmt == "yuv420p":
+            from lzzx_nerf_tpu.utils import rgb_to_yuv420
+
+            return rgb_to_yuv420(img)
+        return (img * 255).astype(jnp.uint8)
 
     # per-frame audio windows (streaming shape [8, 16, 1024])
     rng = np.random.default_rng(0)

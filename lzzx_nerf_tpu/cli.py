@@ -75,7 +75,7 @@ def _build_world(cfg, ds):
     field = NeRFField(
         bound=cfg.bound, audio_in_dim=cfg.audio_in_dim, att=cfg.att,
         exp_eye=cfg.exp_eye, emb=cfg.emb, ind_dim=cfg.ind_dim,
-        ind_num=cfg.ind_num,
+        ind_num=cfg.ind_num, encoder=cfg.encoder,
         dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32)
     b0 = ds.frame(0)
     params = field.init(
@@ -125,7 +125,7 @@ def run_train(cfg) -> None:
                     + (f" ({jax.process_count()} hosts)" if distributed else ""))
 
     trainer.log(f"[INFO] {len(ds.poses)} train frames, res {ds.H}x{ds.W}, "
-                f"encoder=dense, iters={cfg.iters}")
+                f"encoder={cfg.encoder}, iters={cfg.iters}")
     # one JSON document per line (appended per run); the serving session
     # adopts the last line when loading this workspace
     with open(os.path.join(cfg.workspace, "opt.txt"), "a") as f:
@@ -402,10 +402,23 @@ def run_test(cfg) -> None:
         def apply_packed(p, *a, **kw):
             return field.apply(p, *a, packed=packed, **kw)
 
-        out = render_rays_compact(
-            apply_packed, params, isettings, occ, rays["rays_o"][0],
-            rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
-            window_candidates=k2, tables=tables, minimal=True)
+        staged = dict(
+            stage_split=cfg.infer_stage_split,
+            stage2_budget=max(1024, int(budget * cfg.infer_stage2_frac)
+                              // 1024 * 1024))
+        if (cfg.infer_block == 2 and ds.H % 2 == 0 and ds.W % 2 == 0
+                and budget % 4 == 0):
+            from .render import render_rays_compact_blocks
+
+            out = render_rays_compact_blocks(
+                apply_packed, params, isettings, occ, rays["rays_o"][0][0],
+                rays["rays_d"][0], ds.H, ds.W, enc_a, c, eye, bg,
+                budget=budget, window_candidates=k2, tables=tables, **staged)
+        else:
+            out = render_rays_compact(
+                apply_packed, params, isettings, occ, rays["rays_o"][0],
+                rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
+                window_candidates=k2, tables=tables, minimal=True, **staged)
         return out["image"].reshape(ds.H, ds.W, 3), out["n_active"]
 
     out_dir = os.path.join(cfg.workspace, "results")

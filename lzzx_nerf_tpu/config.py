@@ -122,6 +122,11 @@ class Config:
     max_spp: int = 1
     face_optimize: bool = False
 
+    # field encoder: "dense" = TPU-flagship corner-packed triplane;
+    # "hash" = reference-exact instant-ngp triplane (use for checkpoints
+    # imported from the reference via utils/convert.py)
+    encoder: str = "dense"
+
     # renderer internals (reference renderer.py:93-99)
     grid_size: int = 128
     density_scale: float = 1.0
@@ -139,15 +144,27 @@ class Config:
     use_ema: bool = True
     # serving fast-path knobs (render_rays_compact): samples per ray and
     # window candidates at inference; 0 = inherit max_steps / auto-K2.
-    # S=8 is safe for opaque heads (transmittance < T_thresh after ~5
-    # samples) and measurably faster — guarded by a synthetic PSNR test.
-    infer_samples: int = 8
+    # S=16 is REQUIRED for quality: the learned density crust is several
+    # cells thick, and truncating to S=8 measured -16 dB on a trained model
+    # (scripts/quality_check.py). Speed comes from the two-stage
+    # early-termination eval (infer_stage_split) instead — the exact
+    # analogue of the reference's alive-ray T-threshold termination.
+    infer_samples: int = 16
     infer_window_candidates: int = 40
+    # evaluate samples [0, split) for all rays, then samples [split, S) only
+    # for rays still transmissive (T >= T_thresh) — mathematically identical
+    # to the single pass when the stage-2 budget suffices. 0 disables.
+    infer_stage_split: int = 8
+    infer_stage2_frac: float = 0.375  # stage-2 ray budget / stage-1 budget
     budget_frac: float = 0.5  # active-ray budget as a fraction of the frame
     # bf16 prebaked triplane tables at inference: half the bytes keeps the
     # packed table VMEM-resident -> 3x gather rate on v5e (quality-guarded
     # by tests/test_render.py)
     infer_table_bf16: bool = True
+    # 2 = analyse windows/compaction per 2x2 pixel block (4x less work in
+    # that phase, measured -5 ms @512²; conservative superset of the
+    # per-ray windows); 1 = per-ray
+    infer_block: int = 2
     eval_interval: int = 1
     max_keep_ckpt: int = 2
 

@@ -152,7 +152,7 @@ def ray_windows(
     return RayWindow(t_start=t_start, t_end=t_end, active=active)
 
 
-def column_bitmasks(occ: jnp.ndarray, dilate: int = 2) -> jnp.ndarray:
+def column_bitmasks(occ: jnp.ndarray, dilate: int = 1) -> jnp.ndarray:
     """occ [CAS, H, H, H] -> [H*H, H//32] uint32: each (x,y) column's
     z-occupancy as a bitstring, OR-dilated `dilate` x 3x3 passes in-plane.
 
@@ -161,7 +161,11 @@ def column_bitmasks(occ: jnp.ndarray, dilate: int = 2) -> jnp.ndarray:
     (march_rays_window_bitmask); the occupancy grid itself is already
     3x3x3-dilated by the update pass (reference morton3D_dilation,
     raymarching.cu:304-351), so the extra margin only admits a few more
-    near-surface samples."""
+    near-surface samples. Coverage condition (midpoint fetch): dilate >=
+    (group/2)*sqrt(3)*|d_xy| cells — dilate=1 with group=2 covers EVERY
+    unit ray (|d_xy| <= 1.15); wider dilation costs quality (extra empty
+    cells crowd the S budget: -2.3 dB measured at dilate=2/group=4 on a
+    trained model, scripts/quality_check.py)."""
     H = occ.shape[1]
     assert H % 32 == 0, "grid size must be a multiple of 32 for bit-packing"
     od = occ[0].astype(jnp.float32)
@@ -177,7 +181,7 @@ def column_bitmasks(occ: jnp.ndarray, dilate: int = 2) -> jnp.ndarray:
 
 def build_inference_tables(occ: jnp.ndarray, bound: float,
                            dilate_intervals: int = 2,
-                           dilate_mask: int = 2) -> InferenceTables:
+                           dilate_mask: int = 1) -> InferenceTables:
     """All occupancy-derived lookup tables the compact render needs."""
     z_lo, z_hi = column_intervals(occ, bound, dilate=dilate_intervals)
     return InferenceTables(z_lo=z_lo, z_hi=z_hi,
@@ -258,7 +262,7 @@ def march_rays_window_bitmask(
     dt: float,
     num_cand: int,             # K2
     max_samples: int,          # S
-    group: int = 4,
+    group: int = 2,
 ) -> MarchResult:
     """march_rays_window with the occupancy test restructured for the TPU
     memory system: instead of one gather row per (ray, candidate) —
@@ -267,10 +271,11 @@ def march_rays_window_bitmask(
     0.25-1 MB bitmask table lives in VMEM) and test the per-candidate z bits
     with dense VPU math. Measured v5e @512²: 24 ms -> ~7 ms.
 
-    Correctness envelope: within a group the ray's (x,y) cell drifts by at
-    most group*dt*|d_xy| — ≈1 cell for group=4 with the production fov —
-    and the mask's `dilate`x3x3 OR absorbs the drift, so every sample the
-    exact per-candidate test keeps is kept here too (guarded by
+    Correctness envelope (midpoint fetch): within half a group the ray's
+    (x,y) cell drifts by (group/2)*sqrt(3)*|d_xy| grid cells (independent
+    of H, since dt tracks the cell size); the mask's `dilate`x3x3 OR must
+    cover it. group=2 with dilate=1 covers EVERY unit direction — every
+    sample the exact per-candidate test keeps is kept here too (guarded by
     tests/test_march2.py::test_bitmask_march_superset)."""
     B = rays_o.shape[0]
     W32 = col_bitmask.shape[1]

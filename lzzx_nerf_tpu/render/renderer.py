@@ -93,6 +93,70 @@ def render_rays(
     return results
 
 
+def _staged_eval_composite(
+    field_apply, params, settings, m, rd, enc_a, ind_code, eye,
+    B: int, S: int, stage_split: int, stage2_budget: int,
+):
+    """Two-stage field eval with exact early termination (the static-shape
+    analogue of the reference's alive-ray loop, renderer.py:503-548):
+    evaluate samples [0, split) for all B rays, then samples [split, S) only
+    for rays whose transmittance is still >= T_thresh — compacted into
+    `stage2_budget` slots. Identical to the single-pass composite whenever
+    the stage-2 budget holds every survivor (rays beyond it truncate at the
+    split, reported via n_stage2). Returns (image_premult [B,3],
+    weights_sum [B], n_stage2)."""
+    S1, S2 = stage_split, S - stage_split
+    dt = settings.dt
+
+    def field_eval(pts, dirs_rep):
+        out = field_apply(params, pts, dirs_rep, enc_a, ind_code, eye,
+                          compute_uncertainty=False)
+        return out.sigma * settings.density_scale, out.color
+
+    # ---- stage 1: all rays, first S1 samples
+    pts1 = m.xyzs[:, :S1].reshape(B * S1, 3)
+    sig1, rgb1 = field_eval(pts1, jnp.repeat(rd, S1, axis=0))
+    sig1 = sig1.reshape(B, S1)
+    rgb1 = rgb1.reshape(B, S1, 3)
+    mask1 = m.mask[:, :S1]
+    alpha1 = (1.0 - jnp.exp(-sig1 * m.deltas[:, :S1])) * mask1
+    one_minus1 = 1.0 - alpha1
+    T1 = jnp.concatenate(
+        [jnp.ones_like(alpha1[:, :1]),
+         jnp.cumprod(one_minus1, axis=-1)[:, :-1]], axis=-1)
+    w1 = alpha1 * T1 * ((T1 >= settings.T_thresh) & mask1)
+    image = jnp.einsum("ns,nsc->nc", w1, rgb1)
+    wsum = jnp.sum(w1, axis=-1)
+    T_end = jnp.cumprod(one_minus1, axis=-1)[:, -1]              # [B]
+
+    # ---- stage 2: survivors only
+    surv = (T_end >= settings.T_thresh) & m.mask[:, S1:].any(axis=-1)
+    cs2 = compact_rays(surv, stage2_budget)
+    idx2 = cs2.ray_idx
+    rd2 = jnp.take(rd, idx2, axis=0)
+    T0 = jnp.take(T_end, idx2) * cs2.slot_valid
+    xyz2 = jnp.take(m.xyzs[:, S1:], idx2, axis=0)                # [B2, S2, 3]
+    delta2 = jnp.take(m.deltas[:, S1:], idx2, axis=0)
+    mask2 = jnp.take(m.mask[:, S1:], idx2, axis=0) & cs2.slot_valid[:, None]
+
+    sig2, rgb2 = field_eval(xyz2.reshape(stage2_budget * S2, 3),
+                            jnp.repeat(rd2, S2, axis=0))
+    sig2 = sig2.reshape(stage2_budget, S2)
+    rgb2 = rgb2.reshape(stage2_budget, S2, 3)
+    alpha2 = (1.0 - jnp.exp(-sig2 * delta2)) * mask2
+    one_minus2 = 1.0 - alpha2
+    T2 = T0[:, None] * jnp.concatenate(
+        [jnp.ones_like(alpha2[:, :1]),
+         jnp.cumprod(one_minus2, axis=-1)[:, :-1]], axis=-1)
+    w2 = alpha2 * T2 * ((T2 >= settings.T_thresh) & mask2)
+
+    tgt = jnp.where(cs2.slot_valid, idx2, B)
+    image = image.at[tgt].add(jnp.einsum("ns,nsc->nc", w2, rgb2),
+                              mode="drop")
+    wsum = wsum.at[tgt].add(jnp.sum(w2, axis=-1), mode="drop")
+    return image, wsum, cs2.n_active
+
+
 def render_rays_compact(
     field_apply,
     params,
@@ -110,10 +174,16 @@ def render_rays_compact(
     tables: Optional[InferenceTables] = None,
     use_bitmask: bool = True,
     minimal: bool = False,
+    stage_split: int = 0,
+    stage2_budget: int = 0,
 ) -> Dict[str, Any]:
     """Fast inference path: per-(x,y)-column z-windows + static-budget ray
     compaction (ops/march2.py), then the same field-eval + composite as
     render_rays, scattered back to the full frame.
+
+    stage_split > 0 (minimal mode only): two-stage early-termination eval —
+    samples [0, split) for all rays, [split, S) only for still-transmissive
+    rays compacted into `stage2_budget` slots (_staged_eval_composite).
 
     Rays beyond `budget` active rays in a frame are dropped to background
     (static-budget semantics, like the reference's point-budget trick).
@@ -161,6 +231,19 @@ def render_rays_compact(
         m = march_rays_window(ro, rd, t0, t1, cs.slot_valid, state.occ,
                               settings.bound, settings.dt, K2, S)
 
+    tgt = jnp.where(cs.slot_valid, cs.ray_idx, N)
+
+    if minimal and stage_split > 0:
+        b2 = stage2_budget or max(1024, budget // 4 // 1024 * 1024)
+        image_c, wsum_c, n_stage2 = _staged_eval_composite(
+            field_apply, params, settings, m, rd, enc_a, ind_code, eye,
+            budget, S, stage_split, b2)
+        img_acc = jnp.zeros((N, 3)).at[tgt].set(image_c, mode="drop")
+        wsum = jnp.zeros((N,)).at[tgt].set(wsum_c, mode="drop")
+        image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
+        return {"image": image, "weights_sum": wsum, "n_active": cs.n_active,
+                "n_stage2": n_stage2}
+
     pts = m.xyzs.reshape(budget * S, 3)
     dirs = jnp.repeat(rd, S, axis=0)
     out = field_apply(params, pts, dirs, enc_a, ind_code, eye,
@@ -173,8 +256,6 @@ def render_rays_compact(
 
     comp = composite_rays(sigmas, rgbs, amb_aud, amb_eye, unc,
                           m.deltas, m.ts, m.mask, T_thresh=settings.T_thresh)
-
-    tgt = jnp.where(cs.slot_valid, cs.ray_idx, N)
 
     if minimal:
         # scatter the premultiplied color + coverage, blend the background
@@ -224,6 +305,8 @@ def render_rays_compact_blocks(
     budget: int,                    # in RAYS (multiple of 4)
     window_candidates: Optional[int] = None,
     tables: Optional[InferenceTables] = None,
+    stage_split: int = 0,
+    stage2_budget: int = 0,
 ) -> Dict[str, Any]:
     """Serving fast path with 2x2-pixel-block window analysis/compaction.
 
@@ -286,31 +369,42 @@ def render_rays_compact_blocks(
         settings.bound, settings.dt, K2, S)
 
     B = budget_b * 4
-    pts = m.xyzs.reshape(B * S, 3)
-    dirs = jnp.repeat(rd, S, axis=0)
-    out = field_apply(params, pts, dirs, enc_a, ind_code, eye,
-                      compute_uncertainty=False)
-    sigmas = (out.sigma * settings.density_scale).reshape(B, S)
-    rgbs = out.color.reshape(B, S, 3)
-    amb_aud = jnp.abs(out.ambient_aud).reshape(B, S)
-    amb_eye = jnp.abs(out.ambient_eye).reshape(B, S)
-    unc = out.uncertainty.reshape(B, S)
-    comp = composite_rays(sigmas, rgbs, amb_aud, amb_eye, unc,
-                          m.deltas, m.ts, m.mask, T_thresh=settings.T_thresh)
+    n_stage2 = None
+    if stage_split > 0:
+        b2 = stage2_budget or max(1024, budget // 4 // 1024 * 1024)
+        image_c, wsum_c, n_stage2 = _staged_eval_composite(
+            field_apply, params, settings, m, rd, enc_a, ind_code, eye,
+            B, S, stage_split, b2)
+    else:
+        pts = m.xyzs.reshape(B * S, 3)
+        dirs = jnp.repeat(rd, S, axis=0)
+        out = field_apply(params, pts, dirs, enc_a, ind_code, eye,
+                          compute_uncertainty=False)
+        sigmas = (out.sigma * settings.density_scale).reshape(B, S)
+        rgbs = out.color.reshape(B, S, 3)
+        amb_aud = jnp.abs(out.ambient_aud).reshape(B, S)
+        amb_eye = jnp.abs(out.ambient_eye).reshape(B, S)
+        unc = out.uncertainty.reshape(B, S)
+        comp = composite_rays(sigmas, rgbs, amb_aud, amb_eye, unc,
+                              m.deltas, m.ts, m.mask,
+                              T_thresh=settings.T_thresh)
+        image_c, wsum_c = comp.image, comp.weights_sum
 
     # scatter per BLOCK: 16-wide rows (4 rays x (rgb + wsum))
     tgt = jnp.where(cs.slot_valid, cs.ray_idx, NB)
     payload = jnp.concatenate(
-        [comp.image.reshape(budget_b, 12),
-         comp.weights_sum.reshape(budget_b, 4)], axis=-1)
+        [image_c.reshape(budget_b, 12),
+         wsum_c.reshape(budget_b, 4)], axis=-1)
     acc = jnp.zeros((NB, 16)).at[tgt].set(payload, mode="drop")
     img_acc = acc[:, :12].reshape(H // 2, W // 2, 2, 2, 3).transpose(
         0, 2, 1, 3, 4).reshape(N, 3)
     wsum = acc[:, 12:16].reshape(H // 2, W // 2, 2, 2).transpose(
         0, 2, 1, 3).reshape(N)
     image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
-    return {"image": image, "weights_sum": wsum,
-            "n_active": cs.n_active * 4}
+    out = {"image": image, "weights_sum": wsum, "n_active": cs.n_active * 4}
+    if n_stage2 is not None:
+        out["n_stage2"] = n_stage2
+    return out
 
 
 def _bilinear_sample_2d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:

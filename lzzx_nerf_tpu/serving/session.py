@@ -61,7 +61,8 @@ class InferenceSession:
                     trained = json.loads("{" + text.rsplit("{", 1)[-1])
                 keep = ("grid_size", "max_steps", "bound", "asr_model",
                         "exp_eye", "ind_dim", "ind_num", "att", "emb",
-                        "min_near", "density_thresh", "scale", "offset")
+                        "encoder", "min_near", "density_thresh", "scale",
+                        "offset")
                 self.cfg = self.cfg.replace(
                     **{k: tuple(trained[k]) if isinstance(trained.get(k), list)
                        else trained[k] for k in keep if k in trained})
@@ -148,7 +149,12 @@ class InferenceSession:
             self.settings,
             max_steps=cfg.infer_samples or self.settings.max_steps)
         k2 = cfg.infer_window_candidates or None
+        stage_split = cfg.infer_stage_split
+        stage2_budget = max(1024, int(budget * cfg.infer_stage2_frac)
+                            // 1024 * 1024)
         bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
+        use_blocks = (cfg.infer_block == 2 and ds.H % 2 == 0
+                      and ds.W % 2 == 0 and budget % 4 == 0)
         field = self.field
         torso = self.torso
         if torso is not None:
@@ -160,42 +166,76 @@ class InferenceSession:
             # static screen coords): precompute the active-pixel plan once
             torso_plan = build_torso_plan(self.settings, self.occ, bg_coords)
 
-        @jax.jit
-        def render(params, packed, tables, occ, pose, enc_a, eye,
-                   torso_params, torso_packed):
-            rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
-            c = (params["params"]["individual_codes"][0]
-                 if cfg.ind_dim > 0 else None)
+        # smooth_lips EMA (reference renderer.py:456-460), fused into the
+        # frame program so each frame costs ONE dispatch round trip (the
+        # tunnel charges ~12 ms per dispatch+sync — PERF.md)
+        lam = 0.35 if cfg.smooth_lips else 0.0
 
-            def apply_packed(p, *a, **kw):
-                return field.apply(p, *a, packed=packed, **kw)
+        def make_render(fmt: str):
+            @jax.jit
+            def render(params, packed, tables, occ, pose, auds, prev_enc,
+                       has_prev, eye, torso_params, torso_packed):
+                enc_new = field.apply(params, auds, method="encode_audio")
+                if lam:
+                    enc_a = jnp.where(has_prev > 0,
+                                      lam * prev_enc + (1 - lam) * enc_new,
+                                      enc_new)
+                else:
+                    enc_a = enc_new
+                rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
+                c = (params["params"]["individual_codes"][0]
+                     if cfg.ind_dim > 0 else None)
 
-            frame_bg = bg
-            if torso is not None:
-                ct = (torso_params["params"]["individual_codes_torso"][0]
-                      if cfg.ind_dim_torso > 0 else None)
+                def apply_packed(p, *a, **kw):
+                    return field.apply(p, *a, packed=packed, **kw)
 
-                def torso_apply(p, *a, **kw):
-                    return torso.apply(p, *a, packed=torso_packed, **kw)
+                frame_bg = bg
+                if torso is not None:
+                    ct = (torso_params["params"]["individual_codes_torso"][0]
+                          if cfg.ind_dim_torso > 0 else None)
 
-                frame_bg = run_torso_compact(torso_apply, torso_params,
-                                             torso_plan, pose, ct, bg)
+                    def torso_apply(p, *a, **kw):
+                        return torso.apply(p, *a, packed=torso_packed, **kw)
 
-            out = render_rays_compact(
-                apply_packed, params, isettings, occ,
-                rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye,
-                frame_bg, budget=budget, window_candidates=k2,
-                tables=tables, minimal=True)
-            img = out["image"].reshape(ds.H, ds.W, 3)
-            return ((jnp.clip(img, 0, 1) * 255).astype(jnp.uint8),
-                    out["n_active"])
+                    frame_bg = run_torso_compact(torso_apply, torso_params,
+                                                 torso_plan, pose, ct, bg)
 
-        @jax.jit
-        def encode_audio(params, auds):
-            return field.apply(params, auds, method="encode_audio")
+                if use_blocks:
+                    from ..render import render_rays_compact_blocks
 
-        self._render = render
-        self._encode_audio = encode_audio
+                    out = render_rays_compact_blocks(
+                        apply_packed, params, isettings, occ,
+                        rays["rays_o"][0][0], rays["rays_d"][0], ds.H, ds.W,
+                        enc_a, c, eye, frame_bg, budget=budget,
+                        window_candidates=k2, tables=tables,
+                        stage_split=stage_split,
+                        stage2_budget=stage2_budget)
+                else:
+                    out = render_rays_compact(
+                        apply_packed, params, isettings, occ,
+                        rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye,
+                        frame_bg, budget=budget, window_candidates=k2,
+                        tables=tables, minimal=True,
+                        stage_split=stage_split,
+                        stage2_budget=stage2_budget)
+                img = jnp.clip(out["image"].reshape(ds.H, ds.W, 3), 0, 1)
+                if fmt == "yuv420p":
+                    from ..utils import rgb_to_yuv420
+
+                    buf = rgb_to_yuv420(img)
+                else:
+                    buf = (img * 255).astype(jnp.uint8)
+                return buf, out["n_active"], enc_a
+
+            return render
+
+        self._render_cache = {}
+        self._make_render = make_render
+
+    def _get_render(self, fmt: str):
+        if fmt not in self._render_cache:
+            self._render_cache[fmt] = self._make_render(fmt)
+        return self._render_cache[fmt]
 
     # -- audio ---------------------------------------------------------------
 
@@ -212,13 +252,19 @@ class InferenceSession:
 
     def run(self, sink: Optional[FrameSink] = None,
             max_frames: Optional[int] = None,
-            on_frame: Optional[Callable[[int, np.ndarray], None]] = None):
+            on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
+            profile: bool = False):
         """Render all frames driven by the current audio features, pushing
         rgb24 bytes into `sink` (reference do_inference -> test_with_2).
-        Returns (num_frames, wall_seconds)."""
+        Returns (num_frames, wall_seconds). profile=True prints per-phase
+        wall-time accumulators every 100 frames (the reference's t4/t6/t7
+        counters, renderer.py:199-208,409-414)."""
         import jax
         import jax.numpy as jnp
 
+        from ..utils.profiling import PhaseAccumulator
+
+        acc = PhaseAccumulator() if profile else None
         assert self._built, "load_model first"
         sink = sink or NullSink()
         ds, cfg = self.ds, self.cfg
@@ -226,7 +272,6 @@ class InferenceSession:
         if max_frames is not None:
             n = min(n, max_frames)
 
-        lam = 0.35  # smooth_lips EMA (renderer.py:456-460)
         t0 = time.time()
         # depth-3 pipeline with async host copies: the tunnel's device->host
         # round trip (~60 ms on the remote v5e) rides under ~2 frames of
@@ -247,31 +292,49 @@ class InferenceSession:
             if on_frame:
                 on_frame(pi, arr)
 
+        from contextlib import nullcontext
+
+        import jax.numpy as jnp  # noqa: F811 (explicit for clarity)
+
+        ph = acc.phase if acc else (lambda name: nullcontext())
+        # sink pixel format: yuv420p halves the device->host bytes (the
+        # encoder wants 4:2:0 anyway); rgb24 for raw/callback consumers
+        fmt = getattr(sink, "pix_fmt", "rgb24")
+        if fmt == "yuv420p" and (ds.H % 2 or ds.W % 2):
+            fmt = "rgb24"
+        render = self._get_render(fmt)
+
+        prev_enc = (self.enc_a_smooth if self.enc_a_smooth is not None
+                    else jnp.zeros((1, 32)))  # audio_dim after AudioNet
+        has_prev = jnp.float32(0.0 if self.enc_a_smooth is None else 1.0)
         for i in range(n):
             fi = ds.mirror_index(i)
             auds = jnp.asarray(ds.audio_window(i))
-            enc_a = self._encode_audio(self.infer_params, auds)
-            if cfg.smooth_lips:
-                if self.enc_a_smooth is not None:
-                    enc_a = lam * self.enc_a_smooth + (1 - lam) * enc_a
-                self.enc_a_smooth = enc_a
             if cfg.exp_eye and cfg.fix_eye >= 0:
                 eye = jnp.asarray([cfg.fix_eye], jnp.float32)
             else:
                 eye = jnp.asarray([ds.eye_area[fi] if cfg.exp_eye else 0.0],
                                   jnp.float32)
             pose = jnp.asarray(ds.poses[fi])
-            img_dev, n_act = self._render(self.infer_params, self.packed,
-                                          self.tables, self.occ, pose,
-                                          enc_a, eye, self.torso_params,
-                                          self.torso_packed)
-            if hasattr(img_dev, "copy_to_host_async"):
-                img_dev.copy_to_host_async()
+            with ph("dispatch"):
+                img_dev, n_act, prev_enc = render(
+                    self.infer_params, self.packed, self.tables, self.occ,
+                    pose, auds, prev_enc, has_prev, eye, self.torso_params,
+                    self.torso_packed)
+                has_prev = jnp.float32(1.0)
+                if hasattr(img_dev, "copy_to_host_async"):
+                    img_dev.copy_to_host_async()
             queue.append((i, img_dev, n_act))
             if len(queue) >= 3:
-                consume()
+                with ph("fetch+sink"):
+                    consume()
+            if acc and i and i % 100 == 0:
+                print(f"[profile] frame {i}: {acc.report()}")
         while queue:
             consume()
+        self.enc_a_smooth = prev_enc if cfg.smooth_lips else None
         dt = time.time() - t0
         sink.close()
+        if acc:
+            print(f"[profile] total {n} frames, {dt:.2f}s: {acc.report()}")
         return n, dt

@@ -20,7 +20,11 @@ from typing import Optional
 
 
 class FrameSink:
-    """Interface: open() -> push(frame_bytes) xN -> close()."""
+    """Interface: open() -> push(frame_bytes) xN -> close().
+    pix_fmt declares the raw layout the sink ingests ("rgb24" or
+    "yuv420p"); the serving session renders frames in that format."""
+
+    pix_fmt = "rgb24"
 
     def open(self) -> None: ...
 
@@ -64,12 +68,21 @@ class RawFileSink(FrameSink):
 
 class _FfmpegSink(FrameSink):
     """Base for ffmpeg-backed sinks: rawvideo on stdin at (W, H, fps)
-    (reference ConsumeMQByWebRTC.py:87-133)."""
+    (reference ConsumeMQByWebRTC.py:87-133). pix_fmt rgb24 or yuv420p —
+    serving prefers yuv420p (half the device->host bytes; the encoder
+    converts to 4:2:0 anyway)."""
 
-    def __init__(self, width: int, height: int, fps: int = 25):
+    def __init__(self, width: int, height: int, fps: int = 25,
+                 pix_fmt: str = "yuv420p"):
         self.width, self.height, self.fps = width, height, fps
+        self.pix_fmt = pix_fmt
         self.proc: Optional[subprocess.Popen] = None
         self.count = 0
+
+    @property
+    def frame_bytes(self) -> int:
+        n = self.width * self.height
+        return n * 3 // 2 if self.pix_fmt == "yuv420p" else n * 3
 
     def _output_args(self):
         raise NotImplementedError
@@ -79,7 +92,7 @@ class _FfmpegSink(FrameSink):
             raise RuntimeError("ffmpeg not found on PATH")
         cmd = [
             "ffmpeg", "-y", "-loglevel", "error",
-            "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-f", "rawvideo", "-pix_fmt", self.pix_fmt,
             "-s", f"{self.width}x{self.height}", "-r", str(self.fps),
             "-i", "-",
         ] + self._output_args()
@@ -94,8 +107,7 @@ class _FfmpegSink(FrameSink):
         try:
             from ..native import FramePump
 
-            self.pump = FramePump(self.proc.stdin.fileno(),
-                                  self.width * self.height * 3)
+            self.pump = FramePump(self.proc.stdin.fileno(), self.frame_bytes)
         except Exception:
             pass  # pure-Python writes below
 
@@ -129,6 +141,35 @@ class FfmpegMp4Sink(_FfmpegSink):
     def _output_args(self):
         return ["-c:v", "libx264", "-pix_fmt", "yuv420p", "-r", str(self.fps),
                 self.path]
+
+
+class FfmpegHlsSink(_FfmpegSink):
+    """HLS packager: m3u8 playlist + .ts segments (the reference's offline
+    test() pipes frames to an HLS writer and logs a ##M3U8##SUCCESS:<path>
+    sentinel the frontend greps — TrainerUtil.py:759-832)."""
+
+    def __init__(self, out_dir: str, width: int, height: int, fps: int = 25,
+                 segment_seconds: int = 5):
+        super().__init__(width, height, fps)
+        self.out_dir = out_dir
+        self.segment_seconds = segment_seconds
+        self.playlist = os.path.join(out_dir, "stream.m3u8")
+
+    def _output_args(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+        return ["-c:v", "libx264", "-pix_fmt", "yuv420p",
+                "-g", str(self.fps * 2), "-f", "hls",
+                "-hls_time", str(self.segment_seconds),
+                "-hls_playlist_type", "event",
+                "-hls_segment_filename",
+                os.path.join(self.out_dir, "seg_%05d.ts"),
+                self.playlist]
+
+    def close(self) -> None:
+        super().close()
+        if os.path.exists(self.playlist):
+            # sentinel the reference frontend greps (TrainerUtil.py:810-817)
+            print(f"##M3U8##SUCCESS:{self.playlist}")
 
 
 class FfmpegRtmpSink(_FfmpegSink):
@@ -272,6 +313,8 @@ def make_sink(kind: str, width: int, height: int, fps: int = 25,
         return FfmpegRtmpSink(rtmp_url, width, height, fps, local_mp4=path or None)
     if kind == "mp4":
         return FfmpegMp4Sink(path, width, height, fps)
+    if kind == "hls":
+        return FfmpegHlsSink(path or "hls_out", width, height, fps)
     if kind == "raw":
         return RawFileSink(path)
     return NullSink()

@@ -270,7 +270,7 @@ def main():
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--trial-root", default=".")
     ap.add_argument("--sink", default="null",
-                    choices=["null", "raw", "mp4", "rtmp"])
+                    choices=["null", "raw", "mp4", "rtmp", "hls"])
     ap.add_argument("--rtmp-url", default="")
     ap.add_argument("--out", default="")
     ap.add_argument("--asr_model", default="hubert",

@@ -1,0 +1,185 @@
+"""Quality guard for the serving operating point, with TRAINED weights.
+
+Trains the field on the synthetic talking-head oracle (on the current
+platform — TPU by default) and renders held-out frames through:
+  A. reference-parity path: render_rays, S=16, fp32 in-graph bake
+  B. serving point:         render_rays_compact, S=16 with the two-stage
+                            early-termination eval (split 8), K2=40, bf16
+                            prebaked tables, bitmask march (dilate=1,
+                            group=2), minimal outputs
+  C. serving point with 2x2-block window analysis
+
+Reports PSNR vs ground truth for each and the A->B/C deltas. History this
+guard caught: the original S=8 serving point measured -16 dB on a trained
+model (the learned density crust needs all 16 samples; the round-1 claim
+that 8 suffice was only ever validated against hand-drawn occupancy), and
+bitmask dilation=2 cost another -2.3 dB by crowding the sample budget with
+dilated empty cells. Quality claims need TRAINED weights.
+
+Usage: python scripts/quality_check.py [--steps 3000] [--res 128] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def psnr(a, b):
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-10))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--grid", type=int, default=64)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_lzzx_tpu" if not args.cpu
+                      else "/tmp/jax_cache_lzzx")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    import dataclasses
+
+    from lzzx_nerf_tpu.data import SyntheticTalkingHead
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.ops.march import marching_dt, num_candidates
+    from lzzx_nerf_tpu.ops.march2 import build_inference_tables
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays, render_rays_compact,
+                                      render_rays_compact_blocks,
+                                      update_density_grid)
+    from lzzx_nerf_tpu.train import TrainState, build_optimizer, make_train_step
+
+    res, grid = args.res, args.grid
+    ds = SyntheticTalkingHead(num_frames=16, H=res, W=res)
+    dt = marching_dt(1.0, grid, 16, 1)
+    aabb = (-1.0, -0.5, -1.0, 1.0, 0.5, 1.0)
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=grid,
+                              max_steps=16, dt=dt,
+                              num_cand=num_candidates(aabb, 0.05, dt),
+                              aabb=aabb)
+    occ = init_occupancy_state(settings)
+    occ = occ._replace(occ=jnp.ones_like(occ.occ))
+
+    field = NeRFField(audio_in_dim=ds.audio_dim, ind_num=64)
+    b0 = ds.frame(0)
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, jnp.asarray(b0["auds"]),
+                        jnp.zeros(4), jnp.asarray([0.25]), method="init_all")
+    tx = build_optimizer(1e-2, 1e-3, args.steps)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(
+        field, settings, tx, H=res, W=res, intrinsics=ds.intrinsics,
+        num_rays=4096, iters=args.steps, ind_dim=4, ema_interval=500))
+
+    def density_fn(pts, ea, eye):
+        return field.apply(state.params, pts, ea, eye, method="density").sigma
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for it in range(args.steps):
+        fi = it % ds.num_frames
+        batch = {k: jnp.asarray(v) for k, v in ds.frame(fi).items()}
+        if it % 16 == 0:
+            enc_a = field.apply(state.params, batch["auds"],
+                                method="encode_audio")
+            rng, sub = jax.random.split(rng)
+            occ = update_density_grid(density_fn, settings, occ, enc_a,
+                                      batch.get("eye"), sub)
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, occ, batch, sub)
+        if it % 500 == 0:
+            print(f"step {it}: loss={float(metrics['loss']):.5f} "
+                  f"({it / max(time.time() - t0, 1e-9):.1f} it/s)",
+                  flush=True)
+
+    # ---- render the three paths on held-out-ish frames
+    from lzzx_nerf_tpu.utils import get_rays
+
+    params = state.params
+    packed16 = jax.jit(lambda p: field.apply(p, method="bake_tables",
+                                             dtype=jnp.bfloat16))(params)
+    tables = jax.jit(lambda o: build_inference_tables(o, settings.bound))(
+        occ.occ)
+    # full budget: quality isolation (overflow is a separate, warned-about
+    # failure mode); stage-2 budget at the serving fraction
+    budget = res * res
+    K2 = 40
+    staged = dict(stage_split=8,
+                  stage2_budget=max(1024, int(budget * 0.375) // 1024 * 1024))
+
+    def ap16(p, *a, **kw):
+        return field.apply(p, *a, packed=packed16, **kw)
+
+    @jax.jit
+    def render_A(params, occ, pose, enc_a, eye, bg):
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays(field.apply, params, settings, occ,
+                           rays["rays_o"][0], rays["rays_d"][0], enc_a, c,
+                           eye, bg)["image"]
+
+    @jax.jit
+    def render_B(params, occ, tables, pose, enc_a, eye, bg):
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays_compact(
+            ap16, params, settings, occ, rays["rays_o"][0],
+            rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
+            window_candidates=K2, tables=tables, minimal=True,
+            **staged)["image"]
+
+    @jax.jit
+    def render_C(params, occ, tables, pose, enc_a, eye, bg):
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays_compact_blocks(
+            ap16, params, settings, occ, rays["rays_o"][0][0],
+            rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
+            window_candidates=K2, tables=tables, **staged)["image"]
+
+    scores = {"A_parity_S16": [], "B_serving_S8": [], "C_serving_block": []}
+    for fi in range(0, ds.num_frames, 3):
+        b = ds.frame(fi)
+        pose = jnp.asarray(b["pose"])
+        enc_a = field.apply(params, jnp.asarray(b["auds"]),
+                            method="encode_audio")
+        eye = jnp.asarray(b["eye"])
+        bg = jnp.asarray(b["bg_color"]).reshape(-1, 3)
+        gt = np.asarray(b["image"]).reshape(-1, 3)
+        scores["A_parity_S16"].append(
+            psnr(render_A(params, occ, pose, enc_a, eye, bg), gt))
+        scores["B_serving_S8"].append(
+            psnr(render_B(params, occ, tables, pose, enc_a, eye, bg), gt))
+        scores["C_serving_block"].append(
+            psnr(render_C(params, occ, tables, pose, enc_a, eye, bg), gt))
+
+    a = float(np.mean(scores["A_parity_S16"]))
+    bsepts = float(np.mean(scores["B_serving_S8"]))
+    cpts = float(np.mean(scores["C_serving_block"]))
+    print(f"\nPSNR vs GT after {args.steps} steps @{res}²:")
+    print(f"  A parity  (S=16, fp32, exhaustive)          : {a:6.2f} dB")
+    print(f"  B serving (S=16 staged, bf16, bitmask)      : {bsepts:6.2f} dB "
+          f"(delta {bsepts - a:+.2f})")
+    print(f"  C serving (2x2-block windows, staged)       : {cpts:6.2f} dB "
+          f"(delta {cpts - a:+.2f})")
+
+
+if __name__ == "__main__":
+    main()

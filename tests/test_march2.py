@@ -320,3 +320,48 @@ def test_block_compaction_matches_per_ray_path():
     wb = np.asarray(blk["weights_sum"]) > 0.5
     assert (wb | ~wa).all()
     assert (wa == wb).mean() > 0.97
+
+
+def test_staged_eval_matches_single_pass():
+    """Two-stage early-termination eval must EXACTLY equal the single-pass
+    composite when the stage-2 budget holds every survivor (same formula,
+    split at the stage boundary)."""
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays_compact)
+
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=16, dt=DT, num_cand=112)
+    state = init_occupancy_state(settings)
+    occ, o, d = _scene()
+    state = state._replace(occ=occ)
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    enc_a = jnp.zeros((1, 32))
+    bg = jnp.full((o.shape[0], 3), 0.6)
+
+    kw = dict(budget=256, window_candidates=40, minimal=True)
+    single = render_rays_compact(field.apply, params, settings, state, o, d,
+                                 enc_a, jnp.zeros(4), jnp.asarray([0.25]),
+                                 bg, **kw)
+    staged = render_rays_compact(field.apply, params, settings, state, o, d,
+                                 enc_a, jnp.zeros(4), jnp.asarray([0.25]),
+                                 bg, stage_split=8, stage2_budget=256, **kw)
+    np.testing.assert_allclose(np.asarray(staged["image"]),
+                               np.asarray(single["image"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(staged["weights_sum"]),
+                               np.asarray(single["weights_sum"]), atol=2e-6)
+    # diagnostic present and sane
+    assert 0 <= int(staged["n_stage2"]) <= 256
+
+    # undersized stage-2 budget truncates gracefully (image still finite,
+    # coverage not larger than the exact one)
+    tiny = render_rays_compact(field.apply, params, settings, state, o, d,
+                               enc_a, jnp.zeros(4), jnp.asarray([0.25]),
+                               bg, stage_split=8, stage2_budget=4, **kw)
+    assert np.isfinite(np.asarray(tiny["image"])).all()
+    assert (np.asarray(tiny["weights_sum"])
+            <= np.asarray(single["weights_sum"]) + 1e-5).all()

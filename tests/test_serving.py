@@ -213,3 +213,36 @@ def test_mic_chunk_stream_gated():
         pass
     with _pytest.raises(RuntimeError, match="sounddevice"):
         next(mic_chunk_stream())
+
+
+def test_hls_sink_command(tmp_path):
+    from lzzx_nerf_tpu.serving.streaming import FfmpegHlsSink, make_sink
+
+    s = make_sink("hls", 512, 512, path=str(tmp_path / "hls"))
+    assert isinstance(s, FfmpegHlsSink)
+    args = s._output_args()
+    assert "-f" in args and "hls" in args
+    assert any(a.endswith("stream.m3u8") for a in args)
+    assert any("seg_%05d.ts" in a for a in args)
+
+
+def test_yuv420_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from lzzx_nerf_tpu.utils import rgb_to_yuv420, yuv420_to_rgb
+
+    # smooth content (what a rendered head is) — 4:2:0 keeps it near-exact;
+    # random per-pixel chroma would be destroyed by subsampling by design
+    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 48),
+                         indexing="ij")
+    img = jnp.asarray(np.stack([yy, xx, 0.5 + 0.4 * yy * xx], -1),
+                      jnp.float32)
+    buf = np.asarray(jax.jit(rgb_to_yuv420)(img))
+    assert buf.shape == (32 * 48 * 3 // 2,) and buf.dtype == np.uint8
+    back = yuv420_to_rgb(buf, 32, 48)
+    assert np.abs(back - np.asarray(img)).mean() < 0.02
+    # flat colors roundtrip tightly (no chroma detail to lose)
+    flat = jnp.full((16, 16, 3), 0.5)
+    fbuf = np.asarray(rgb_to_yuv420(flat))
+    np.testing.assert_allclose(yuv420_to_rgb(fbuf, 16, 16), 0.5, atol=0.01)
