@@ -176,12 +176,35 @@ def run_train(cfg) -> None:
     eval_interval = max(1, int(5000 / max(len(ds.poses), 1)))  # train.py:296
     epoch = 0
     psnr_meter, lpips_meter = PSNRMeter(), LPIPSMeter()
+
+    # --preload: keep every frame's arrays resident on device (the
+    # reference's preload tiers, provider.py:453-473). On the tunneled chip
+    # a per-step host->device frame upload costs tens of ms — more than the
+    # step itself — so preloading is the training-throughput lever here.
+    device_frames = None
+    if cfg.preload:
+        trainer.log(f"[INFO] preloading {len(ds)} frames to device")
+        device_frames = [
+            jax.device_put({k: jnp.asarray(v) for k, v in ds.frame(i).items()})
+            for i in range(len(ds))
+        ]
+    order_rng = np.random.default_rng(cfg.seed)
+
+    def epoch_batches():
+        if device_frames is None:
+            yield from ds.frames()
+        else:
+            order = order_rng.permutation(len(device_frames))
+            for i in order:
+                yield device_frames[int(i)]
+
     while it < cfg.iters:
         epoch += 1
-        for batch_np in ds.frames():
+        for batch in epoch_batches():
             if it >= cfg.iters:
                 break
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            if device_frames is None:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if it % cfg.update_extra_interval == 0:
                 enc_a = field.apply(state.params, batch["auds"],
                                     method="encode_audio")

@@ -93,9 +93,13 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     t0 = time.time()
+    # device-resident frames: a per-step host upload costs more than the
+    # step itself on the tunneled chip
+    frames_dev = [jax.device_put({k: jnp.asarray(v)
+                                  for k, v in ds.frame(i).items()})
+                  for i in range(ds.num_frames)]
     for it in range(args.steps):
-        fi = it % ds.num_frames
-        batch = {k: jnp.asarray(v) for k, v in ds.frame(fi).items()}
+        batch = frames_dev[it % ds.num_frames]
         if it % 16 == 0:
             enc_a = field.apply(state.params, batch["auds"],
                                 method="encode_audio")
