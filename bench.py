@@ -50,6 +50,10 @@ def main():
                          "still transmissive (0 = single pass)")
     ap.add_argument("--stage2-frac", type=float, default=0.375,
                     help="stage-2 ray budget as a fraction of the budget")
+    ap.add_argument("--chunk", type=int, default=4,
+                    help="frames per dispatch (lax.scan inside one jitted "
+                         "call): the tunnel charges ~12 ms per dispatch "
+                         "round trip, so chunking divides that fixed cost")
     ap.add_argument("--pix-fmt", choices=["yuv420p", "rgb24"],
                     default="yuv420p",
                     help="frame layout pushed to the encoder; yuv420p halves "
@@ -126,9 +130,8 @@ def main():
             mean_density_torso=jnp.asarray(1.0))
         torso_plan = build_torso_plan(settings, occ, bg_coords)
 
-    @jax.jit
-    def render_frame(params, packed, tables, occ, auds, eye, tparams,
-                     torso_packed):
+    def render_one(params, packed, tables, occ, auds, eye, tparams,
+                   torso_packed):
         enc_a = field.apply(params, auds, method="encode_audio")
         c = params["params"]["individual_codes"][0]
 
@@ -175,38 +178,60 @@ def main():
             from lzzx_nerf_tpu.utils import rgb_to_yuv420
 
             return rgb_to_yuv420(img)
-        return (img * 255).astype(jnp.uint8)
+        return (img * 255).astype(jnp.uint8).reshape(-1)
+
+    # chunked dispatch: lax.scan over `chunk` frames inside one jitted call
+    # — the tunnel charges ~12 ms of fixed overhead per dispatch+sync, so
+    # chunking divides it (the reference batches 32 frames per wave for the
+    # same reason, TrainerUtil.py:691-699)
+    C = max(1, args.chunk)
+
+    @jax.jit
+    def render_chunk(params, packed, tables, occ, auds_c, eyes_c, tparams,
+                     torso_packed):
+        def body(carry, inp):
+            auds, eye = inp
+            buf = render_one(params, packed, tables, occ, auds, eye,
+                             tparams, torso_packed)
+            return carry, buf
+
+        _, bufs = jax.lax.scan(body, 0, (auds_c, eyes_c))
+        return bufs                                   # [C, frame_bytes]
 
     # per-frame audio windows (streaming shape [8, 16, 1024])
     rng = np.random.default_rng(0)
-    aud_stream = [jnp.asarray(rng.standard_normal((8, 16, 1024)), jnp.float32)
-                  for _ in range(args.frames)]
-    eyes = [jnp.asarray([0.15 + 0.1 * np.sin(i / 4)], jnp.float32)
-            for i in range(args.frames)]
+    n_chunks = (args.frames + C - 1) // C
+    frames_total = n_chunks * C
+    aud_stream = [jnp.asarray(rng.standard_normal((C, 8, 16, 1024)),
+                              jnp.float32) for _ in range(n_chunks)]
+    eyes = [jnp.asarray(0.15 + 0.1 * np.sin(
+        (np.arange(C) + i * C) / 4), jnp.float32)[:, None]
+        for i in range(n_chunks)]
 
     # warmup/compile
-    img = render_frame(params, packed, tables, occ, aud_stream[0], eyes[0], tparams, torso_packed)
+    img = render_chunk(params, packed, tables, occ, aud_stream[0], eyes[0],
+                       tparams, torso_packed)
     np.asarray(img)
 
     # pipelined loop, exactly like the serving session (serving/session.py):
-    # each frame's host copy starts immediately (copy_to_host_async) and the
-    # fetch happens 3 frames behind the dispatch — the tunnel's ~60 ms
-    # device->host round trip rides under ~2 frames of device compute
-    # (measured: sync fetch 97 ms/frame, double-buffer 69, depth-3 ~40)
+    # each chunk's host copy starts immediately (copy_to_host_async) and the
+    # fetch happens 2 chunks behind the dispatch — the tunnel's ~60 ms
+    # device->host round trip rides under the device compute
     from collections import deque
 
     t0 = time.perf_counter()
     q = deque()
-    for f in range(args.frames):
-        img = render_frame(params, packed, tables, occ, aud_stream[f], eyes[f], tparams, torso_packed)
+    for f in range(n_chunks):
+        img = render_chunk(params, packed, tables, occ, aud_stream[f],
+                           eyes[f], tparams, torso_packed)
         img.copy_to_host_async()
         q.append(img)
-        if len(q) >= 3:
+        if len(q) >= max(2, 3 // C + 1):
             frame_host = np.asarray(q.popleft())  # host handoff (ffmpeg)
     while q:
         frame_host = np.asarray(q.popleft())
     dt = time.perf_counter() - t0
-    fps = args.frames / dt
+    fps = frames_total / dt
 
     mrays = (res * res * fps) / 1e6
     result = {
@@ -216,8 +241,9 @@ def main():
         "vs_baseline": round(fps / 25.0, 3),
     }
     print(json.dumps(result))
-    print(f"# {mrays:.2f} Mrays/s, {dt/args.frames*1000:.1f} ms/frame, "
-          f"res={res}, samples/ray={settings.max_steps}", file=sys.stderr)
+    print(f"# {mrays:.2f} Mrays/s, {dt/frames_total*1000:.1f} ms/frame, "
+          f"res={res}, samples/ray={settings.max_steps}, chunk={C}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

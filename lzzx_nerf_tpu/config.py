@@ -156,6 +156,11 @@ class Config:
     # to the single pass when the stage-2 budget suffices. 0 disables.
     infer_stage_split: int = 8
     infer_stage2_frac: float = 0.375  # stage-2 ray budget / stage-1 budget
+    # frames per dispatch (lax.scan inside one jitted call): the remote
+    # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;
+    # chunking divides it (the reference batches 32 frames per wave,
+    # TrainerUtil.py:691-699). Adds chunk-1 frames of stream latency.
+    infer_chunk: int = 4
     budget_frac: float = 0.5  # active-ray budget as a fraction of the frame
     # bf16 prebaked triplane tables at inference: half the bytes keeps the
     # packed table VMEM-resident -> 3x gather rate on v5e (quality-guarded

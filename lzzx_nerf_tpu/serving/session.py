@@ -167,67 +167,80 @@ class InferenceSession:
             torso_plan = build_torso_plan(self.settings, self.occ, bg_coords)
 
         # smooth_lips EMA (reference renderer.py:456-460), fused into the
-        # frame program so each frame costs ONE dispatch round trip (the
-        # tunnel charges ~12 ms per dispatch+sync — PERF.md)
+        # frame program; `infer_chunk` frames render per dispatch via
+        # lax.scan (the tunnel charges ~12 ms per dispatch+sync — PERF.md)
         lam = 0.35 if cfg.smooth_lips else 0.0
+
+        def render_one(params, packed, tables, occ, pose, auds, prev_enc,
+                       has_prev, eye, torso_params, torso_packed, fmt):
+            enc_new = field.apply(params, auds, method="encode_audio")
+            if lam:
+                enc_a = jnp.where(has_prev > 0,
+                                  lam * prev_enc + (1 - lam) * enc_new,
+                                  enc_new)
+            else:
+                enc_a = enc_new
+            rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
+            c = (params["params"]["individual_codes"][0]
+                 if cfg.ind_dim > 0 else None)
+
+            def apply_packed(p, *a, **kw):
+                return field.apply(p, *a, packed=packed, **kw)
+
+            frame_bg = bg
+            if torso is not None:
+                ct = (torso_params["params"]["individual_codes_torso"][0]
+                      if cfg.ind_dim_torso > 0 else None)
+
+                def torso_apply(p, *a, **kw):
+                    return torso.apply(p, *a, packed=torso_packed, **kw)
+
+                frame_bg = run_torso_compact(torso_apply, torso_params,
+                                             torso_plan, pose, ct, bg)
+
+            if use_blocks:
+                from ..render import render_rays_compact_blocks
+
+                out = render_rays_compact_blocks(
+                    apply_packed, params, isettings, occ,
+                    rays["rays_o"][0][0], rays["rays_d"][0], ds.H, ds.W,
+                    enc_a, c, eye, frame_bg, budget=budget,
+                    window_candidates=k2, tables=tables,
+                    stage_split=stage_split, stage2_budget=stage2_budget)
+            else:
+                out = render_rays_compact(
+                    apply_packed, params, isettings, occ,
+                    rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye,
+                    frame_bg, budget=budget, window_candidates=k2,
+                    tables=tables, minimal=True,
+                    stage_split=stage_split, stage2_budget=stage2_budget)
+            img = jnp.clip(out["image"].reshape(ds.H, ds.W, 3), 0, 1)
+            if fmt == "yuv420p":
+                from ..utils import rgb_to_yuv420
+
+                buf = rgb_to_yuv420(img)
+            else:
+                buf = (img * 255).astype(jnp.uint8).reshape(-1)
+            return buf, out["n_active"], enc_a
 
         def make_render(fmt: str):
             @jax.jit
-            def render(params, packed, tables, occ, pose, auds, prev_enc,
-                       has_prev, eye, torso_params, torso_packed):
-                enc_new = field.apply(params, auds, method="encode_audio")
-                if lam:
-                    enc_a = jnp.where(has_prev > 0,
-                                      lam * prev_enc + (1 - lam) * enc_new,
-                                      enc_new)
-                else:
-                    enc_a = enc_new
-                rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
-                c = (params["params"]["individual_codes"][0]
-                     if cfg.ind_dim > 0 else None)
+            def render_chunk(params, packed, tables, occ, poses, auds_c,
+                             prev_enc, has_prev, eyes_c, torso_params,
+                             torso_packed):
+                def body(carry, inp):
+                    prev_enc, has_prev = carry
+                    pose, auds, eye = inp
+                    buf, n_act, enc_a = render_one(
+                        params, packed, tables, occ, pose, auds, prev_enc,
+                        has_prev, eye, torso_params, torso_packed, fmt)
+                    return (enc_a, jnp.float32(1.0)), (buf, n_act)
 
-                def apply_packed(p, *a, **kw):
-                    return field.apply(p, *a, packed=packed, **kw)
+                (enc_final, _), (bufs, n_acts) = jax.lax.scan(
+                    body, (prev_enc, has_prev), (poses, auds_c, eyes_c))
+                return bufs, n_acts, enc_final
 
-                frame_bg = bg
-                if torso is not None:
-                    ct = (torso_params["params"]["individual_codes_torso"][0]
-                          if cfg.ind_dim_torso > 0 else None)
-
-                    def torso_apply(p, *a, **kw):
-                        return torso.apply(p, *a, packed=torso_packed, **kw)
-
-                    frame_bg = run_torso_compact(torso_apply, torso_params,
-                                                 torso_plan, pose, ct, bg)
-
-                if use_blocks:
-                    from ..render import render_rays_compact_blocks
-
-                    out = render_rays_compact_blocks(
-                        apply_packed, params, isettings, occ,
-                        rays["rays_o"][0][0], rays["rays_d"][0], ds.H, ds.W,
-                        enc_a, c, eye, frame_bg, budget=budget,
-                        window_candidates=k2, tables=tables,
-                        stage_split=stage_split,
-                        stage2_budget=stage2_budget)
-                else:
-                    out = render_rays_compact(
-                        apply_packed, params, isettings, occ,
-                        rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye,
-                        frame_bg, budget=budget, window_candidates=k2,
-                        tables=tables, minimal=True,
-                        stage_split=stage_split,
-                        stage2_budget=stage2_budget)
-                img = jnp.clip(out["image"].reshape(ds.H, ds.W, 3), 0, 1)
-                if fmt == "yuv420p":
-                    from ..utils import rgb_to_yuv420
-
-                    buf = rgb_to_yuv420(img)
-                else:
-                    buf = (img * 255).astype(jnp.uint8)
-                return buf, out["n_active"], enc_a
-
-            return render
+            return render_chunk
 
         self._render_cache = {}
         self._make_render = make_render
@@ -281,16 +294,18 @@ class InferenceSession:
         queue: deque = deque()
 
         def consume():
-            pi, pdev, pact = queue.popleft()
-            arr = np.asarray(pdev)
-            if not self._overflow_warned and int(pact) > self.budget:
-                print(f"[WARN] frame {pi}: {int(pact)} active rays exceed "
-                      f"budget {self.budget}; overflow rendered as "
-                      f"background (raise budget_frac)")
-                self._overflow_warned = True
-            sink.push(arr.tobytes())
-            if on_frame:
-                on_frame(pi, arr)
+            base, count, bufs_dev, acts_dev = queue.popleft()
+            bufs = np.asarray(bufs_dev)
+            acts = np.asarray(acts_dev)
+            for j in range(count):
+                if not self._overflow_warned and int(acts[j]) > self.budget:
+                    print(f"[WARN] frame {base + j}: {int(acts[j])} active "
+                          f"rays exceed budget {self.budget}; overflow "
+                          f"rendered as background (raise budget_frac)")
+                    self._overflow_warned = True
+                sink.push(bufs[j].tobytes())
+                if on_frame:
+                    on_frame(base + j, bufs[j])
 
         from contextlib import nullcontext
 
@@ -304,32 +319,44 @@ class InferenceSession:
             fmt = "rgb24"
         render = self._get_render(fmt)
 
+        C = max(1, cfg.infer_chunk)
         prev_enc = (self.enc_a_smooth if self.enc_a_smooth is not None
                     else jnp.zeros((1, 32)))  # audio_dim after AudioNet
         has_prev = jnp.float32(0.0 if self.enc_a_smooth is None else 1.0)
-        for i in range(n):
+
+        def frame_inputs(i):
             fi = ds.mirror_index(i)
-            auds = jnp.asarray(ds.audio_window(i))
             if cfg.exp_eye and cfg.fix_eye >= 0:
-                eye = jnp.asarray([cfg.fix_eye], jnp.float32)
+                eye = [cfg.fix_eye]
             else:
-                eye = jnp.asarray([ds.eye_area[fi] if cfg.exp_eye else 0.0],
-                                  jnp.float32)
-            pose = jnp.asarray(ds.poses[fi])
+                eye = [ds.eye_area[fi] if cfg.exp_eye else 0.0]
+            return ds.poses[fi], ds.audio_window(i), eye
+
+        for base in range(0, n, C):
+            count = min(C, n - base)
+            # pad the tail chunk by repeating its last frame (the extra
+            # smooth-lips EMA steps re-feed the same window — harmless)
+            idxs = [base + min(j, count - 1) for j in range(C)]
+            with ph("stack-inputs"):
+                ins = [frame_inputs(i) for i in idxs]
+                poses = jnp.asarray(np.stack([p for p, _, _ in ins]))
+                auds_c = jnp.asarray(np.stack([a for _, a, _ in ins]),
+                                     jnp.float32)
+                eyes_c = jnp.asarray([e for _, _, e in ins], jnp.float32)
             with ph("dispatch"):
-                img_dev, n_act, prev_enc = render(
+                bufs, n_acts, prev_enc = render(
                     self.infer_params, self.packed, self.tables, self.occ,
-                    pose, auds, prev_enc, has_prev, eye, self.torso_params,
-                    self.torso_packed)
+                    poses, auds_c, prev_enc, has_prev, eyes_c,
+                    self.torso_params, self.torso_packed)
                 has_prev = jnp.float32(1.0)
-                if hasattr(img_dev, "copy_to_host_async"):
-                    img_dev.copy_to_host_async()
-            queue.append((i, img_dev, n_act))
-            if len(queue) >= 3:
+                if hasattr(bufs, "copy_to_host_async"):
+                    bufs.copy_to_host_async()
+            queue.append((base, count, bufs, n_acts))
+            if len(queue) >= 2:
                 with ph("fetch+sink"):
                     consume()
-            if acc and i and i % 100 == 0:
-                print(f"[profile] frame {i}: {acc.report()}")
+            if acc and base and (base // C) % 25 == 0:
+                print(f"[profile] frame {base}: {acc.report()}")
         while queue:
             consume()
         self.enc_a_smooth = prev_enc if cfg.smooth_lips else None
