@@ -104,8 +104,13 @@ def _features(params, x):
 
 def lpips(params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Perceptual distance per batch element. x, y: [B, H, W, 3] in [-1, 1].
-    H, W should be >= 16 (pad smaller patches, as the reference does for the
-    lips rect, TrainerUtil.py:298-303)."""
+    H, W must be >= 32 — the conv/pool stack collapses smaller inputs to
+    zero spatial size (NaN); pad smaller patches, as the reference does for
+    the lips rect (TrainerUtil.py:298-303)."""
+    if x.shape[1] < 32 or x.shape[2] < 32:
+        raise ValueError(
+            f"lpips needs patches >= 32x32, got {x.shape[1]}x{x.shape[2]} "
+            "(pad the crop like the reference lips rect)")
     fx = _features(params, x)
     fy = _features(params, y)
     total = 0.0

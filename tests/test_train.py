@@ -162,3 +162,31 @@ def test_data_parallel_step_matches_single_device(world):
         tol = 5e-3 if "encoder" in jtu.keystr(path) else 1e-5
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol,
                                    err_msg=jtu.keystr(path))
+
+
+def test_lpips_pretrained_loader(tmp_path, monkeypatch):
+    """get_params auto-loads the exported npz (LZZX_LPIPS_NPZ) and the meter
+    labels itself pretrained; without it, fixed-seed random backbone."""
+    from lzzx_nerf_tpu.train import lpips as lpips_mod
+    from lzzx_nerf_tpu.train.metrics import LPIPSMeter
+
+    monkeypatch.delenv("LZZX_LPIPS_NPZ", raising=False)
+    assert not lpips_mod.is_pretrained()
+    m = LPIPSMeter()
+    assert "rand-feat" in m.report()
+
+    # export-shaped npz (same keys/shapes as scripts/export_lpips.py writes)
+    p = lpips_mod.random_params(seed=3)
+    path = tmp_path / "lpips_alex.npz"
+    np.savez(path, **{k: np.asarray(v) for k, v in p.items()})
+    monkeypatch.setenv("LZZX_LPIPS_NPZ", str(path))
+    assert lpips_mod.is_pretrained()
+    loaded = lpips_mod.get_params()
+    np.testing.assert_array_equal(np.asarray(loaded["conv0"]),
+                                  np.asarray(p["conv0"]))
+    m2 = LPIPSMeter()
+    assert "rand-feat" not in m2.report()
+    # the metric runs with loaded weights
+    img = np.clip(np.random.default_rng(0).uniform(0, 1, (64, 64, 3)), 0, 1)
+    m2.update(img, img)
+    assert m2.measure() < 1e-6
