@@ -83,6 +83,12 @@ def _build_world(cfg, ds):
         jnp.ones((4, 3)) / 3 ** 0.5, jnp.asarray(b0["auds"]),
         jnp.zeros(max(cfg.ind_dim, 1)), jnp.asarray([0.25]),
         method="init_all")
+    if cfg.train_camera:
+        # per-frame pose refinement params (reference renderer.py:129-132)
+        params = dict(params)
+        params["params"] = dict(params["params"])
+        params["params"]["camera_dR"] = jnp.zeros((cfg.ind_num, 3))
+        params["params"]["camera_dT"] = jnp.zeros((cfg.ind_num, 3))
     return settings, occ, field, params
 
 
@@ -149,6 +155,7 @@ def run_train(cfg) -> None:
         ind_dim=cfg.ind_dim, exp_eye=cfg.exp_eye,
         ema_decay=cfg.ema_decay, ema_interval=cfg.ema_update_interval,
         update_extra_interval=cfg.update_extra_interval,
+        train_camera=cfg.train_camera,
         data_sharding=dp_sharding)
     step_fn = jax.jit(make_train_step(field, settings, tx,
                                       finetune_lips=False, **common))

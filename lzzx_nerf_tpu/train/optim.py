@@ -28,6 +28,10 @@ def param_label_fn(path, leaf) -> str:
         return "grid"
     if "audio_att_net" in names:
         return "att"
+    # trainable camera refinement: fixed lr 1e-5, no decay/wd
+    # (reference network.py:349-351)
+    if names & {"camera_dR", "camera_dT"}:
+        return "camera"
     return "net"
 
 
@@ -60,6 +64,8 @@ def build_optimizer(
             "grid": adamw(lr, 0.01),
             "att": adamw(lr_net * 5, 1e-4),
             "net": adamw(lr_net, 0.0),
+            "camera": optax.adamw(learning_rate=1e-5, b1=0.0, b2=0.99,
+                                  eps=1e-8, weight_decay=0.0),
         },
         label_tree,
     )

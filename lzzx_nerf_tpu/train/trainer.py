@@ -75,6 +75,7 @@ def make_train_step(
     lpips_params: Optional[Dict] = None,
     finetune_lips: bool = False,
     lips_pad: int = 32,
+    train_camera: bool = False,
     data_sharding=None,
 ):
     """Returns jit-able step(state, occ, batch, rng) -> (state, metrics).
@@ -135,8 +136,23 @@ def make_train_step(
                  if ind_dim > 0 else None)
             eye = batch["eye"] if exp_eye else None
 
+            ro, rd = rays_o, rays_d
+            if train_camera:
+                # per-frame trainable pose refinement (reference
+                # renderer.py:115-132,224-231): rays_o += dT[frame],
+                # rays_d @= R(dR_deg[frame]); optimized at lr 1e-5
+                from ..utils.pose import euler_angles_to_matrix
+
+                idx = batch["index"]
+                dT = params["params"]["camera_dT"][idx]
+                dR = euler_angles_to_matrix(
+                    params["params"]["camera_dR"][idx] / 180.0 * jnp.pi
+                    + 1e-8)
+                ro = rays_o + dT
+                rd = rays_d @ dR
+
             res = render_rays(field.apply, params, settings, occ,
-                              rays_o, rays_d, enc_a, c, eye, bg,
+                              ro, rd, enc_a, c, eye, bg,
                               noise=noise, training=True,
                               compute_uncertainty=unc_loss)
 

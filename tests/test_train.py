@@ -190,3 +190,30 @@ def test_lpips_pretrained_loader(tmp_path, monkeypatch):
     img = np.clip(np.random.default_rng(0).uniform(0, 1, (64, 64, 3)), 0, 1)
     m2.update(img, img)
     assert m2.measure() < 1e-6
+
+
+def test_train_camera_refines_pose(world):
+    """With train_camera, per-frame dR/dT get nonzero gradients and move
+    off zero under the 'camera' optimizer group (reference
+    renderer.py:115-132,224-231; network.py:349-351)."""
+    ds, settings, occ, field, params = world
+    params = dict(params)
+    params["params"] = dict(params["params"])
+    params["params"]["camera_dR"] = jnp.zeros((64, 3))
+    params["params"]["camera_dT"] = jnp.zeros((64, 3))
+
+    tx = build_optimizer(lr=1e-2, lr_net=1e-3, iters=100)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(
+        field, settings, tx, H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
+        num_rays=512, iters=100, ind_dim=4, train_camera=True,
+        update_extra_interval=16))
+    batch = {k: jnp.asarray(v) for k, v in ds.frame(0).items()}
+    s, m = step(state, occ, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    fi = int(batch["index"])
+    dT = np.asarray(s.params["params"]["camera_dT"])
+    # only the trained frame's offset moves; others stay exactly zero
+    assert np.abs(dT[fi]).max() > 0
+    others = np.delete(dT, fi, axis=0)
+    assert np.abs(others).max() == 0
