@@ -65,6 +65,11 @@ def main():
                     help="composite a torso pass under the head every frame "
                          "(the reference's operating point does, "
                          "renderer.py:553-561)")
+    ap.add_argument("--fused", type=int, default=1, choices=[0, 1, 2],
+                    help="field-MLP evaluation: 1 = folded-weight XLA "
+                         "decomposition (default, measured fastest), 2 = "
+                         "fused Pallas kernel, 0 = plain flax apply "
+                         "(ops/fused_field.py)")
     args = ap.parse_args()
 
     import jax
@@ -135,8 +140,14 @@ def main():
         enc_a = field.apply(params, auds, method="encode_audio")
         c = params["params"]["individual_codes"][0]
 
-        def apply_packed(p, *a, **kw):
-            return field.apply(p, *a, packed=packed, **kw)
+        if args.fused == 0:
+            def apply_packed(p, *a, **kw):
+                return field.apply(p, *a, packed=packed, **kw)
+        else:
+            from lzzx_nerf_tpu.models.nerf import make_fused_apply
+
+            apply_packed = make_fused_apply(field, packed,
+                                            use_kernel=args.fused == 2)
 
         frame_bg = bg
         if torso is not None:

@@ -429,8 +429,14 @@ def run_test(cfg) -> None:
                              bg_coords_full, pose, ct, bg)
             bg = tres["bg_color"]
 
-        def apply_packed(p, *a, **kw):
-            return field.apply(p, *a, packed=packed, **kw)
+        if cfg.fused_field != 0:
+            from .models.nerf import make_fused_apply
+
+            apply_packed = make_fused_apply(
+                field, packed, use_kernel=cfg.fused_field == 2)
+        else:
+            def apply_packed(p, *a, **kw):
+                return field.apply(p, *a, packed=packed, **kw)
 
         staged = dict(
             stage_split=cfg.infer_stage_split,

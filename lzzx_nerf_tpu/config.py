@@ -170,6 +170,13 @@ class Config:
     # that phase, measured -5 ms @512²; conservative superset of the
     # per-ray windows); 1 = per-ray
     infer_block: int = 2
+    # inference field-MLP evaluation (ops/fused_field.py): -1/1 = the
+    # folded-weight decomposition in XLA (per-frame constants folded into
+    # weights, ambient/uncertainty dropped — measured fastest), 2 = the
+    # fused Pallas kernel (same math; measured slower at these 64-wide
+    # layers, kept for re-evaluation), 0 = plain flax apply. Training is
+    # unaffected.
+    fused_field: int = -1
     eval_interval: int = 1
     max_keep_ckpt: int = 2
 

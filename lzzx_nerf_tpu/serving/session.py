@@ -184,8 +184,14 @@ class InferenceSession:
             c = (params["params"]["individual_codes"][0]
                  if cfg.ind_dim > 0 else None)
 
-            def apply_packed(p, *a, **kw):
-                return field.apply(p, *a, packed=packed, **kw)
+            if cfg.fused_field != 0:
+                from ..models.nerf import make_fused_apply
+
+                apply_packed = make_fused_apply(
+                    field, packed, use_kernel=cfg.fused_field == 2)
+            else:
+                def apply_packed(p, *a, **kw):
+                    return field.apply(p, *a, packed=packed, **kw)
 
             frame_bg = bg
             if torso is not None:
