@@ -213,6 +213,82 @@ def dense_triplane_encode(
     return packed_lookup(packed, u, spec)
 
 
+def _mxu_lookup_consts(spec: DenseTriplaneSpec):
+    """Constant matrices for packed_lookup_mxu: E maps the per-sample weight
+    features (one weight per (level, corner/point)) onto packed-row columns
+    (broadcast across each block's channels), Sel reduces weighted columns
+    into the 12 output channels. Both depend only on the spec."""
+    nw = sum(4 if r <= spec.pack_res else (r // spec.pack_res + 1) ** 2
+             for r in spec.resolutions)
+    E = np.zeros((nw, spec.packed_dim), np.float32)
+    Sel = np.zeros((spec.packed_dim, spec.output_dim), np.float32)
+    col = w = och = 0
+    for r, C in zip(spec.resolutions, spec.channels):
+        pts = 4 if r <= spec.pack_res else (r // spec.pack_res + 1) ** 2
+        for p in range(pts):
+            for c in range(C):
+                E[w + p, col] = 1.0
+                Sel[col, och + c] = 1.0
+                col += 1
+        w += pts
+        och += C
+    return jnp.asarray(E), jnp.asarray(Sel)
+
+
+def packed_lookup_mxu(packed: jnp.ndarray, xy01: jnp.ndarray,
+                      spec: DenseTriplaneSpec) -> jnp.ndarray:
+    """packed_lookup with the interpolation arithmetic restructured for the
+    VPU/MXU (bit-equal semantics, float-order differences only).
+
+    packed_lookup evaluates bilinear weights and the fine-level point
+    selection as ~50 ops over [B, C<=4]-wide arrays — 2-3 of 128 vector
+    lanes doing work (measured: the interp math costs as much as the
+    gather itself, ~6.5 ms vs 7.9 ms for 3.15M rows @512²). This version
+    computes one [B, n_weights] feature (separable outer products of the
+    per-level x/y corner weights; the fine-level point weights are the
+    outer product of 3-tap x/y selection convolutions), expands it to the
+    packed columns with a constant matmul, and reduces the weighted row to
+    the output channels with another constant matmul — two full-width
+    passes plus two tiny MXU contractions instead of dozens of 3-lane
+    passes."""
+    P = spec.pack_res
+    in_bounds = jnp.all((xy01 >= 0.0) & (xy01 <= 1.0), axis=-1)
+    u = jnp.clip(xy01, 0.0, 1.0)
+
+    pc = jnp.clip(jnp.floor(u * P), 0, P - 1).astype(jnp.int32)     # [B, 2]
+    rows = jnp.take(packed, pc[:, 0] * P + pc[:, 1], axis=0)
+    rows = rows.astype(jnp.float32)
+
+    feats = []
+    for r, C in zip(spec.resolutions, spec.channels):
+        cell = jnp.clip(jnp.floor(u * r), 0, r - 1).astype(jnp.int32)
+        frac = u * r - cell.astype(jnp.float32)           # [B, 2]
+        fx, fy = frac[:, :1], frac[:, 1:]
+        wx = jnp.concatenate([1.0 - fx, fx], axis=-1)     # [B, 2]
+        wy = jnp.concatenate([1.0 - fy, fy], axis=-1)
+        if r <= spec.pack_res:
+            # corner order in the row: c00 | c10 | c01 | c11 (x-major pairs)
+            w4 = wx[:, :, None] * wy[:, None, :]          # [B, 2, 2] (x, y)
+            feats.append(w4.transpose(0, 2, 1).reshape(-1, 4))
+        else:
+            ratio = r // spec.pack_res
+            n = ratio + 1
+            # 3-tap selection convolutions: WX_i = sum_dx wx_dx [px == i-dx]
+            px = (cell[:, :1] - pc[:, :1] * ratio).astype(jnp.int32)
+            py = (cell[:, 1:] - pc[:, 1:] * ratio).astype(jnp.int32)
+            i_idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+            WX = (wx[:, :1] * (px == i_idx) + wx[:, 1:] * (px == i_idx - 1))
+            WY = (wy[:, :1] * (py == i_idx) + wy[:, 1:] * (py == i_idx - 1))
+            # row point order is i-major (i over x): point (i, j) at i*n + j
+            feats.append((WX[:, :, None] * WY[:, None, :]).reshape(-1, n * n))
+    wfeat = jnp.concatenate(feats, axis=-1)               # [B, n_weights]
+
+    E, Sel = _mxu_lookup_consts(spec)
+    wv = wfeat @ E                                        # [B, packed_dim]
+    out = (rows * wv) @ Sel                               # [B, output_dim]
+    return jnp.where(in_bounds[:, None], out, 0.0)
+
+
 def reference_dense_encode(levels, xy01, spec):
     """Direct (gather-per-corner) bilinear evaluation — the semantic
     reference for tests; O(levels) gathers per point."""

@@ -288,6 +288,67 @@ class WaitVideoLoop:
                 self.proc = None
 
 
+class FilteredSink(FrameSink):
+    """Wraps a sink with a per-frame postprocess filter (an np [H, W, 3]
+    uint8 -> same callable) — the slot the reference feeds GFPGAN face
+    restoration into (TrainerUtil.optimizeResultAndWriteVideoFragmentConsume,
+    TrainerUtil.py:743-757). rgb24 inner sinks only: restoration models
+    operate on RGB frames."""
+
+    def __init__(self, inner: FrameSink, frame_filter):
+        if inner.pix_fmt != "rgb24":
+            raise ValueError(
+                "FilteredSink requires an rgb24 inner sink (frame filters "
+                f"operate on RGB frames); got pix_fmt={inner.pix_fmt!r}. "
+                "Construct the inner sink with pix_fmt='rgb24'.")
+        self.inner = inner
+        self.frame_filter = frame_filter
+        self.pix_fmt = inner.pix_fmt
+        self.count = 0
+
+    def open(self) -> None:
+        self.inner.open()
+
+    def push(self, rgb24: bytes) -> None:
+        import numpy as np
+
+        # width/height live on ffmpeg sinks; raw sinks pass bytes through
+        w = getattr(self.inner, "width", 0)
+        h = getattr(self.inner, "height", 0)
+        if w and h:
+            frame = np.frombuffer(rgb24, np.uint8).reshape(h, w, 3)
+            rgb24 = np.ascontiguousarray(
+                self.frame_filter(frame)).astype(np.uint8).tobytes()
+        self.inner.push(rgb24)
+        self.count += 1
+
+    def close(self) -> None:
+        self.inner.close()
+
+
+def load_face_restorer(upscale: int = 1):
+    """GFPGAN face-restoration filter if the optional dependency is
+    installed (the reference's face_optimize/gfpgan_util.GFPGANUtil);
+    raises with instructions otherwise. Returns a FilteredSink-compatible
+    frame filter."""
+    try:
+        from gfpgan import GFPGANer  # optional; not bundled
+    except ImportError as exc:
+        raise RuntimeError(
+            "face restoration needs the optional 'gfpgan' package (pip "
+            "install gfpgan) and its pretrained weights; the framework "
+            "does not bundle it") from exc
+
+    restorer = GFPGANer(model_path="GFPGANv1.4.pth", upscale=upscale)
+
+    def restore(frame):
+        _, _, out = restorer.enhance(frame[..., ::-1], has_aligned=False,
+                                     only_center_face=True, paste_back=True)
+        return out[..., ::-1]
+
+    return restore
+
+
 def make_sink(kind: str, width: int, height: int, fps: int = 25,
               path: str = "", rtmp_url: str = "",
               model_dir: str = "", audio_path: str = "") -> FrameSink:

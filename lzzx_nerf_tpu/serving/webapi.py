@@ -33,13 +33,18 @@ from .streaming import WaitVideoLoop, make_sink
 class ServerState:
     def __init__(self, cfg: Config, data_root: str = "data",
                  trial_root: str = ".", sink_kind: str = "null",
-                 rtmp_url: str = "", out_path: str = ""):
+                 rtmp_url: str = "", out_path: str = "",
+                 face_optimize: bool = False):
         self.cfg = cfg
         self.data_root = data_root
         self.trial_root = trial_root
         self.sink_kind = sink_kind
         self.rtmp_url = rtmp_url
         self.out_path = out_path
+        # GFPGAN face restoration on every outgoing frame (reference
+        # faceOptimize, TrainerUtil.py:743-757); needs the optional gfpgan
+        # package and rgb24 sinks
+        self.face_optimize = face_optimize
         self.session = InferenceSession(cfg)
         self.hubert = None          # lazy: needs pretrained weights
         self.model_name: Optional[str] = None
@@ -146,6 +151,14 @@ class ServerState:
                                  path=self.out_path, rtmp_url=self.rtmp_url,
                                  model_dir=model_dir,
                                  audio_path=self.audio_path)
+                if self.face_optimize:
+                    from .streaming import FilteredSink, load_face_restorer
+
+                    # restoration operates on RGB frames: switch the sink's
+                    # ingest format before it opens (the session renders in
+                    # whatever the sink declares)
+                    sink.pix_fmt = "rgb24"
+                    sink = FilteredSink(sink, load_face_restorer())
 
                 def on_frame(i, arr):
                     self.frames_done = i + 1
@@ -278,6 +291,10 @@ def main():
                          "(hubert | deepspeech | esperanto)")
     ap.add_argument("--config-json", default="",
                     help="path to a Config json for full control")
+    ap.add_argument("--face-optimize", action="store_true",
+                    help="GFPGAN face restoration on outgoing frames "
+                         "(needs the optional gfpgan package; reference "
+                         "faceOptimize)")
     args = ap.parse_args()
 
     if args.config_json:
@@ -287,7 +304,8 @@ def main():
     httpd = serve(cfg, host=args.host, port=args.port,
                   data_root=args.data_root,
                   trial_root=args.trial_root, sink_kind=args.sink,
-                  rtmp_url=args.rtmp_url, out_path=args.out)
+                  rtmp_url=args.rtmp_url, out_path=args.out,
+                  face_optimize=args.face_optimize)
     print(f"[INFO] serving on :{args.port}")
     httpd.serve_forever()
 

@@ -159,3 +159,44 @@ def test_bf16_tables_close_and_pack_shift2():
         b = np.asarray(packed_lookup(t16, u, spec))
         # bf16 mantissa: 8 bits -> ~0.4% relative
         np.testing.assert_allclose(b, a, atol=2e-2, rtol=1e-2)
+
+
+@_pytest.mark.parametrize("spec", [SPEC, SPEC1,
+                                   DenseTriplaneSpec(
+                                       resolutions=(8, 16, 32),
+                                       channels=(3, 2, 2), pack_shift=2)])
+def test_mxu_lookup_matches_packed_lookup(spec):
+    """packed_lookup_mxu (wide-row weight-vector formulation) must match the
+    narrow-slice packed_lookup to float tolerance, boundaries and OOB
+    included."""
+    from lzzx_nerf_tpu.ops.packed_triplane import packed_lookup_mxu
+
+    levels = init_dense_planes(jax.random.PRNGKey(3), spec, scale=1.0)
+    packed = bake_packed(levels, spec)
+    xy01 = jax.random.uniform(jax.random.PRNGKey(4), (513, 2),
+                              minval=-0.1, maxval=1.1)
+    xy01 = jnp.concatenate(
+        [xy01, jnp.asarray([[0.0, 0.0], [1.0, 1.0], [0.999999, 0.5],
+                            [0.5, 1.0], [1.0, 0.0]])])
+    got = packed_lookup_mxu(packed, xy01, spec)
+    want = packed_lookup(packed, xy01, spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    ref = reference_dense_encode(levels, jnp.clip(xy01, 0, 1), spec)
+    inb = np.all((np.asarray(xy01) >= 0) & (np.asarray(xy01) <= 1), -1)
+    np.testing.assert_allclose(np.asarray(got)[inb], np.asarray(ref)[inb],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mxu_lookup_default_spec_bf16_rows():
+    """The serving configuration: default spec, bf16 table rows."""
+    from lzzx_nerf_tpu.ops.packed_triplane import packed_lookup_mxu
+
+    spec = DenseTriplaneSpec()
+    levels = init_dense_planes(jax.random.PRNGKey(5), spec, scale=1.0)
+    packed = bake_packed(levels, spec, dtype=jnp.bfloat16)
+    xy01 = jax.random.uniform(jax.random.PRNGKey(6), (64, 2))
+    got = packed_lookup_mxu(packed, xy01, spec)
+    want = packed_lookup(packed, xy01, spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

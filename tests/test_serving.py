@@ -246,3 +246,42 @@ def test_yuv420_roundtrip():
     flat = jnp.full((16, 16, 3), 0.5)
     fbuf = np.asarray(rgb_to_yuv420(flat))
     np.testing.assert_allclose(yuv420_to_rgb(fbuf, 16, 16), 0.5, atol=0.01)
+
+
+def test_filtered_sink_applies_frame_filter(tmp_path):
+    """FilteredSink (the GFPGAN-restoration slot, TrainerUtil.py:743-757)
+    decodes rgb24 frames, applies the filter, and re-encodes; it refuses
+    yuv420p inner sinks."""
+    from lzzx_nerf_tpu.serving.streaming import FilteredSink, _FfmpegSink
+
+    class MemSink(RawFileSink):
+        width, height = 4, 2
+
+    inner = MemSink(str(tmp_path / "out.raw"))
+    sink = FilteredSink(inner, lambda f: 255 - f)   # invert
+    frame = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    sink.push(frame.tobytes())
+    sink.close()
+    got = np.frombuffer((tmp_path / "out.raw").read_bytes(), np.uint8)
+    np.testing.assert_array_equal(got.reshape(2, 4, 3), 255 - frame)
+
+    class Yuv(_FfmpegSink):
+        def _output_args(self):
+            return []
+
+    with pytest.raises(ValueError):
+        FilteredSink(Yuv(4, 2, pix_fmt="yuv420p"), lambda f: f)
+
+
+def test_load_face_restorer_gated():
+    """Without the optional gfpgan package, the loader raises with clear
+    instructions instead of failing deep inside serving."""
+    from lzzx_nerf_tpu.serving.streaming import load_face_restorer
+
+    try:
+        import gfpgan  # noqa: F401
+        pytest.skip("gfpgan installed; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="gfpgan"):
+        load_face_restorer()
