@@ -50,10 +50,12 @@ def main():
                          "still transmissive (0 = single pass)")
     ap.add_argument("--stage2-frac", type=float, default=0.375,
                     help="stage-2 ray budget as a fraction of the budget")
-    ap.add_argument("--chunk", type=int, default=4,
+    ap.add_argument("--chunk", type=int, default=8,
                     help="frames per dispatch (lax.scan inside one jitted "
                          "call): the tunnel charges ~12 ms per dispatch "
-                         "round trip, so chunking divides that fixed cost")
+                         "round trip, so chunking divides that fixed cost "
+                         "(the reference batches 32-frame waves, "
+                         "TrainerUtil.py:691-699; 8 adds 320 ms latency)")
     ap.add_argument("--pix-fmt", choices=["yuv420p", "rgb24"],
                     default="yuv420p",
                     help="frame layout pushed to the encoder; yuv420p halves "
@@ -65,6 +67,10 @@ def main():
                     help="composite a torso pass under the head every frame "
                          "(the reference's operating point does, "
                          "renderer.py:553-561)")
+    ap.add_argument("--march-group", type=int, default=2,
+                    help="candidates per column-bitstring fetch in the "
+                         "block-path march (2 = default; 3 halves fetch "
+                         "rows but measured slower — odd-factor repeat)")
     ap.add_argument("--fused", type=int, default=1, choices=[0, 1, 2],
                     help="field-MLP evaluation: 1 = folded-weight XLA "
                          "decomposition (default, measured fastest), 2 = "
@@ -171,7 +177,8 @@ def main():
             out = render_rays_compact_blocks(
                 apply_packed, params, settings, occ, rays_o[0], rays_d,
                 res, res, enc_a, c, eye, frame_bg, budget=budget,
-                window_candidates=args.k2 or None, tables=tables, **staged)
+                window_candidates=args.k2 or None, tables=tables,
+                march_group=args.march_group, **staged)
         elif args.path == "compact":
             out = render_rays_compact(apply_packed, params, settings, occ,
                                       rays_o, rays_d, enc_a, c, eye, frame_bg,
@@ -185,11 +192,12 @@ def main():
         # device-side packing for the host handoff (→ffmpeg): yuv420p is
         # 1.5 B/px (the encoder converts to 4:2:0 anyway) vs rgb24's 3
         img = jnp.clip(out["image"].reshape(res, res, 3), 0, 1)
+        diag = (out["n_active"], out.get("n_stage2", 0))
         if args.pix_fmt == "yuv420p":
             from lzzx_nerf_tpu.utils import rgb_to_yuv420
 
-            return rgb_to_yuv420(img)
-        return (img * 255).astype(jnp.uint8).reshape(-1)
+            return rgb_to_yuv420(img), diag
+        return (img * 255).astype(jnp.uint8).reshape(-1), diag
 
     # chunked dispatch: lax.scan over `chunk` frames inside one jitted call
     # — the tunnel charges ~12 ms of fixed overhead per dispatch+sync, so
@@ -202,12 +210,12 @@ def main():
                      torso_packed):
         def body(carry, inp):
             auds, eye = inp
-            buf = render_one(params, packed, tables, occ, auds, eye,
-                             tparams, torso_packed)
-            return carry, buf
+            buf, diag = render_one(params, packed, tables, occ, auds, eye,
+                                   tparams, torso_packed)
+            return carry, (buf, diag[0], diag[1])
 
-        _, bufs = jax.lax.scan(body, 0, (auds_c, eyes_c))
-        return bufs                                   # [C, frame_bytes]
+        _, (bufs, n_act, n_s2) = jax.lax.scan(body, 0, (auds_c, eyes_c))
+        return bufs, jnp.max(n_act), jnp.max(n_s2)    # [C, frame_bytes]
 
     # per-frame audio windows (streaming shape [8, 16, 1024])
     rng = np.random.default_rng(0)
@@ -220,9 +228,11 @@ def main():
         for i in range(n_chunks)]
 
     # warmup/compile
-    img = render_chunk(params, packed, tables, occ, aud_stream[0], eyes[0],
-                       tparams, torso_packed)
+    img, n_act, n_s2 = render_chunk(params, packed, tables, occ,
+                                    aud_stream[0], eyes[0], tparams,
+                                    torso_packed)
     np.asarray(img)
+    max_act, max_s2 = int(n_act), int(n_s2)
 
     # pipelined loop, exactly like the serving session (serving/session.py):
     # each chunk's host copy starts immediately (copy_to_host_async) and the
@@ -233,8 +243,9 @@ def main():
     t0 = time.perf_counter()
     q = deque()
     for f in range(n_chunks):
-        img = render_chunk(params, packed, tables, occ, aud_stream[f],
-                           eyes[f], tparams, torso_packed)
+        img, n_act, n_s2 = render_chunk(params, packed, tables, occ,
+                                        aud_stream[f], eyes[f], tparams,
+                                        torso_packed)
         img.copy_to_host_async()
         q.append(img)
         if len(q) >= max(2, 3 // C + 1):
@@ -253,8 +264,8 @@ def main():
     }
     print(json.dumps(result))
     print(f"# {mrays:.2f} Mrays/s, {dt/frames_total*1000:.1f} ms/frame, "
-          f"res={res}, samples/ray={settings.max_steps}, chunk={C}",
-          file=sys.stderr)
+          f"res={res}, samples/ray={settings.max_steps}, chunk={C}, "
+          f"n_active={max_act}/{budget}, n_stage2={max_s2}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -449,7 +449,8 @@ def run_test(cfg) -> None:
             out = render_rays_compact_blocks(
                 apply_packed, params, isettings, occ, rays["rays_o"][0][0],
                 rays["rays_d"][0], ds.H, ds.W, enc_a, c, eye, bg,
-                budget=budget, window_candidates=k2, tables=tables, **staged)
+                budget=budget, window_candidates=k2, tables=tables,
+                march_group=cfg.infer_march_group, **staged)
         else:
             out = render_rays_compact(
                 apply_packed, params, isettings, occ, rays["rays_o"][0],

@@ -156,11 +156,19 @@ class Config:
     # to the single pass when the stage-2 budget suffices. 0 disables.
     infer_stage_split: int = 8
     infer_stage2_frac: float = 0.375  # stage-2 ray budget / stage-1 budget
+    # candidates per column-bitstring fetch in the block-path march. The
+    # fetch reads the same dilate=1 mask at an offset the dilation covers
+    # for |d_xy| <= 2/((group-1)*sqrt(3)) — group=3 covers 0.577 (any
+    # portrait camera) and cuts march gather rows 30%, but measured SLOWER
+    # end-to-end (24.6 vs 27.3 FPS @512²): the odd-factor repeat+slice in
+    # the candidate expansion costs more than the saved rows. Keep 2.
+    infer_march_group: int = 2
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;
     # chunking divides it (the reference batches 32 frames per wave,
-    # TrainerUtil.py:691-699). Adds chunk-1 frames of stream latency.
-    infer_chunk: int = 4
+    # TrainerUtil.py:691-699, i.e. 1.28 s of batching latency — 8 frames
+    # adds 320 ms). Adds chunk-1 frames of stream latency.
+    infer_chunk: int = 8
     budget_frac: float = 0.5  # active-ray budget as a fraction of the frame
     # bf16 prebaked triplane tables at inference: half the bytes keeps the
     # packed table VMEM-resident -> 3x gather rate on v5e (quality-guarded

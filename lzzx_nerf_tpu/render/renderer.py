@@ -307,6 +307,7 @@ def render_rays_compact_blocks(
     tables: Optional[InferenceTables] = None,
     stage_split: int = 0,
     stage2_budget: int = 0,
+    march_group: int = 2,
 ) -> Dict[str, Any]:
     """Serving fast path with 2x2-pixel-block window analysis/compaction.
 
@@ -364,9 +365,16 @@ def render_rays_compact_blocks(
     t_start = nears_r + k0 * settings.dt
     t_end = jnp.minimum(fars_r, t1b)
 
+    # march_group: candidates per column-bitstring fetch. The fetch reads
+    # the SAME dilate=1 mask regardless of group — group only moves the
+    # read position off the candidate's own column by up to
+    # (group-1)/2 * sqrt(3) * |d_xy| cells, which the +-1 dilation covers
+    # for |d_xy| <= 2/((group-1)*sqrt(3)) (group=3: 0.577 — any portrait
+    # camera; this block path is the serving camera path). Larger groups
+    # risk MISSED samples, not just extra ones.
     m = march_rays_window_bitmask(
         ro, rd, t_start, t_end, slot_valid, tables.col_bitmask,
-        settings.bound, settings.dt, K2, S)
+        settings.bound, settings.dt, K2, S, group=march_group)
 
     B = budget_b * 4
     n_stage2 = None

@@ -212,7 +212,8 @@ class InferenceSession:
                     rays["rays_o"][0][0], rays["rays_d"][0], ds.H, ds.W,
                     enc_a, c, eye, frame_bg, budget=budget,
                     window_candidates=k2, tables=tables,
-                    stage_split=stage_split, stage2_budget=stage2_budget)
+                    stage_split=stage_split, stage2_budget=stage2_budget,
+                    march_group=cfg.infer_march_group)
             else:
                 out = render_rays_compact(
                     apply_packed, params, isettings, occ,

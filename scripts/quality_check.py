@@ -128,8 +128,11 @@ def main():
     staged = dict(stage_split=8,
                   stage2_budget=max(1024, int(budget * 0.375) // 1024 * 1024))
 
-    def ap16(p, *a, **kw):
-        return field.apply(p, *a, packed=packed16, **kw)
+    # the serving paths use the production apply: the folded-weight
+    # decomposition (Config.fused_field default; models/nerf.py)
+    from lzzx_nerf_tpu.models.nerf import make_fused_apply
+
+    ap16 = make_fused_apply(field, packed16)
 
     @jax.jit
     def render_A(params, occ, pose, enc_a, eye, bg):

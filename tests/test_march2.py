@@ -365,3 +365,32 @@ def test_staged_eval_matches_single_pass():
     assert np.isfinite(np.asarray(tiny["image"])).all()
     assert (np.asarray(tiny["weights_sum"])
             <= np.asarray(single["weights_sum"]) + 1e-5).all()
+
+
+def test_bitmask_march_group3_superset_camera_fov():
+    """group=3 with the same dilate=1 mask must keep every exact-march
+    sample for camera-like rays (|d_xy| <= 0.577, the documented envelope:
+    drift (group-1)/2*sqrt(3)*|d_xy| <= 1 cell, covered by the +-1
+    dilation). This is the serving block-path setting
+    (Config.infer_march_group)."""
+    occ, o, _ = _scene()
+    # portrait-camera fan: z-dominant dirs with |d_xy| up to ~0.5
+    rng = np.random.default_rng(11)
+    dxy = rng.uniform(-0.35, 0.35, (o.shape[0], 2)).astype(np.float32)
+    d = np.concatenate([dxy, np.ones((o.shape[0], 1), np.float32)], axis=1)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    assert float(jnp.abs(d[:, :2]).max()) <= 0.577
+
+    ro, rd, t0, t1, cs = _windows_and_slots(occ, o, d)
+    K2, S = 40, 40  # S == K2: nothing can be crowded out
+    v2 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, BOUND, DT,
+                           K2, S)
+    masks = column_bitmasks(occ, dilate=1)
+    v3 = march_rays_window_bitmask(ro, rd, t0, t1, cs.slot_valid, masks,
+                                   BOUND, DT, K2, S, group=3)
+    for slot in np.where(np.asarray(cs.slot_valid))[0]:
+        t2 = set(np.round(np.asarray(v2.ts[slot])[np.asarray(v2.mask[slot])],
+                          4).tolist())
+        t3 = set(np.round(np.asarray(v3.ts[slot])[np.asarray(v3.mask[slot])],
+                          4).tolist())
+        assert t2 <= t3, f"slot {slot}: group=3 lost samples {t2 - t3}"
