@@ -285,3 +285,27 @@ def test_load_face_restorer_gated():
         pass
     with pytest.raises(RuntimeError, match="gfpgan"):
         load_face_restorer()
+
+
+def test_webapi_serves_browser_ui(tmp_path):
+    """GET / serves the player page (the reference's webrtc.py UI analogue):
+    the upload -> feature -> infer -> poll state machine must be present."""
+    import threading
+    import urllib.request
+
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.webapi import serve
+
+    httpd = serve(Config(), host="127.0.0.1", port=0,
+                  data_root=str(tmp_path), trial_root=str(tmp_path))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert r.headers.get("Content-Type", "").startswith("text/html")
+            page = r.read().decode()
+        for hook in ("/api/model_select", "/api/audio_upload",
+                     "/api/inference", "/api/status", "result.mp4", "whep"):
+            assert hook in page, f"UI missing {hook}"
+    finally:
+        httpd.shutdown()
