@@ -157,8 +157,17 @@ def run_train(cfg) -> None:
         update_extra_interval=cfg.update_extra_interval,
         train_camera=cfg.train_camera,
         data_sharding=dp_sharding)
+    train_budget = (int(cfg.num_rays * cfg.train_budget_frac) // 1024 * 1024
+                    if cfg.train_budget_frac > 0 else 0)
     step_fn = jax.jit(make_train_step(field, settings, tx,
                                       finetune_lips=False, **common))
+    # ray-compacted step used after the density grid has refined
+    # (cfg.train_compact_warmup; see Config.train_budget_frac)
+    compact_step_fn = None
+    if train_budget > 0 and dp_sharding is None:
+        compact_step_fn = jax.jit(make_train_step(
+            field, settings, tx, finetune_lips=False,
+            train_budget=train_budget, **common))
     # lips finetune alternates the lips-crop LPIPS step with the normal step
     # every other iteration (reference flip_finetune_lips,
     # TrainerUtil.py:70,311-313)
@@ -219,8 +228,13 @@ def run_train(cfg) -> None:
                 occ = update_density_grid(density_fn, settings, occ, enc_a,
                                           batch.get("eye"), sub)
             rng, sub = jax.random.split(rng)
-            fn = lips_step_fn if (lips_step_fn is not None and it % 2 == 1) \
-                else step_fn
+            if lips_step_fn is not None and it % 2 == 1:
+                fn = lips_step_fn
+            elif (compact_step_fn is not None
+                  and it >= cfg.train_compact_warmup):
+                fn = compact_step_fn
+            else:
+                fn = step_fn
             state, metrics = fn(state, occ, batch, sub)
             it += 1
             if it % 100 == 0:

@@ -133,6 +133,23 @@ class Config:
     T_thresh: float = 1e-4
 
     # TPU-specific knobs (no reference equivalent)
+    # training-ray compaction budget as a fraction of num_rays (0 = off):
+    # rays whose columns hold no occupied cell skip the field entirely
+    # (render_rays_train_compact — exact; the reference's CUDA marcher
+    # spends zero compute on them too). Active rays beyond the budget are
+    # excluded from that step's loss with the survivors upweighted to keep
+    # it unbiased (n_active metric reports demand). 0.75 holds trained
+    # quality on the oracle check while cutting ~25% of the field work
+    # (0.5 measured 7.1 vs 5.0 it/s but overflowed on head-filling frames
+    # and cost ~2 dB of convergence at 3k steps — raise only with
+    # n_active headroom).
+    train_budget_frac: float = 0.75
+    # use the FULL path for the first N steps: before the density grid
+    # refines, nearly every ray is active, the budget overflows, and the
+    # overflow-drop variance measurably slows early convergence (3000-step
+    # oracle: 39.4 vs 41.7 dB). After refinement n_active fits the budget
+    # and the compact step is gradient-identical to the full one.
+    train_compact_warmup: int = 1000
     mesh_shape: Tuple[int, ...] = (1,)       # data-parallel mesh over rays
     mesh_axis_names: Tuple[str, ...] = ("data",)
     data_parallel: int = 0    # >0: train over an N-device 'data' mesh

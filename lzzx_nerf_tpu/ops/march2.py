@@ -215,9 +215,19 @@ def march_rays_window(
     num_cand: int,             # K2: static candidates within the window
     max_samples: int,          # S
     noise: Optional[jnp.ndarray] = None,
+    nears: Optional[jnp.ndarray] = None,
 ) -> MarchResult:
     """Same candidate-lattice + occupancy + first-S selection as
-    march_rays_uniform, but only over the per-ray window."""
+    march_rays_uniform, but only over the per-ray window.
+
+    noise: [B] in [0,1) start-jitter on the near-anchored lattice
+    (march.py:123 semantics: candidates at nears + (k + noise) * dt).
+    Because the window's t_start is snapped UP to the unshifted lattice,
+    the noisy point one lattice step BEFORE t_start can still fall inside
+    the window hull — the lattice therefore starts one step early and
+    candidates below the full marcher's own start (nears + noise * dt,
+    requires `nears`) are masked, which makes the window sample set
+    EXACTLY the full marcher's restricted to the hull."""
     B = rays_o.shape[0]
     H = occ_grid.shape[1]
     if max_samples > num_cand:
@@ -225,7 +235,15 @@ def march_rays_window(
             f"max_samples ({max_samples}) cannot exceed window candidates "
             f"({num_cand})")
 
-    t0 = t_start if noise is None else t_start + dt * noise
+    if noise is None:
+        t0 = t_start
+        floor_t = None
+    else:
+        if nears is None:
+            raise ValueError("noise marching needs `nears` for the lattice "
+                             "floor")
+        t0 = t_start + dt * (noise - 1.0)
+        floor_t = nears + dt * noise - 1e-4 * dt
     k = jnp.arange(num_cand, dtype=jnp.float32)
     t_cand = t0[:, None] + k[None, :] * dt                    # [B, K2]
 
@@ -236,6 +254,8 @@ def march_rays_window(
     occ = occ_lookup(occ_grid[0], flat)
 
     valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
+    if floor_t is not None:
+        valid = valid & (t_cand >= floor_t[:, None])
 
     score = jnp.where(valid, k[None, :], jnp.float32(num_cand))
     neg_topk, _ = jax.lax.top_k(-score, max_samples)

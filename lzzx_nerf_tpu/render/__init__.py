@@ -3,6 +3,7 @@
 from .state import OccupancyState, RenderSettings, init_occupancy_state
 from .renderer import (TorsoPlan, build_torso_plan, render_rays,
                        render_rays_compact, render_rays_compact_blocks,
-                       run_torso, run_torso_compact)
+                       render_rays_train_compact, run_torso,
+                       run_torso_compact)
 from .grid_update import (update_density_grid, update_torso_grid,
                           mark_untrained_grid, probe_field_grid)

@@ -289,6 +289,120 @@ def render_rays_compact(
     }
 
 
+def render_rays_train_compact(
+    field_apply,
+    params,
+    settings: RenderSettings,
+    state: OccupancyState,
+    rays_o: jnp.ndarray,            # [N, 3]
+    rays_d: jnp.ndarray,            # [N, 3]
+    enc_a: jnp.ndarray,
+    ind_code: Optional[jnp.ndarray],
+    eye: Optional[jnp.ndarray],
+    bg_color: jnp.ndarray,          # [N, 3]
+    budget: int,
+    noise: Optional[jnp.ndarray] = None,
+    compute_uncertainty: bool = True,
+    window_candidates: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Training-path ray compaction: EXACT render_rays(training=True) for
+    every contributing ray, at a fraction of the work.
+
+    The static-shape training step otherwise evaluates the field on S
+    samples for EVERY sampled ray — including the ~half whose (x, y)
+    columns contain no occupied cell and which render pure background
+    (zero field work in the reference's CUDA marcher,
+    raymarching.cu:429-440). Here those rays deactivate in the window
+    analysis (ops/march2.ray_windows) exactly as they produce zero samples
+    in march_rays_uniform, active rays compact into `budget` slots, and
+    the march uses the same per-cell occupancy test and the same noisy
+    near-anchored lattice as the full marcher — so outputs (and therefore
+    loss and gradients) match render_rays bit-for-float for every ray that
+    gets a slot. Active rays beyond the budget render as background, get
+    loss weight 0, and the surviving active rays are upweighted to keep
+    the loss unbiased (`ray_weight`); `n_active` reports the demand. Not
+    for data-sharded batches: the compaction cumsum is global.
+    """
+    N = rays_o.shape[0]
+    S = settings.max_steps
+    K2 = window_candidates or settings.num_cand + 2
+
+    aabb = jnp.asarray(settings.aabb, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, settings.min_near)
+    nears = jax.lax.stop_gradient(nears)
+    fars = jax.lax.stop_gradient(fars)
+
+    z_lo, z_hi = column_intervals(state.occ, settings.bound)
+    win = ray_windows(rays_o, rays_d, nears, fars, z_lo, z_hi,
+                      settings.bound, settings.dt)
+    cs = compact_rays(win.active, budget)
+    slotted = win.active & (jnp.cumsum(win.active.astype(jnp.int32))
+                            <= budget)
+    # per-ray loss weights: inactive rays 1, slotted active rays
+    # n_active/n_slotted (>= 1), dropped rays 0. Slotted rays are a uniform
+    # random subset of the active ones (random pixel order), so upweighting
+    # them keeps the loss an UNBIASED estimator of the full-batch loss —
+    # without it, overflow steps shift the batch composition toward
+    # background (dropped rays are exclusively active) and head convergence
+    # measurably slows. Sum of weights == N.
+    n_slot = jnp.minimum(cs.n_active, budget).astype(jnp.float32)
+    over_w = cs.n_active.astype(jnp.float32) / jnp.maximum(n_slot, 1.0)
+    ray_weight = jnp.where(win.active,
+                           jnp.where(slotted, over_w, 0.0), 1.0)
+
+    cols = [rays_o, rays_d, win.t_start[:, None], win.t_end[:, None],
+            nears[:, None], fars[:, None], bg_color]
+    if noise is not None:
+        cols.append(noise[:, None])
+    packed_rows = jnp.take(jnp.concatenate(cols, axis=-1), cs.ray_idx,
+                           axis=0)
+    ro, rd = packed_rows[:, 0:3], packed_rows[:, 3:6]
+    t0, t1 = packed_rows[:, 6], packed_rows[:, 7]
+    nears_c, fars_c = packed_rows[:, 8], packed_rows[:, 9]
+    bg_c = packed_rows[:, 10:13]
+    noise_c = packed_rows[:, 13] if noise is not None else None
+
+    m = march_rays_window(ro, rd, t0, t1, cs.slot_valid, state.occ,
+                          settings.bound, settings.dt, K2, S,
+                          noise=noise_c, nears=nears_c)
+
+    pts = m.xyzs.reshape(budget * S, 3)
+    dirs = jnp.repeat(rd, S, axis=0)
+    out = field_apply(params, pts, dirs, enc_a, ind_code, eye,
+                      compute_uncertainty=compute_uncertainty)
+    sigmas = (out.sigma * settings.density_scale).reshape(budget, S)
+    rgbs = out.color.reshape(budget, S, 3)
+    amb_aud = jnp.abs(out.ambient_aud).reshape(budget, S)
+    amb_eye = jnp.abs(out.ambient_eye).reshape(budget, S)
+    unc = out.uncertainty.reshape(budget, S)
+
+    comp = composite_rays(sigmas, rgbs, amb_aud, amb_eye, unc,
+                          m.deltas, m.ts, m.mask, T_thresh=settings.T_thresh)
+
+    image_c = comp.image + (1.0 - comp.weights_sum)[:, None] * bg_c
+    image_c = jnp.clip(image_c, 0.0, 1.0)
+    depth_c = jnp.clip(comp.depth - nears_c, 0.0) / jnp.maximum(
+        fars_c - nears_c, 1e-6)
+
+    tgt = jnp.where(cs.slot_valid, cs.ray_idx, N)
+    image = jnp.clip(bg_color, 0.0, 1.0).at[tgt].set(image_c, mode="drop")
+
+    def scat(vals):
+        return jnp.zeros((N,), vals.dtype).at[tgt].set(vals, mode="drop")
+
+    return {
+        "image": image,
+        "depth": scat(depth_c),
+        "weights_sum": scat(comp.weights_sum),
+        "ambient_aud": scat(comp.amb_aud_sum),
+        "ambient_eye": scat(comp.amb_eye_sum),
+        "uncertainty": scat(comp.uncertainty_sum),
+        "rays": (pts, dirs, m.mask.reshape(-1)),
+        "ray_weight": ray_weight,
+        "n_active": cs.n_active,
+    }
+
+
 def render_rays_compact_blocks(
     field_apply,
     params,

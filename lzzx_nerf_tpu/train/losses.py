@@ -32,11 +32,27 @@ def head_losses(
     lambda_amb: float = 1e-4,
     max_steps: int = 16,
     finetune_lips_active: bool = False,
+    ray_weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per-step scalar loss, excluding LPIPS terms (added by the caller when a
-    perceptual model is configured) and the jitter regulariser."""
+    perceptual model is configured) and the jitter regulariser.
+
+    ray_weight: [N] float per-ray loss weights from the compact training
+    path (render_rays_train_compact): 0 for budget-overflow rays (their
+    render is background, not signal), n_active/n_slotted for the active
+    rays that got slots (unbiased-estimator correction), 1 elsewhere.
+    Every mean here becomes a weighted mean; identical to the unweighted
+    loss when all weights are 1."""
     N = pred_rgb.shape[0]
     face = face_mask.astype(jnp.float32)
+    if ray_weight is None:
+        vmean = jnp.mean
+    else:
+        v = ray_weight.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(v), 1.0)
+
+        def vmean(x):
+            return jnp.sum(x * v) / denom
 
     loss = jnp.mean((pred_rgb - gt_rgb) ** 2, axis=-1)          # [N]
 
@@ -60,23 +76,25 @@ def head_losses(
         loss_static_unc = uncertainty * (1.0 - face)
         loss = loss + 1e-3 * step_factor * loss_static_unc
 
-    total = jnp.mean(loss)
+    total = vmean(loss)
 
     # weights_sum entropy (TrainerUtil.py:326-328)
-    total = total + 1e-4 * entropy_loss(outputs["weights_sum"])
+    a = jnp.clip(outputs["weights_sum"], 1e-5, 1 - 1e-5)
+    total = total + 1e-4 * vmean(-a * jnp.log2(a)
+                                 - (1 - a) * jnp.log2(1 - a))
 
     # ambient audio: regions outside the face should be audio-static
     # (TrainerUtil.py:331-336)
     lam = step_factor * lambda_amb
     if amb_aud_loss:
         amb_aud = outputs["ambient_aud"]
-        total = total + lam * jnp.mean(amb_aud * (1.0 - face))
+        total = total + lam * vmean(amb_aud * (1.0 - face))
 
     # ambient eye x ambient aud cross term inside the face
     # (TrainerUtil.py:339-343)
     if amb_eye_loss:
         amb_eye = outputs["ambient_eye"] / max_steps
-        total = total + lam * jnp.mean(
+        total = total + lam * vmean(
             amb_eye * jax.lax.stop_gradient(outputs["ambient_aud"]) * face)
 
     return total

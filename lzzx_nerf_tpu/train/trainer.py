@@ -24,7 +24,8 @@ import optax
 from flax import struct
 
 from ..models.nerf import NeRFField, TorsoField
-from ..render.renderer import render_rays, run_torso
+from ..render.renderer import (render_rays, render_rays_train_compact,
+                               run_torso)
 from ..render.state import OccupancyState, RenderSettings
 from ..utils.rays import get_bg_coords, get_rays
 from . import lpips as lpips_mod
@@ -77,6 +78,7 @@ def make_train_step(
     lips_pad: int = 32,
     train_camera: bool = False,
     data_sharding=None,
+    train_budget: int = 0,
 ):
     """Returns jit-able step(state, occ, batch, rng) -> (state, metrics).
 
@@ -151,10 +153,25 @@ def make_train_step(
                 ro = rays_o + dT
                 rd = rays_d @ dR
 
-            res = render_rays(field.apply, params, settings, occ,
-                              ro, rd, enc_a, c, eye, bg,
-                              noise=noise, training=True,
-                              compute_uncertainty=unc_loss)
+            # train_budget > 0: window-compacted training render — exact for
+            # every slotted ray, skips the field entirely for rays whose
+            # columns hold no occupied cell (render_rays_train_compact).
+            # Unavailable under data sharding (global compaction cumsum) and
+            # pointless for the lips crop (all-face rays).
+            use_compact = (train_budget > 0 and not finetune_lips
+                           and data_sharding is None)
+            if use_compact:
+                res = render_rays_train_compact(
+                    field.apply, params, settings, occ, ro, rd, enc_a, c,
+                    eye, bg, budget=train_budget, noise=noise,
+                    compute_uncertainty=unc_loss)
+                ray_weight = res["ray_weight"]
+            else:
+                res = render_rays(field.apply, params, settings, occ,
+                                  ro, rd, enc_a, c, eye, bg,
+                                  noise=noise, training=True,
+                                  compute_uncertainty=unc_loss)
+                ray_weight = None
 
             loss = head_losses(
                 res, res["image"], gt, face, step_factor,
@@ -162,6 +179,7 @@ def make_train_step(
                 amb_eye_loss=amb_eye_loss, lambda_amb=lambda_amb,
                 max_steps=settings.max_steps,
                 finetune_lips_active=finetune_lips,
+                ray_weight=ray_weight,
             )
 
             if patch_size > 1 and lpips_params is not None:
@@ -207,6 +225,10 @@ def make_train_step(
                 "mse": jnp.mean((res["image"] - gt) ** 2),
                 "weights_sum": jnp.mean(res["weights_sum"]),
             }
+            if ray_weight is not None:
+                # budget demand vs capacity (overflowed rays are excluded
+                # from the loss; persistent overflow → raise train_budget)
+                aux["n_active"] = res["n_active"]
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

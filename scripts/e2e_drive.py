@@ -87,7 +87,10 @@ def main():
             "--grid_size", "32", "--max_steps", "8", "--num_rays", "2048",
             "--data_range", "0", "-1"]
     print(f"== train {args.iters} iters")
-    cli.main(base + ["--iters", str(args.iters)])
+    # warmup 20 so the run exercises BOTH train paths (full, then the
+    # ray-compacted step after the grid refines)
+    cli.main(base + ["--iters", str(args.iters),
+                     "--train_compact_warmup", "20"])
     log = open(os.path.join(ws, "log_ngp.txt")).read()
     assert "training done" in log, log[-500:]
 

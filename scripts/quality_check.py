@@ -84,9 +84,15 @@ def main():
                         jnp.zeros(4), jnp.asarray([0.25]), method="init_all")
     tx = build_optimizer(1e-2, 1e-3, args.steps)
     state = TrainState.create(params, tx)
-    step = jax.jit(make_train_step(
-        field, settings, tx, H=res, W=res, intrinsics=ds.intrinsics,
-        num_rays=4096, iters=args.steps, ind_dim=4, ema_interval=500))
+    # train through the production policy: full path during the grid
+    # warmup, ray-compacted after (Config.train_budget_frac /
+    # train_compact_warmup defaults)
+    common = dict(H=res, W=res, intrinsics=ds.intrinsics, num_rays=4096,
+                  iters=args.steps, ind_dim=4, ema_interval=500)
+    step_full = jax.jit(make_train_step(field, settings, tx, **common))
+    step_compact = jax.jit(make_train_step(field, settings, tx,
+                                           train_budget=3072, **common))
+    warmup = 1000
 
     def density_fn(pts, ea, eye):
         return field.apply(state.params, pts, ea, eye, method="density").sigma
@@ -107,6 +113,7 @@ def main():
             occ = update_density_grid(density_fn, settings, occ, enc_a,
                                       batch.get("eye"), sub)
         rng, sub = jax.random.split(rng)
+        step = step_full if it < warmup else step_compact
         state, metrics = step(state, occ, batch, sub)
         if it % 500 == 0:
             print(f"step {it}: loss={float(metrics['loss']):.5f} "

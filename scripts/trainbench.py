@@ -1,0 +1,123 @@
+"""Training-throughput benchmark at the production configuration.
+
+Times the jitted train step at the reference's training recipe scale
+(num_rays 65536/step, grid 128, S=16 — BASELINE.md "Ray/sample budget")
+on the current platform. Training steps chain through the optimizer state,
+so a plain loop with one final fetch is honestly timed (no
+block_until_ready pitfall: the last loss fetch forces the whole chain).
+
+The reference trains 100k head iters + 25k lips + 200k torso on an
+unstated GPU. it/s here x those budgets = wall-clock on one chip.
+
+Usage: python scripts/trainbench.py [--steps 200] [--num-rays 65536]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--num-rays", type=int, default=65536)
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--grid", type=int, default=128)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--budget-frac", type=float, default=0.75,
+                    help="training-ray compaction budget as a fraction of "
+                         "num_rays (render_rays_train_compact); 0 = the "
+                         "full static path")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        args.res, args.grid, args.num_rays, args.steps = 96, 32, 1024, 8
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_lzzx_tpu" if not args.cpu
+                      else "/tmp/jax_cache_lzzx")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from lzzx_nerf_tpu.data import SyntheticTalkingHead
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.ops.march import marching_dt, num_candidates
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      update_density_grid)
+    from lzzx_nerf_tpu.train import (TrainState, build_optimizer,
+                                     make_train_step)
+
+    res, grid = args.res, args.grid
+    ds = SyntheticTalkingHead(num_frames=8, H=res, W=res)
+    dt = marching_dt(1.0, grid, 16, 1)
+    aabb = (-1.0, -0.5, -1.0, 1.0, 0.5, 1.0)
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=grid,
+                              max_steps=16, dt=dt,
+                              num_cand=num_candidates(aabb, 0.05, dt),
+                              aabb=aabb)
+    occ = init_occupancy_state(settings)
+    occ = occ._replace(occ=jnp.ones_like(occ.occ))
+
+    field = NeRFField(audio_in_dim=ds.audio_dim, ind_num=64)
+    b0 = ds.frame(0)
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, jnp.asarray(b0["auds"]),
+                        jnp.zeros(4), jnp.asarray([0.25]), method="init_all")
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    tx = build_optimizer(1e-2, 1e-3, 100_000)
+    state = TrainState.create(params, tx)
+    budget = (int(args.num_rays * args.budget_frac) // 1024 * 1024
+              if args.budget_frac > 0 else 0)
+    step = jax.jit(make_train_step(
+        field, settings, tx, H=res, W=res, intrinsics=ds.intrinsics,
+        num_rays=args.num_rays, iters=100_000, ind_dim=4,
+        ema_interval=1000, train_budget=budget))
+
+    def density_fn(pts, ea, eye):
+        return field.apply(state.params, pts, ea, eye, method="density").sigma
+
+    rng = jax.random.PRNGKey(0)
+    frames_dev = [jax.device_put({k: jnp.asarray(v)
+                                  for k, v in ds.frame(i).items()})
+                  for i in range(ds.num_frames)]
+
+    def run(n, state, occ, rng):
+        for it in range(n):
+            batch = frames_dev[it % ds.num_frames]
+            if it % 16 == 0:
+                enc_a = field.apply(state.params, batch["auds"],
+                                    method="encode_audio")
+                rng, sub = jax.random.split(rng)
+                occ = update_density_grid(density_fn, settings, occ, enc_a,
+                                          batch.get("eye"), sub)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, occ, batch, sub)
+        return state, occ, rng, metrics
+
+    # compile + warm
+    state, occ, rng, metrics = run(17, state, occ, rng)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    state, occ, rng, metrics = run(args.steps, state, occ, rng)
+    float(metrics["loss"])  # forces the whole chain
+    dt_s = time.perf_counter() - t0
+    its = args.steps / dt_s
+    n_act = (f", n_active={int(metrics['n_active'])}/{budget}"
+             if "n_active" in metrics else "")
+    print(f"train step: {its:.2f} it/s at num_rays={args.num_rays}, "
+          f"grid={grid}, S=16, budget={budget}, {n_params/1e6:.2f}M params "
+          f"({args.num_rays * its / 1e6:.2f} Mrays/s backprop){n_act}")
+    print(f"reference recipe on one chip: head 100k iters = "
+          f"{100_000 / its / 3600:.1f} h, torso 200k = "
+          f"{200_000 / its / 3600:.1f} h")
+
+
+if __name__ == "__main__":
+    main()
