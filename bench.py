@@ -22,7 +22,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="tiny config for CPU smoke runs")
-    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--frames", type=int, default=64,
+                    help="frames measured. 64 amortises the pipeline's "
+                         "fill/drain so the number reflects the sustained "
+                         "stream rate (20 frames under-reads by ~2 FPS); "
+                         "serving runs continuously, like the reference's "
+                         "25 fps output-stream operating point")
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--path", choices=["compact", "full"], default="compact",
                     help="compact = interval-guided ray-compacted march "
