@@ -546,6 +546,13 @@ def main(argv=None):
         jax.config.update("jax_platforms", plat)
     cfg = build_config(argv)
     os.makedirs(cfg.workspace, exist_ok=True)
+    if cfg.gui:
+        # the reference's dearpygui desktop viewer (TrainerUtil.py:835-994)
+        # maps to the browser UI here: live rendering is a serving concern
+        # on a TPU host, not a local-GL window
+        print("[INFO] --gui: the TPU-native equivalent is the browser UI — "
+              "run `python -m lzzx_nerf_tpu.serving.webapi --port 7860` "
+              "and open http://127.0.0.1:7860/")
     if cfg.save_mesh:
         run_save_mesh(cfg)
     elif cfg.test:

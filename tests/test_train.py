@@ -275,3 +275,17 @@ def test_compact_train_step_overflow_masks_loss(world):
     assert np.isfinite(float(m["loss"]))
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(s2.params))
+
+
+def test_config_json_roundtrip():
+    """Config.to_json/from_json roundtrips every field, including the
+    round-2 additions (serving + training knobs) — the serving session
+    adopts trained configs through this path (opt.txt)."""
+    from lzzx_nerf_tpu.config import Config
+
+    cfg = Config(train_budget_frac=0.625, train_compact_warmup=77,
+                 infer_chunk=3, infer_march_group=2, fused_field=2,
+                 face_optimize=True, num_rays=1234,
+                 offset=(0.1, 0.2, 0.3))
+    back = Config.from_json(cfg.to_json())
+    assert back == cfg
