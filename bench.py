@@ -197,7 +197,7 @@ def main():
         # device-side packing for the host handoff (→ffmpeg): yuv420p is
         # 1.5 B/px (the encoder converts to 4:2:0 anyway) vs rgb24's 3
         img = jnp.clip(out["image"].reshape(res, res, 3), 0, 1)
-        diag = (out["n_active"], out.get("n_stage2", 0))
+        diag = (out.get("n_active", 0), out.get("n_stage2", 0))
         if args.pix_fmt == "yuv420p":
             from lzzx_nerf_tpu.utils import rgb_to_yuv420
 
@@ -252,11 +252,15 @@ def main():
                                         aud_stream[f], eyes[f], tparams,
                                         torso_packed)
         img.copy_to_host_async()
-        q.append(img)
+        q.append((img, n_act, n_s2))
         if len(q) >= max(2, 3 // C + 1):
-            frame_host = np.asarray(q.popleft())  # host handoff (ffmpeg)
+            buf, a, s2 = q.popleft()
+            frame_host = np.asarray(buf)          # host handoff (ffmpeg)
+            max_act, max_s2 = max(max_act, int(a)), max(max_s2, int(s2))
     while q:
-        frame_host = np.asarray(q.popleft())
+        buf, a, s2 = q.popleft()
+        frame_host = np.asarray(buf)
+        max_act, max_s2 = max(max_act, int(a)), max(max_s2, int(s2))
     dt = time.perf_counter() - t0
     fps = frames_total / dt
 

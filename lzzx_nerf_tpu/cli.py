@@ -243,6 +243,18 @@ def run_train(cfg) -> None:
                             f"({it / (time.time() - t_start):.2f} it/s)")
                 trainer.scalar("train/loss", loss_v, it)
                 trainer.scalar("train/mse", mse_v, it)
+                if "n_active" in metrics:
+                    # compact-step budget demand: persistent overflow means
+                    # rays are excluded from the loss every step — raise
+                    # train_budget_frac (Config comment has the quality data)
+                    n_act = int(metrics["n_active"])
+                    trainer.scalar("train/n_active", n_act, it)
+                    if n_act > train_budget:
+                        trainer.log(
+                            f"[WARN] train-ray budget overflow: n_active "
+                            f"{n_act} > budget {train_budget}; overflow rays "
+                            f"are dropped from the loss (unbiased but noisy)"
+                            f" — consider raising --train_budget_frac")
         trainer.save_checkpoint(state, occ)
         if epoch % eval_interval == 0:
             psnr_meter.clear(); lpips_meter.clear()

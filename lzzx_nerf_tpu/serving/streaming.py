@@ -301,6 +301,11 @@ class FilteredSink(FrameSink):
                 "FilteredSink requires an rgb24 inner sink (frame filters "
                 f"operate on RGB frames); got pix_fmt={inner.pix_fmt!r}. "
                 "Construct the inner sink with pix_fmt='rgb24'.")
+        if not (getattr(inner, "width", 0) and getattr(inner, "height", 0)):
+            raise ValueError(
+                "FilteredSink needs a sink with width/height to decode "
+                f"frames for the filter; {type(inner).__name__} has none "
+                "(raw/null sinks are dimensionless byte pipes)")
         self.inner = inner
         self.frame_filter = frame_filter
         self.pix_fmt = inner.pix_fmt
@@ -312,13 +317,10 @@ class FilteredSink(FrameSink):
     def push(self, rgb24: bytes) -> None:
         import numpy as np
 
-        # width/height live on ffmpeg sinks; raw sinks pass bytes through
-        w = getattr(self.inner, "width", 0)
-        h = getattr(self.inner, "height", 0)
-        if w and h:
-            frame = np.frombuffer(rgb24, np.uint8).reshape(h, w, 3)
-            rgb24 = np.ascontiguousarray(
-                self.frame_filter(frame)).astype(np.uint8).tobytes()
+        w, h = self.inner.width, self.inner.height
+        frame = np.frombuffer(rgb24, np.uint8).reshape(h, w, 3)
+        rgb24 = np.ascontiguousarray(
+            self.frame_filter(frame)).astype(np.uint8).tobytes()
         self.inner.push(rgb24)
         self.count += 1
 
@@ -326,11 +328,13 @@ class FilteredSink(FrameSink):
         self.inner.close()
 
 
-def load_face_restorer(upscale: int = 1):
+def load_face_restorer(upscale: int = 1, model_path: Optional[str] = None):
     """GFPGAN face-restoration filter if the optional dependency is
     installed (the reference's face_optimize/gfpgan_util.GFPGANUtil);
     raises with instructions otherwise. Returns a FilteredSink-compatible
-    frame filter."""
+    frame filter. Weights path: `model_path` arg, else $LZZX_GFPGAN_PTH,
+    else ./GFPGANv1.4.pth — checked up front so a missing file fails here
+    with a clear message, not mid-stream in the worker thread."""
     try:
         from gfpgan import GFPGANer  # optional; not bundled
     except ImportError as exc:
@@ -339,7 +343,13 @@ def load_face_restorer(upscale: int = 1):
             "install gfpgan) and its pretrained weights; the framework "
             "does not bundle it") from exc
 
-    restorer = GFPGANer(model_path="GFPGANv1.4.pth", upscale=upscale)
+    model_path = (model_path or os.environ.get("LZZX_GFPGAN_PTH")
+                  or "GFPGANv1.4.pth")
+    if not os.path.exists(model_path):
+        raise RuntimeError(
+            f"GFPGAN weights not found at {model_path!r}; pass model_path "
+            "or set LZZX_GFPGAN_PTH")
+    restorer = GFPGANer(model_path=model_path, upscale=upscale)
 
     def restore(frame):
         _, _, out = restorer.enhance(frame[..., ::-1], has_aligned=False,

@@ -13,11 +13,15 @@ import jax
 import jax.numpy as jnp
 
 
-def entropy_loss(alphas: jnp.ndarray) -> jnp.ndarray:
-    """Binary entropy pushing weights/alphas to 0 or 1
+def binary_entropy(alphas: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise binary entropy pushing weights/alphas to 0 or 1
     (TrainerUtil.py:326-328)."""
     a = jnp.clip(alphas, 1e-5, 1 - 1e-5)
-    return jnp.mean(-a * jnp.log2(a) - (1 - a) * jnp.log2(1 - a))
+    return -a * jnp.log2(a) - (1 - a) * jnp.log2(1 - a)
+
+
+def entropy_loss(alphas: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(binary_entropy(alphas))
 
 
 def head_losses(
@@ -79,9 +83,7 @@ def head_losses(
     total = vmean(loss)
 
     # weights_sum entropy (TrainerUtil.py:326-328)
-    a = jnp.clip(outputs["weights_sum"], 1e-5, 1 - 1e-5)
-    total = total + 1e-4 * vmean(-a * jnp.log2(a)
-                                 - (1 - a) * jnp.log2(1 - a))
+    total = total + 1e-4 * vmean(binary_entropy(outputs["weights_sum"]))
 
     # ambient audio: regions outside the face should be audio-static
     # (TrainerUtil.py:331-336)

@@ -70,3 +70,54 @@ def staged_profile(
 def trace(log_dir: str):
     """jax.profiler trace context (viewable in TensorBoard/XProf)."""
     return jax.profiler.trace(log_dir)
+
+
+def chain_time(fn, args, iters=30, label=""):
+    """Trustworthy device timing on the tunneled axon platform, where
+    block_until_ready can return BEFORE compute finishes (naive dispatch
+    loops read absurd sub-dispatch times — see PERF.md).
+
+    Chains `iters` evaluations of fn(*args) through a lax.scan carry (each
+    iteration's first float argument is perturbed by a negligible function
+    of the previous output, forcing sequential device execution inside ONE
+    program), fetches one scalar, and subtracts a measured no-op fetch RTT.
+    Returns ms per iteration. Used by scripts/{gather,fused,phase}bench."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    float_idx = next(i for i, a in enumerate(args)
+                     if hasattr(a, "dtype")
+                     and jnp.issubdtype(a.dtype, jnp.floating))
+
+    @jax.jit
+    def chained(*args):
+        def body(c, _):
+            a = list(args)
+            a[float_idx] = a[float_idx] + c.astype(a[float_idx].dtype)
+            out = fn(*a)
+            s = sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
+                    for x in jax.tree.leaves(out)
+                    if jnp.issubdtype(x.dtype, jnp.inexact))
+            return s * 1e-30, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    @jax.jit
+    def nop(*args):
+        return args[float_idx].reshape(-1)[0]
+
+    float(nop(*args))
+    t0 = time.perf_counter()
+    float(nop(*args))
+    rtt = time.perf_counter() - t0
+
+    float(chained(*args))  # compile
+    t0 = time.perf_counter()
+    float(chained(*args))
+    ms = (time.perf_counter() - t0 - rtt) / iters * 1e3
+    if label:
+        print(f"{label:28s}: {ms:8.2f} ms")
+    return ms

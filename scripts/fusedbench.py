@@ -7,10 +7,10 @@ Measures the field-MLP phase in isolation on representative serving shapes
 """
 
 import argparse
+import os
 import sys
-import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -22,36 +22,7 @@ from lzzx_nerf_tpu.ops.fused_field import (extract_field_weights,
                                            fused_field_eval_reference)
 
 
-def timeit(eval_fn, fw, enc_x, d, iters=50):
-    """Robust device timing through the tunnel: chain `iters` evaluations
-    through a lax.scan carry (each iteration's input depends on the previous
-    output, so the device must run them sequentially inside ONE program),
-    fetch one scalar, subtract the measured fetch RTT. block_until_ready on
-    this platform can return before compute finishes, so per-dispatch
-    python-side timing is meaningless."""
-
-    @jax.jit
-    def chained(fw, enc_x, d):
-        def body(c, _):
-            sigma, color = eval_fn(fw, enc_x + c, d)
-            return sigma[0] * 1e-30, None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
-
-    @jax.jit
-    def nop(fw, enc_x, d):
-        return enc_x[0, 0]
-
-    float(nop(fw, enc_x, d))
-    t0 = time.perf_counter()
-    float(nop(fw, enc_x, d))
-    rtt = time.perf_counter() - t0
-
-    float(chained(fw, enc_x, d))  # compile
-    t0 = time.perf_counter()
-    float(chained(fw, enc_x, d))
-    return (time.perf_counter() - t0 - rtt) / iters * 1e3
+from lzzx_nerf_tpu.utils.profiling import chain_time
 
 
 def main():
@@ -89,7 +60,7 @@ def main():
         def xla_eval(fw, e, d, c=cdt):
             return fused_field_eval_reference(fw, e, d, compute_dtype=c)
 
-        ms = timeit(xla_eval, fw, enc_x, d, iters=args.iters)
+        ms = chain_time(xla_eval, (fw, enc_x, d), iters=args.iters)
         print(f"XLA chain       {tag:>5}: {ms:8.2f} ms  "
               f"({N/ms*1e3/1e6:.0f} Msamples/s)")
 
@@ -102,7 +73,7 @@ def main():
                                         compute_dtype=c)
 
             try:
-                ms = timeit(eval_tile, fw, enc_x, d, iters=args.iters)
+                ms = chain_time(eval_tile, (fw, enc_x, d), iters=args.iters)
                 print(f"pallas {tag:>4} T={tile:5d}: {ms:8.2f} ms  "
                       f"({N/ms*1e3/1e6:.0f} Msamples/s)")
             except Exception as exc:  # noqa: BLE001 — report, try next tile

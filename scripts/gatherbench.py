@@ -21,36 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_time(fn, args, iters=30):
-    float_idx = next(i for i, a in enumerate(args)
-                     if jnp.issubdtype(a.dtype, jnp.floating))
-
-    @jax.jit
-    def chained(*args):
-        def body(c, _):
-            a = list(args)
-            a[float_idx] = a[float_idx] + c.astype(a[float_idx].dtype)
-            out = fn(*a)
-            s = sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
-                    for x in jax.tree.leaves(out)
-                    if jnp.issubdtype(x.dtype, jnp.inexact))
-            return s * 1e-30, None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
-
-    @jax.jit
-    def nop(*args):
-        return args[float_idx].reshape(-1)[0]
-
-    float(nop(*args))
-    t0 = time.perf_counter()
-    float(nop(*args))
-    rtt = time.perf_counter() - t0
-    float(chained(*args))
-    t0 = time.perf_counter()
-    float(chained(*args))
-    return (time.perf_counter() - t0 - rtt) / iters * 1e3
+from lzzx_nerf_tpu.utils.profiling import chain_time
 
 
 def main():

@@ -23,46 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def chain_time(fn, args, iters=30, label=""):
-    """Time fn(*args) by scan-chaining: perturb the first float arg by a
-    negligible carry derived from the previous output, so iterations
-    serialize on-device. Returns ms/iter (RTT-corrected)."""
-    import jax
-    import jax.numpy as jnp
-
-    float_idx = next(i for i, a in enumerate(args)
-                     if hasattr(a, "dtype") and
-                     jnp.issubdtype(a.dtype, jnp.floating))
-
-    @jax.jit
-    def chained(*args):
-        def body(c, _):
-            a = list(args)
-            a[float_idx] = a[float_idx] + c.astype(a[float_idx].dtype)
-            out = fn(*a)
-            s = sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
-                    for x in jax.tree.leaves(out)
-                    if jnp.issubdtype(x.dtype, jnp.inexact))
-            return s * 1e-30, None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
-
-    @jax.jit
-    def nop(*args):
-        return args[float_idx].reshape(-1)[0]
-
-    float(nop(*args))
-    t0 = time.perf_counter()
-    float(nop(*args))
-    rtt = time.perf_counter() - t0
-
-    float(chained(*args))  # compile
-    t0 = time.perf_counter()
-    float(chained(*args))
-    ms = (time.perf_counter() - t0 - rtt) / iters * 1e3
-    print(f"{label:28s}: {ms:8.2f} ms")
-    return ms
+from lzzx_nerf_tpu.utils.profiling import chain_time
 
 
 def main():
