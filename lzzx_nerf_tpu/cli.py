@@ -114,6 +114,13 @@ def run_train(cfg) -> None:
     val = NeRFDataset(cfg, type="val")
     settings, occ, field, params = _build_world(cfg, ds)
     trainer = Trainer(cfg.workspace, max_keep_ckpt=cfg.max_keep_ckpt)
+    if distributed and not is_coordinator():
+        # rank-0-only IO (reference local_rank==0 gates,
+        # TrainerUtil.py:177-184): concurrent log/opt.txt appends interleave
+        # and concurrent orbax saves on a shared workspace corrupt
+        trainer.log = lambda *a, **kw: None
+        trainer.scalar = lambda *a, **kw: None
+        trainer.save_checkpoint = lambda *a, **kw: None
 
     # data-parallel mesh over the ray batch (--data_parallel N). Params stay
     # replicated; with_sharding_constraint in the train step shards the
@@ -133,9 +140,10 @@ def run_train(cfg) -> None:
     trainer.log(f"[INFO] {len(ds.poses)} train frames, res {ds.H}x{ds.W}, "
                 f"encoder={cfg.encoder}, iters={cfg.iters}")
     # one JSON document per line (appended per run); the serving session
-    # adopts the last line when loading this workspace
-    with open(os.path.join(cfg.workspace, "opt.txt"), "a") as f:
-        f.write(cfg.to_json(indent=None) + "\n")
+    # adopts the last line when loading this workspace (rank-0 writes only)
+    if not distributed or is_coordinator():
+        with open(os.path.join(cfg.workspace, "opt.txt"), "a") as f:
+            f.write(cfg.to_json(indent=None) + "\n")
 
     tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters, cfg.finetune_lips)
     state = TrainState.create(params, tx)
@@ -199,11 +207,28 @@ def run_train(cfg) -> None:
     # step itself — so preloading is the training-throughput lever here.
     device_frames = None
     if cfg.preload:
-        trainer.log(f"[INFO] preloading {len(ds)} frames to device")
-        device_frames = [
-            jax.device_put({k: jnp.asarray(v) for k, v in ds.frame(i).items()})
-            for i in range(len(ds))
-        ]
+        # estimate before committing: a real multi-minute dataset can be
+        # tens of GB of frame arrays — fail softly into streaming instead
+        # of an opaque device OOM mid-preload (the reference's preload
+        # tiers gate the same way, provider.py:453-473)
+        probe = {k: np.asarray(v) for k, v in ds.frame(0).items()}
+        per_frame = sum(v.nbytes for v in probe.values()
+                        if hasattr(v, "nbytes"))
+        total = per_frame * len(ds)
+        limit = float(os.environ.get("LZZX_PRELOAD_BYTES", 10e9))
+        if total > limit:
+            trainer.log(f"[WARN] --preload skipped: {len(ds)} frames x "
+                        f"{per_frame/1e6:.1f} MB = {total/1e9:.1f} GB > "
+                        f"{limit/1e9:.1f} GB budget (LZZX_PRELOAD_BYTES); "
+                        f"streaming from host instead")
+        else:
+            trainer.log(f"[INFO] preloading {len(ds)} frames to device "
+                        f"({total/1e9:.2f} GB)")
+            device_frames = [
+                jax.device_put({k: jnp.asarray(v)
+                                for k, v in ds.frame(i).items()})
+                for i in range(len(ds))
+            ]
     order_rng = np.random.default_rng(cfg.seed)
 
     def epoch_batches():
@@ -286,7 +311,8 @@ def run_train_torso(cfg, ds, settings, occ, trainer) -> None:
     from .train.trainer import make_torso_train_step
 
     torso = TorsoField(torso_shrink=cfg.torso_shrink,
-                       ind_dim_torso=cfg.ind_dim_torso, ind_num=cfg.ind_num)
+                       ind_dim_torso=cfg.ind_dim_torso, ind_num=cfg.ind_num,
+                       encoder="dense" if cfg.encoder == "dense" else "tiled")
     b0 = ds.frame(0)
     tparams = torso.init(jax.random.PRNGKey(cfg.seed),
                          jnp.zeros((4, 2)), jnp.asarray(b0["pose"]),
@@ -403,7 +429,10 @@ def run_test(cfg) -> None:
         torso_ws = cfg.workspace.rstrip("/")
         torso_ws = torso_ws if torso_ws.endswith("_torso") else torso_ws + "_torso"
         torso = TorsoField(torso_shrink=cfg.torso_shrink,
-                           ind_dim_torso=cfg.ind_dim_torso, ind_num=cfg.ind_num)
+                           ind_dim_torso=cfg.ind_dim_torso,
+                           ind_num=cfg.ind_num,
+                           encoder="dense" if cfg.encoder == "dense"
+                           else "tiled")
         tparams = torso.init(jax.random.PRNGKey(0), jnp.zeros((4, 2)),
                              jnp.eye(4), jnp.zeros(max(cfg.ind_dim_torso, 1)))
         t_state = TrainState.create(tparams, tx)
@@ -413,6 +442,13 @@ def run_test(cfg) -> None:
         # a fresh (empty) head occupancy
         occ = occ._replace(density_grid_torso=occ_t.density_grid_torso,
                            mean_density_torso=occ_t.mean_density_torso)
+        # torso renders from EMA weights too, like the head and like the
+        # serving session (session.py:119-120) — run_test's metrics must
+        # measure the combination serving actually streams
+        if cfg.use_ema and torso_state is not None:
+            tp_ema = dict(torso_state.params)
+            tp_ema["params"] = torso_state.ema_params
+            torso_state = torso_state.replace(params=tp_ema)
         trainer.log(f"[INFO] torso ckpt ({torso_ws}) resumed={t_ok}")
 
     budget = max(1024, int(cfg.budget_frac * ds.H * ds.W) // 1024 * 1024)
@@ -440,8 +476,23 @@ def run_test(cfg) -> None:
         lambda o: build_inference_tables(o, settings.bound))(occ.occ)
 
     @jax.jit
-    def render_frame(params, packed, torso_params, occ, pose, auds, eye):
+    def render_frame(params, packed, torso_params, occ, pose, auds, eye,
+                     index):
         rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
+        ray_o_origin = rays["rays_o"][0][0]
+        rays_d = rays["rays_d"][0]
+        if cfg.train_camera and "camera_dT" in params["params"]:
+            # apply the learned per-frame pose refinement exactly as the
+            # train step does (train/trainer.py train_camera; reference
+            # renderer.py:224-231) — without this, camera-trained models
+            # render systematically mis-posed at test time
+            from .utils.pose import euler_angles_to_matrix
+
+            dT = params["params"]["camera_dT"][index]
+            dR = euler_angles_to_matrix(
+                params["params"]["camera_dR"][index] / 180.0 * jnp.pi + 1e-8)
+            ray_o_origin = ray_o_origin + dT
+            rays_d = rays_d @ dR
         enc_a = field.apply(params, auds, method="encode_audio")
         c = (params["params"]["individual_codes"][0]
              if cfg.ind_dim > 0 else None)
@@ -473,48 +524,59 @@ def run_test(cfg) -> None:
             from .render import render_rays_compact_blocks
 
             out = render_rays_compact_blocks(
-                apply_packed, params, isettings, occ, rays["rays_o"][0][0],
-                rays["rays_d"][0], ds.H, ds.W, enc_a, c, eye, bg,
+                apply_packed, params, isettings, occ, ray_o_origin,
+                rays_d, ds.H, ds.W, enc_a, c, eye, bg,
                 budget=budget, window_candidates=k2, tables=tables,
                 march_group=cfg.infer_march_group, **staged)
         else:
             out = render_rays_compact(
-                apply_packed, params, isettings, occ, rays["rays_o"][0],
-                rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
+                apply_packed, params, isettings, occ,
+                jnp.broadcast_to(ray_o_origin, rays_d.shape),
+                rays_d, enc_a, c, eye, bg, budget=budget,
                 window_candidates=k2, tables=tables, minimal=True, **staged)
-        return out["image"].reshape(ds.H, ds.W, 3), out["n_active"]
+        return (out["image"].reshape(ds.H, ds.W, 3), out["n_active"],
+                out.get("n_stage2", 0))
 
     out_dir = os.path.join(cfg.workspace, "results")
     os.makedirs(out_dir, exist_ok=True)
     meters = [PSNRMeter(), LPIPSMeter(), LMDMeter()] if ds.has_gt else []
     t0 = time.time()
     tp = torso_state.params if torso_state is not None else None
-    overflow_warned = False
+    s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
+    overflow_warned = s2_warned = False
 
-    def consume(i, img_dev, n_active_dev):
-        nonlocal overflow_warned
+    def consume(i, img_dev, n_active_dev, n_s2_dev, gt):
+        nonlocal overflow_warned, s2_warned
         img_np = np.asarray(img_dev)
         if not overflow_warned and int(n_active_dev) > budget:
             trainer.log(f"[WARN] frame {i}: {int(n_active_dev)} active rays "
                         f"exceed budget {budget}; overflow rendered as "
                         f"background (raise --budget_frac)")
             overflow_warned = True
+        if not s2_warned and int(n_s2_dev) > s2_budget:
+            trainer.log(f"[WARN] frame {i}: {int(n_s2_dev)} stage-2 "
+                        f"survivors exceed budget {s2_budget}; overflow "
+                        f"rays truncate at the split (raise "
+                        f"--infer_stage2_frac)")
+            s2_warned = True
         _save_image(img_np, os.path.join(out_dir, f"{i:05d}.png"))
         for m in meters:
-            m.update(img_np, ds.frame(i)["image"])
+            m.update(img_np, gt)
 
     # double-buffered loop: frame i+1 is enqueued before frame i's pixels are
     # fetched (same overlap as serving/session.py run)
     pending = None
     for i in range(len(ds)):
         b = ds.frame(i)
-        img, n_act = render_frame(infer_params, packed, tp, occ,
-                                  jnp.asarray(b["pose"]),
-                                  jnp.asarray(b["auds"]),
-                                  jnp.asarray(b["eye"]))
+        img, n_act, n_s2 = render_frame(infer_params, packed, tp, occ,
+                                        jnp.asarray(b["pose"]),
+                                        jnp.asarray(b["auds"]),
+                                        jnp.asarray(b["eye"]),
+                                        jnp.asarray(i, jnp.int32))
         if pending is not None:
             consume(*pending)
-        pending = (i, img, n_act)
+        pending = (i, img, n_act, n_s2,
+                   b["image"] if ds.has_gt else None)
     if pending is not None:
         consume(*pending)
     fps = len(ds) / (time.time() - t0)

@@ -283,6 +283,7 @@ def march_rays_window_bitmask(
     num_cand: int,             # K2
     max_samples: int,          # S
     group: int = 2,
+    select: str = "topk",
 ) -> MarchResult:
     """march_rays_window with the occupancy test restructured for the TPU
     memory system: instead of one gather row per (ray, candidate) —
@@ -334,11 +335,7 @@ def march_rays_window_bitmask(
     occ = ((wsel >> bit) & jnp.uint32(1)) > 0
 
     valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
-    score = jnp.where(valid, k[None], jnp.float32(num_cand))
-    neg_topk, _ = jax.lax.top_k(-score, max_samples)
-    sel_k = -neg_topk
-    mask = sel_k < num_cand
-    sel_k = jnp.where(mask, sel_k, 0.0)
+    sel_k, mask = _first_s_select(valid, num_cand, max_samples, select)
 
     t_sel = t_start[:, None] + sel_k * dt
     xyzs = jnp.clip(
@@ -346,6 +343,32 @@ def march_rays_window_bitmask(
         -bound, bound)
     deltas = jnp.where(mask, dt, 0.0)
     return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
+
+
+def _first_s_select(valid: jnp.ndarray, num_cand: int, max_samples: int,
+                    select: str = "topk"):
+    """First-S selection: per ray, the lattice indices of the first
+    `max_samples` valid candidates (in order) -> (sel_k [B, S] float,
+    mask [B, S] bool).
+
+    "topk": lax.top_k over a masked score. "rank": cumsum ranks + a
+    [B, K2, S] one-hot reduction (no sort). Same result; relative speed is
+    platform-dependent — measured on the serving shapes before choosing."""
+    k = jnp.arange(num_cand, dtype=jnp.float32)
+    if select == "topk":
+        score = jnp.where(valid, k[None], jnp.float32(num_cand))
+        neg_topk, _ = jax.lax.top_k(-score, max_samples)
+        sel_k = -neg_topk
+        mask = sel_k < num_cand
+        return jnp.where(mask, sel_k, 0.0), mask
+    if select == "rank":
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)      # [B, K2]
+        slot = jnp.arange(1, max_samples + 1, dtype=jnp.int32)
+        sel = valid[:, :, None] & (rank[:, :, None] == slot[None, None, :])
+        sel_k = jnp.sum(k[None, :, None] * sel, axis=1)         # [B, S]
+        mask = jnp.any(sel, axis=1)
+        return sel_k, mask
+    raise ValueError(f"unknown select mode {select!r}")
 
 
 def default_window_candidates(bound: float, grid_size: int, dt: float,

@@ -104,9 +104,11 @@ class InferenceSession:
         if os.path.isdir(os.path.join(torso_ws, "checkpoints")):
             from ..models import TorsoField
 
-            torso = TorsoField(torso_shrink=self.cfg.torso_shrink,
-                               ind_dim_torso=self.cfg.ind_dim_torso,
-                               ind_num=self.cfg.ind_num)
+            torso = TorsoField(
+                torso_shrink=self.cfg.torso_shrink,
+                ind_dim_torso=self.cfg.ind_dim_torso,
+                ind_num=self.cfg.ind_num,
+                encoder="dense" if self.cfg.encoder == "dense" else "tiled")
             tp = torso.init(jax.random.PRNGKey(0), jnp.zeros((4, 2)),
                             jnp.eye(4),
                             jnp.zeros(max(self.cfg.ind_dim_torso, 1)))
@@ -126,7 +128,7 @@ class InferenceSession:
                 self.occ = self.occ._replace(
                     density_grid_torso=occ_t.density_grid_torso,
                     mean_density_torso=occ_t.mean_density_torso)
-        self._overflow_warned = False
+        self._overflow_warned = self._s2_warned = False
         self._compile_render()
         self._built = True
 
@@ -152,6 +154,7 @@ class InferenceSession:
         stage_split = cfg.infer_stage_split
         stage2_budget = max(1024, int(budget * cfg.infer_stage2_frac)
                             // 1024 * 1024)
+        self.stage2_budget = stage2_budget
         bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
         use_blocks = (cfg.infer_block == 2 and ds.H % 2 == 0
                       and ds.W % 2 == 0 and budget % 4 == 0)
@@ -228,7 +231,7 @@ class InferenceSession:
                 buf = rgb_to_yuv420(img)
             else:
                 buf = (img * 255).astype(jnp.uint8).reshape(-1)
-            return buf, out["n_active"], enc_a
+            return buf, out["n_active"], out.get("n_stage2", 0), enc_a
 
         def make_render(fmt: str):
             @jax.jit
@@ -238,14 +241,14 @@ class InferenceSession:
                 def body(carry, inp):
                     prev_enc, has_prev = carry
                     pose, auds, eye = inp
-                    buf, n_act, enc_a = render_one(
+                    buf, n_act, n_s2, enc_a = render_one(
                         params, packed, tables, occ, pose, auds, prev_enc,
                         has_prev, eye, torso_params, torso_packed, fmt)
-                    return (enc_a, jnp.float32(1.0)), (buf, n_act)
+                    return (enc_a, jnp.float32(1.0)), (buf, n_act, n_s2)
 
-                (enc_final, _), (bufs, n_acts) = jax.lax.scan(
+                (enc_final, _), (bufs, n_acts, n_s2s) = jax.lax.scan(
                     body, (prev_enc, has_prev), (poses, auds_c, eyes_c))
-                return bufs, n_acts, enc_final
+                return bufs, n_acts, jnp.max(n_s2s), enc_final
 
             return render_chunk
 
@@ -301,9 +304,16 @@ class InferenceSession:
         queue: deque = deque()
 
         def consume():
-            base, count, bufs_dev, acts_dev = queue.popleft()
+            base, count, bufs_dev, acts_dev, s2_dev = queue.popleft()
             bufs = np.asarray(bufs_dev)
             acts = np.asarray(acts_dev)
+            if (not self._s2_warned
+                    and int(s2_dev) > self.stage2_budget):
+                print(f"[WARN] chunk at frame {base}: {int(s2_dev)} stage-2 "
+                      f"survivors exceed budget {self.stage2_budget}; "
+                      f"overflow rays truncate at the split (raise "
+                      f"infer_stage2_frac)")
+                self._s2_warned = True
             for j in range(count):
                 if not self._overflow_warned and int(acts[j]) > self.budget:
                     print(f"[WARN] frame {base + j}: {int(acts[j])} active "
@@ -351,14 +361,14 @@ class InferenceSession:
                                      jnp.float32)
                 eyes_c = jnp.asarray([e for _, _, e in ins], jnp.float32)
             with ph("dispatch"):
-                bufs, n_acts, prev_enc = render(
+                bufs, n_acts, n_s2, prev_enc = render(
                     self.infer_params, self.packed, self.tables, self.occ,
                     poses, auds_c, prev_enc, has_prev, eyes_c,
                     self.torso_params, self.torso_packed)
                 has_prev = jnp.float32(1.0)
                 if hasattr(bufs, "copy_to_host_async"):
                     bufs.copy_to_host_async()
-            queue.append((base, count, bufs, n_acts))
+            queue.append((base, count, bufs, n_acts, n_s2))
             if len(queue) >= 2:
                 with ph("fetch+sink"):
                     consume()

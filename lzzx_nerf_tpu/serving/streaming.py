@@ -243,10 +243,11 @@ class FfmpegOverlaySink(_FfmpegSink):
 
     def command(self) -> list:
         """The full ffmpeg argv (exposed for tests; open() runs exactly
-        this)."""
+        this). stdin format follows self.pix_fmt — the session renders
+        frames in whatever the sink declares."""
         return [
             "ffmpeg", "-y", "-loglevel", "error",
-            "-f", "rawvideo", "-pix_fmt", "rgb24",
+            "-f", "rawvideo", "-pix_fmt", self.pix_fmt,
             "-s", f"{self.width}x{self.height}", "-r", str(self.fps),
             "-i", "-",
         ] + self._input_args() + self._output_args()
@@ -255,6 +256,7 @@ class FfmpegOverlaySink(_FfmpegSink):
         if shutil.which("ffmpeg") is None:
             raise RuntimeError("ffmpeg not found on PATH")
         self.proc = subprocess.Popen(self.command(), stdin=subprocess.PIPE)
+        self._attach_pump()
 
 
 class WaitVideoLoop:

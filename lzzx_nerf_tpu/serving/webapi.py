@@ -208,6 +208,11 @@ def make_handler(state: ServerState):
                 elif self.path.startswith("/api/models"):
                     self._send(200, state.list_models())
                 elif self.path.startswith("/result.mp4"):
+                    if state.busy:
+                        # ffmpeg still has the file open (moov atom
+                        # unwritten) — a partial read is unplayable
+                        return self._send(409, {"error": "rendering in "
+                                                "progress; poll /api/status"})
                     if not (state.out_path
                             and os.path.exists(state.out_path)):
                         return self._send(404, {"error": "no result yet"})

@@ -115,6 +115,22 @@ def test_overlay_sink_command(tmp_path):
     fc = single.command()[single.command().index("-filter_complex") + 1]
     assert "split" not in fc and "overlay=0:0" in fc
 
+    # the stdin format must match what the session renders (sink.pix_fmt) —
+    # a hardcoded rgb24 against the yuv420p default scrambled the stream
+    cmd = s.command()
+    assert cmd[cmd.index("-pix_fmt") + 1] == s.pix_fmt
+
+    # open() must attach the frame pump attribute push()/close() rely on
+    # (regression: FfmpegOverlaySink.open override skipped _attach_pump ->
+    # AttributeError on the first pushed frame)
+    import unittest.mock as um
+
+    with um.patch("subprocess.Popen") as pop, \
+         um.patch("shutil.which", return_value="/usr/bin/ffmpeg"):
+        pop.return_value.stdin.fileno.return_value = 1
+        s.open()
+    assert hasattr(s, "pump")
+
 
 def test_make_sink_picks_overlay_when_crop_params_exist(tmp_path):
     import json as js
