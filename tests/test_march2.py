@@ -394,3 +394,17 @@ def test_bitmask_march_group3_superset_camera_fov():
         t3 = set(np.round(np.asarray(v3.ts[slot])[np.asarray(v3.mask[slot])],
                           4).tolist())
         assert t2 <= t3, f"slot {slot}: group=3 lost samples {t2 - t3}"
+
+
+def test_first_s_select_rank_matches_topk():
+    """The sort-free 'rank' first-S selection must match lax.top_k exactly
+    (measured speed-equal on-chip; kept as the documented alternative)."""
+    from lzzx_nerf_tpu.ops.march2 import _first_s_select
+
+    rng = np.random.default_rng(5)
+    valid = jnp.asarray(rng.random((64, 40)) < 0.3)
+    for S in (1, 8, 16, 40):
+        ka, ma = _first_s_select(valid, 40, S, "topk")
+        kb, mb = _first_s_select(valid, 40, S, "rank")
+        np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+        np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
