@@ -51,6 +51,8 @@ class InferenceTables(NamedTuple):
     z_lo: jnp.ndarray         # [H, H] per-column window lower bound (world z)
     z_hi: jnp.ndarray         # [H, H] upper bound
     col_bitmask: jnp.ndarray  # [H*H, H//32] uint32, xy-dilated z-occupancy
+    col_nbmask: jnp.ndarray   # [H*H, 9*H//32] uint32, exact 3x3-neighborhood
+                              # z-bitstrings (column_bitmasks_neighborhood)
 
 
 class CompactSet(NamedTuple):
@@ -179,13 +181,41 @@ def column_bitmasks(occ: jnp.ndarray, dilate: int = 1) -> jnp.ndarray:
     return words.reshape(H * H, H // 32)
 
 
+def column_bitmasks_neighborhood(occ: jnp.ndarray) -> jnp.ndarray:
+    """occ [CAS, H, H, H] -> [H*H, 9*(H//32)] uint32: for each (x, y) cell,
+    the EXACT (undilated) z-bitstrings of its 3x3 xy-neighborhood, ordered
+    (dx+1)*3 + (dy+1) blocks of H//32 words (out-of-grid columns are 0).
+
+    One row serves a whole marching group EXACTLY: at group=2 every
+    candidate's xy cell is within ±1 of the group-midpoint cell for ANY
+    ray direction (drift <= (dt/2)*|d_xy| = (sqrt(3)/2)*|d_xy| <= 0.87
+    cells), so the candidate selects its own column's bits in-register —
+    no dilation, no false positives. The OR-dilated single-column mask
+    (column_bitmasks) admitted empty neighbor-column bits that crowded
+    the S-sample budget: **-2.0 dB on a trained model** (the entire
+    serving-vs-parity gap, scripts/quality_check.py variant F). Rows are
+    36 uint32 at H=128 — inside the full-rate gather zone (<=116
+    elements, scripts/gatherbench.py)."""
+    H = occ.shape[1]
+    assert H % 32 == 0, "grid size must be a multiple of 32 for bit-packing"
+    bits = occ[0].astype(jnp.bool_).reshape(H, H, H // 32, 32)
+    words = jnp.sum(
+        bits.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32),
+        axis=-1, dtype=jnp.uint32)                     # [H, H, W32]
+    padded = jnp.pad(words, ((1, 1), (1, 1), (0, 0)))
+    blocks = [padded[1 + dx:1 + dx + H, 1 + dy:1 + dy + H]
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    return jnp.concatenate(blocks, axis=-1).reshape(H * H, 9 * (H // 32))
+
+
 def build_inference_tables(occ: jnp.ndarray, bound: float,
                            dilate_intervals: int = 2,
                            dilate_mask: int = 1) -> InferenceTables:
     """All occupancy-derived lookup tables the compact render needs."""
     z_lo, z_hi = column_intervals(occ, bound, dilate=dilate_intervals)
     return InferenceTables(z_lo=z_lo, z_hi=z_hi,
-                           col_bitmask=column_bitmasks(occ, dilate_mask))
+                           col_bitmask=column_bitmasks(occ, dilate_mask),
+                           col_nbmask=column_bitmasks_neighborhood(occ))
 
 
 def compact_rays(active: jnp.ndarray, budget: int) -> CompactSet:
@@ -369,6 +399,89 @@ def _first_s_select(valid: jnp.ndarray, num_cand: int, max_samples: int,
         mask = jnp.any(sel, axis=1)
         return sel_k, mask
     raise ValueError(f"unknown select mode {select!r}")
+
+
+def march_rays_window_bitmask_nb(
+    rays_o: jnp.ndarray,       # [B, 3] (already compacted)
+    rays_d: jnp.ndarray,       # [B, 3]
+    t_start: jnp.ndarray,      # [B]
+    t_end: jnp.ndarray,        # [B]
+    slot_valid: jnp.ndarray,   # [B]
+    col_nbmask: jnp.ndarray,   # [H*H, 9*(H//32)] from
+                               # column_bitmasks_neighborhood
+    bound: float,
+    dt: float,
+    num_cand: int,             # K2
+    max_samples: int,          # S
+    select: str = "topk",
+) -> MarchResult:
+    """EXACT bitmask march: one neighborhood-row fetch per 2-candidate
+    group, per-candidate selection of the candidate's OWN column bits
+    in-register. Sample-set-identical to the per-candidate exact marcher
+    (march_rays_window) for every ray direction — the dilated single-column
+    variant (march_rays_window_bitmask) over-admits empty neighbor cells
+    and measured −2.0 dB of trained-model quality from budget crowding
+    (scripts/quality_check.py). Costs ~1 ms more VPU select math per 512²
+    frame; gather row count unchanged."""
+    B = rays_o.shape[0]
+    W9 = col_nbmask.shape[1]
+    W32 = W9 // 9
+    H = W32 * 32
+    group = 2
+    if max_samples > num_cand:
+        raise ValueError(
+            f"max_samples ({max_samples}) cannot exceed window candidates "
+            f"({num_cand})")
+    G = (num_cand + group - 1) // group
+
+    k = jnp.arange(num_cand, dtype=jnp.float32)
+    t_cand = t_start[:, None] + k[None] * dt                   # [B, K2]
+
+    # group-midpoint fetch of the 3x3-neighborhood row
+    gk = jnp.arange(G, dtype=jnp.float32) * group + (group - 1) / 2.0
+    t_g = t_start[:, None] + gk[None] * dt                     # [B, G]
+    pg = rays_o[:, None, :] + t_g[..., None] * rays_d[:, None, :]
+    pg = jnp.clip(pg, -bound, bound)
+    gx = jnp.clip((pg[..., 0] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    gy = jnp.clip((pg[..., 1] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    rows = jnp.take(col_nbmask, (gx * H + gy).reshape(-1),
+                    axis=0).reshape(B, G, 9, W32)              # [B, G, 9, W32]
+
+    # per-candidate exact cell; neighborhood offset vs the group midpoint
+    # is in {-1, 0, 1}² for any unit direction (drift <= 0.87 cells)
+    pos = rays_o[:, None, :] + t_cand[..., None] * rays_d[:, None, :]
+    pos = jnp.clip(pos, -bound, bound)
+    gp = jnp.clip(0.5 * (pos / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
+    cx, cy, cz = gp[..., 0], gp[..., 1], gp[..., 2]            # [B, K2]
+    dx = jnp.clip(cx - jnp.repeat(gx, group, axis=1)[:, :num_cand], -1, 1)
+    dy = jnp.clip(cy - jnp.repeat(gy, group, axis=1)[:, :num_cand], -1, 1)
+    nb = (dx + 1) * 3 + (dy + 1)                               # [B, K2]
+
+    rows_k = jnp.repeat(rows, group, axis=1)[:, :num_cand]     # [B,K2,9,W32]
+    word = cz >> 5
+    bit = (cz & 31).astype(jnp.uint32)
+    # two-stage in-register select: z-word across the 4 words, then the
+    # column across the 9 neighbors
+    wmask = word[..., None] == jnp.arange(W32, dtype=jnp.int32)
+    col_words = jnp.sum(
+        jnp.where(wmask[:, :, None, :], rows_k, jnp.uint32(0)),
+        axis=-1, dtype=jnp.uint32)                             # [B, K2, 9]
+    nmask = nb[..., None] == jnp.arange(9, dtype=jnp.int32)
+    wsel = jnp.sum(jnp.where(nmask, col_words, jnp.uint32(0)),
+                   axis=-1, dtype=jnp.uint32)                  # [B, K2]
+    occ = ((wsel >> bit) & jnp.uint32(1)) > 0
+
+    valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
+    sel_k, mask = _first_s_select(valid, num_cand, max_samples, select)
+
+    t_sel = t_start[:, None] + sel_k * dt
+    xyzs = jnp.clip(
+        rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :],
+        -bound, bound)
+    deltas = jnp.where(mask, dt, 0.0)
+    return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
 
 
 def default_window_candidates(bound: float, grid_size: int, dt: float,

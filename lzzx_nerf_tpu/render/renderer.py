@@ -21,7 +21,8 @@ from ..ops.march import march_rays_uniform
 from ..ops.march2 import (InferenceTables, build_inference_tables,
                           column_intervals, compact_rays,
                           default_window_candidates, march_rays_window,
-                          march_rays_window_bitmask, ray_windows)
+                          march_rays_window_bitmask,
+                          march_rays_window_bitmask_nb, ray_windows)
 from ..ops.ray import near_far_from_aabb
 from .state import OccupancyState, RenderSettings
 
@@ -224,8 +225,13 @@ def render_rays_compact(
     t0, t1 = packed_rows[:, 6], packed_rows[:, 7]
 
     if use_bitmask:
-        m = march_rays_window_bitmask(
-            ro, rd, t0, t1, cs.slot_valid, tables.col_bitmask,
+        # exact-neighborhood bitmask (march_rays_window_bitmask_nb): same
+        # fetch count as the dilated single-column mask, sample-set equal
+        # to the per-candidate exact march — the dilated variant's false
+        # positives crowded the S budget for −2.0 dB of trained quality
+        # (scripts/quality_check.py variant F)
+        m = march_rays_window_bitmask_nb(
+            ro, rd, t0, t1, cs.slot_valid, tables.col_nbmask,
             settings.bound, settings.dt, K2, S)
     else:
         m = march_rays_window(ro, rd, t0, t1, cs.slot_valid, state.occ,
@@ -479,16 +485,19 @@ def render_rays_compact_blocks(
     t_start = nears_r + k0 * settings.dt
     t_end = jnp.minimum(fars_r, t1b)
 
-    # march_group: candidates per column-bitstring fetch. The fetch reads
-    # the SAME dilate=1 mask regardless of group — group only moves the
-    # read position off the candidate's own column by up to
-    # (group-1)/2 * sqrt(3) * |d_xy| cells, which the +-1 dilation covers
-    # for |d_xy| <= 2/((group-1)*sqrt(3)) (group=3: 0.577 — any portrait
-    # camera; this block path is the serving camera path). Larger groups
-    # risk MISSED samples, not just extra ones.
-    m = march_rays_window_bitmask(
-        ro, rd, t_start, t_end, slot_valid, tables.col_bitmask,
-        settings.bound, settings.dt, K2, S, group=march_group)
+    # exact-neighborhood bitmask march (march_rays_window_bitmask_nb):
+    # sample-set-identical to the per-candidate exact marcher. march_group
+    # selects the legacy dilated single-column variant when != 2 (kept for
+    # experiments; it admits empty neighbor cells that crowd the S budget
+    # — measured −2.0 dB on a trained model).
+    if march_group == 2:
+        m = march_rays_window_bitmask_nb(
+            ro, rd, t_start, t_end, slot_valid, tables.col_nbmask,
+            settings.bound, settings.dt, K2, S)
+    else:
+        m = march_rays_window_bitmask(
+            ro, rd, t_start, t_end, slot_valid, tables.col_bitmask,
+            settings.bound, settings.dt, K2, S, group=march_group)
 
     B = budget_b * 4
     n_stage2 = None

@@ -140,6 +140,13 @@ def main():
     from lzzx_nerf_tpu.models.nerf import make_fused_apply
 
     ap16 = make_fused_apply(field, packed16)
+    # D isolates the table dtype: same serving path with fp32 tables (the
+    # bf16 default was motivated by a VMEM-residency model the honest
+    # gather timing debunked — if D ≈ A-delta-free and bench speed holds,
+    # bf16 tables are pure quality loss)
+    packed32 = jax.jit(lambda p: field.apply(p, method="bake_tables"))(
+        params)
+    ap32 = make_fused_apply(field, packed32)
 
     @jax.jit
     def render_A(params, occ, pose, enc_a, eye, bg):
@@ -160,6 +167,38 @@ def main():
             **staged)["image"]
 
     @jax.jit
+    def render_D(params, occ, tables, pose, enc_a, eye, bg):
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays_compact_blocks(
+            ap32, params, settings, occ, rays["rays_o"][0][0],
+            rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
+            window_candidates=K2, tables=tables, **staged)["image"]
+
+    @jax.jit
+    def render_E(params, occ, tables, pose, enc_a, eye, bg):
+        # C without the two-stage early termination: isolates stage-2
+        # truncation (single-pass full-S eval)
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays_compact_blocks(
+            ap16, params, settings, occ, rays["rays_o"][0][0],
+            rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
+            window_candidates=K2, tables=tables)["image"]
+
+    @jax.jit
+    def render_F(params, occ, tables, pose, enc_a, eye, bg):
+        # B with the EXACT per-candidate march (no bitmask dilation):
+        # isolates dilated-cell crowding of the S budget
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays_compact(
+            ap16, params, settings, occ, rays["rays_o"][0],
+            rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
+            window_candidates=K2, tables=tables, minimal=True,
+            use_bitmask=False, **staged)["image"]
+
+    @jax.jit
     def render_C(params, occ, tables, pose, enc_a, eye, bg):
         rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
         c = params["params"]["individual_codes"][0]
@@ -168,7 +207,8 @@ def main():
             rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
             window_candidates=K2, tables=tables, **staged)["image"]
 
-    scores = {"A_parity_S16": [], "B_serving_S8": [], "C_serving_block": []}
+    scores = {"A_parity_S16": [], "B_serving_S8": [], "C_serving_block": [],
+              "D_block_f32tab": [], "E_no_staging": [], "F_exact_march": []}
     for fi in range(0, ds.num_frames, 3):
         b = ds.frame(fi)
         pose = jnp.asarray(b["pose"])
@@ -183,16 +223,31 @@ def main():
             psnr(render_B(params, occ, tables, pose, enc_a, eye, bg), gt))
         scores["C_serving_block"].append(
             psnr(render_C(params, occ, tables, pose, enc_a, eye, bg), gt))
+        scores["D_block_f32tab"].append(
+            psnr(render_D(params, occ, tables, pose, enc_a, eye, bg), gt))
+        scores["E_no_staging"].append(
+            psnr(render_E(params, occ, tables, pose, enc_a, eye, bg), gt))
+        scores["F_exact_march"].append(
+            psnr(render_F(params, occ, tables, pose, enc_a, eye, bg), gt))
 
     a = float(np.mean(scores["A_parity_S16"]))
     bsepts = float(np.mean(scores["B_serving_S8"]))
     cpts = float(np.mean(scores["C_serving_block"]))
+    dpts = float(np.mean(scores["D_block_f32tab"]))
     print(f"\nPSNR vs GT after {args.steps} steps @{res}²:")
     print(f"  A parity  (S=16, fp32, exhaustive)          : {a:6.2f} dB")
     print(f"  B serving (S=16 staged, bf16, bitmask)      : {bsepts:6.2f} dB "
           f"(delta {bsepts - a:+.2f})")
     print(f"  C serving (2x2-block windows, staged)       : {cpts:6.2f} dB "
           f"(delta {cpts - a:+.2f})")
+    print(f"  D = C with fp32 tables (dtype isolation)    : {dpts:6.2f} dB "
+          f"(delta {dpts - a:+.2f})")
+    epts = float(np.mean(scores["E_no_staging"]))
+    fpts = float(np.mean(scores["F_exact_march"]))
+    print(f"  E = C without staged eval (single pass)     : {epts:6.2f} dB "
+          f"(delta {epts - a:+.2f})")
+    print(f"  F = B with exact march (no bitmask dilation): {fpts:6.2f} dB "
+          f"(delta {fpts - a:+.2f})")
 
 
 if __name__ == "__main__":

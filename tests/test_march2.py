@@ -408,3 +408,48 @@ def test_first_s_select_rank_matches_topk():
         kb, mb = _first_s_select(valid, 40, S, "rank")
         np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
         np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+
+
+def test_nb_bitmask_march_exact_any_direction():
+    """march_rays_window_bitmask_nb must reproduce the per-candidate EXACT
+    marcher sample-for-sample for arbitrary unit directions (the ±1-cell
+    neighborhood covers the worst-case group drift of 0.87 cells)."""
+    from lzzx_nerf_tpu.ops.march2 import (column_bitmasks_neighborhood,
+                                          march_rays_window_bitmask_nb)
+
+    occ, o, d = _scene()   # random unit dirs incl. transverse rays
+    ro, rd, t0, t1, cs = _windows_and_slots(occ, o, d)
+    K2, S = 40, 16
+    v2 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, BOUND, DT,
+                           K2, S)
+    nb = column_bitmasks_neighborhood(occ)
+    v4 = march_rays_window_bitmask_nb(ro, rd, t0, t1, cs.slot_valid, nb,
+                                      BOUND, DT, K2, S)
+    np.testing.assert_array_equal(np.asarray(v2.mask), np.asarray(v4.mask))
+    np.testing.assert_allclose(np.asarray(v2.ts), np.asarray(v4.ts),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2.xyzs), np.asarray(v4.xyzs),
+                               atol=1e-5)
+
+
+def test_nb_table_layout():
+    """Neighborhood rows hold each 3x3 neighbor's exact column bitstring at
+    block (dx+1)*3+(dy+1); out-of-grid neighbors are zero."""
+    from lzzx_nerf_tpu.ops.march2 import (column_bitmasks,
+                                          column_bitmasks_neighborhood)
+
+    occ, _, _ = _scene()
+    H = occ.shape[1]
+    W32 = H // 32
+    exact = np.asarray(column_bitmasks(occ, dilate=0)).reshape(H, H, W32)
+    nb = np.asarray(column_bitmasks_neighborhood(occ)).reshape(H, H, 9, W32)
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        x, y = rng.integers(0, H, 2)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                blk = nb[x, y, (dx + 1) * 3 + (dy + 1)]
+                if 0 <= x + dx < H and 0 <= y + dy < H:
+                    np.testing.assert_array_equal(blk, exact[x + dx, y + dy])
+                else:
+                    assert (blk == 0).all()
