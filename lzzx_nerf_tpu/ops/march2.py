@@ -433,9 +433,14 @@ def march_rays_window_bitmask_nb(
             f"max_samples ({max_samples}) cannot exceed window candidates "
             f"({num_cand})")
     G = (num_cand + group - 1) // group
+    Kp = G * group                                             # padded K2
 
-    k = jnp.arange(num_cand, dtype=jnp.float32)
-    t_cand = t_start[:, None] + k[None] * dt                   # [B, K2]
+    # candidates laid out [B, G, group] so the per-group row broadcasts
+    # into the select instead of being repeat-materialised (the [B, K2,
+    # 9, W32] copy was ~0.75 GB/frame at 512²)
+    kg = (jnp.arange(G, dtype=jnp.float32)[:, None] * group
+          + jnp.arange(group, dtype=jnp.float32)[None, :])     # [G, group]
+    t_cand = t_start[:, None, None] + kg[None] * dt            # [B, G, group]
 
     # group-midpoint fetch of the 3x3-neighborhood row
     gk = jnp.arange(G, dtype=jnp.float32) * group + (group - 1) / 2.0
@@ -451,28 +456,32 @@ def march_rays_window_bitmask_nb(
 
     # per-candidate exact cell; neighborhood offset vs the group midpoint
     # is in {-1, 0, 1}² for any unit direction (drift <= 0.87 cells)
-    pos = rays_o[:, None, :] + t_cand[..., None] * rays_d[:, None, :]
+    pos = (rays_o[:, None, None, :]
+           + t_cand[..., None] * rays_d[:, None, None, :])
     pos = jnp.clip(pos, -bound, bound)
     gp = jnp.clip(0.5 * (pos / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
-    cx, cy, cz = gp[..., 0], gp[..., 1], gp[..., 2]            # [B, K2]
-    dx = jnp.clip(cx - jnp.repeat(gx, group, axis=1)[:, :num_cand], -1, 1)
-    dy = jnp.clip(cy - jnp.repeat(gy, group, axis=1)[:, :num_cand], -1, 1)
-    nb = (dx + 1) * 3 + (dy + 1)                               # [B, K2]
+    cx, cy, cz = gp[..., 0], gp[..., 1], gp[..., 2]            # [B, G, group]
+    dx = jnp.clip(cx - gx[..., None], -1, 1)
+    dy = jnp.clip(cy - gy[..., None], -1, 1)
+    nb = (dx + 1) * 3 + (dy + 1)                               # [B, G, group]
 
-    rows_k = jnp.repeat(rows, group, axis=1)[:, :num_cand]     # [B,K2,9,W32]
     word = cz >> 5
     bit = (cz & 31).astype(jnp.uint32)
-    # two-stage in-register select: z-word across the 4 words, then the
-    # column across the 9 neighbors
-    wmask = word[..., None] == jnp.arange(W32, dtype=jnp.int32)
+    # two-stage in-register select with the rows broadcast over the group
+    # slot axis: z-word across W32, then the column across the 9 neighbors
+    wmask = (word[..., None, None]
+             == jnp.arange(W32, dtype=jnp.int32))              # [B,G,g,1,W32]
     col_words = jnp.sum(
-        jnp.where(wmask[:, :, None, :], rows_k, jnp.uint32(0)),
-        axis=-1, dtype=jnp.uint32)                             # [B, K2, 9]
+        jnp.where(wmask, rows[:, :, None, :, :], jnp.uint32(0)),
+        axis=-1, dtype=jnp.uint32)                             # [B, G, g, 9]
     nmask = nb[..., None] == jnp.arange(9, dtype=jnp.int32)
     wsel = jnp.sum(jnp.where(nmask, col_words, jnp.uint32(0)),
-                   axis=-1, dtype=jnp.uint32)                  # [B, K2]
+                   axis=-1, dtype=jnp.uint32)                  # [B, G, group]
     occ = ((wsel >> bit) & jnp.uint32(1)) > 0
 
+    # flatten to [B, Kp] and drop the padded tail candidates
+    t_cand = t_cand.reshape(B, Kp)[:, :num_cand]
+    occ = occ.reshape(B, Kp)[:, :num_cand]
     valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
     sel_k, mask = _first_s_select(valid, num_cand, max_samples, select)
 
