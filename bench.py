@@ -73,9 +73,10 @@ def main():
                          "(the reference's operating point does, "
                          "renderer.py:553-561)")
     ap.add_argument("--march-group", type=int, default=2,
-                    help="candidates per column-bitstring fetch in the "
-                         "block-path march (2 = default; 3 halves fetch "
-                         "rows but measured slower — odd-factor repeat)")
+                    help="positive = exact 3x3-neighborhood bitmask march "
+                         "(default, sample-exact); negative = dilated "
+                         "single-column mask with group=|n| (-2 is the "
+                         "+2.5 FPS / -2 dB fast mode)")
     ap.add_argument("--fused", type=int, default=1, choices=[0, 1, 2],
                     help="field-MLP evaluation: 1 = folded-weight XLA "
                          "decomposition (default, measured fastest), 2 = "

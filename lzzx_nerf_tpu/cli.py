@@ -281,7 +281,8 @@ def run_train(cfg) -> None:
                             f"are dropped from the loss (unbiased but noisy)"
                             f" — consider raising --train_budget_frac")
         trainer.save_checkpoint(state, occ)
-        if epoch % eval_interval == 0:
+        if epoch % eval_interval == 0 and (not distributed
+                                           or is_coordinator()):
             psnr_meter.clear(); lpips_meter.clear()
             for vi, vb in enumerate(val.frames(shuffle=False)):
                 if vi >= 4:
@@ -474,6 +475,7 @@ def run_test(cfg) -> None:
 
     tables = jax.jit(
         lambda o: build_inference_tables(o, settings.bound))(occ.occ)
+    s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
 
     @jax.jit
     def render_frame(params, packed, torso_params, occ, pose, auds, eye,
@@ -515,10 +517,8 @@ def run_test(cfg) -> None:
             def apply_packed(p, *a, **kw):
                 return field.apply(p, *a, packed=packed, **kw)
 
-        staged = dict(
-            stage_split=cfg.infer_stage_split,
-            stage2_budget=max(1024, int(budget * cfg.infer_stage2_frac)
-                              // 1024 * 1024))
+        staged = dict(stage_split=cfg.infer_stage_split,
+                      stage2_budget=s2_budget)
         if (cfg.infer_block == 2 and ds.H % 2 == 0 and ds.W % 2 == 0
                 and budget % 4 == 0):
             from .render import render_rays_compact_blocks
@@ -542,7 +542,6 @@ def run_test(cfg) -> None:
     meters = [PSNRMeter(), LPIPSMeter(), LMDMeter()] if ds.has_gt else []
     t0 = time.time()
     tp = torso_state.params if torso_state is not None else None
-    s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
     overflow_warned = s2_warned = False
 
     def consume(i, img_dev, n_active_dev, n_s2_dev, gt):
@@ -572,7 +571,7 @@ def run_test(cfg) -> None:
                                         jnp.asarray(b["pose"]),
                                         jnp.asarray(b["auds"]),
                                         jnp.asarray(b["eye"]),
-                                        jnp.asarray(i, jnp.int32))
+                                        jnp.asarray(b["index"], jnp.int32))
         if pending is not None:
             consume(*pending)
         pending = (i, img, n_act, n_s2,

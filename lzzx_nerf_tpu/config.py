@@ -173,12 +173,12 @@ class Config:
     # to the single pass when the stage-2 budget suffices. 0 disables.
     infer_stage_split: int = 8
     infer_stage2_frac: float = 0.375  # stage-2 ray budget / stage-1 budget
-    # candidates per column-bitstring fetch in the block-path march. The
-    # fetch reads the same dilate=1 mask at an offset the dilation covers
-    # for |d_xy| <= 2/((group-1)*sqrt(3)) — group=3 covers 0.577 (any
-    # portrait camera) and cuts march gather rows 30%, but measured SLOWER
-    # end-to-end (24.6 vs 27.3 FPS @512²): the odd-factor repeat+slice in
-    # the candidate expansion costs more than the saved rows. Keep 2.
+    # block-path march mode: positive = the EXACT 3x3-neighborhood
+    # bitmask march (sample-identical to per-candidate exact marching;
+    # default). Negative = the dilated single-column mask with
+    # group=|value| — -2 is the +2.5 FPS / −2 dB fast mode (dilated cells
+    # crowd the S budget: quality_check variant F attributed the entire
+    # serving gap to it); -3 measured slower than -2 (odd-factor repeat).
     infer_march_group: int = 2
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;

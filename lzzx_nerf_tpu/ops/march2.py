@@ -154,6 +154,16 @@ def ray_windows(
     return RayWindow(t_start=t_start, t_end=t_end, active=active)
 
 
+def _pack_z_words(grid: jnp.ndarray) -> jnp.ndarray:
+    """[H, H, H] occupancy (z last) -> [H, H, H//32] uint32 z-bitstrings
+    (bit z%32 of word z//32)."""
+    H = grid.shape[-1]
+    bits = (grid > 0).reshape(*grid.shape[:-1], H // 32, 32)
+    return jnp.sum(
+        bits.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32),
+        axis=-1, dtype=jnp.uint32)
+
+
 def column_bitmasks(occ: jnp.ndarray, dilate: int = 1) -> jnp.ndarray:
     """occ [CAS, H, H, H] -> [H*H, H//32] uint32: each (x,y) column's
     z-occupancy as a bitstring, OR-dilated `dilate` x 3x3 passes in-plane.
@@ -174,11 +184,7 @@ def column_bitmasks(occ: jnp.ndarray, dilate: int = 1) -> jnp.ndarray:
     for _ in range(dilate):
         od = jax.lax.reduce_window(od, 0.0, jax.lax.max, (3, 3, 1), (1, 1, 1),
                                    "SAME")
-    bits = (od > 0).reshape(H, H, H // 32, 32)
-    words = jnp.sum(
-        bits.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32),
-        axis=-1, dtype=jnp.uint32)
-    return words.reshape(H * H, H // 32)
+    return _pack_z_words(od).reshape(H * H, H // 32)
 
 
 def column_bitmasks_neighborhood(occ: jnp.ndarray) -> jnp.ndarray:
@@ -198,10 +204,7 @@ def column_bitmasks_neighborhood(occ: jnp.ndarray) -> jnp.ndarray:
     elements, scripts/gatherbench.py)."""
     H = occ.shape[1]
     assert H % 32 == 0, "grid size must be a multiple of 32 for bit-packing"
-    bits = occ[0].astype(jnp.bool_).reshape(H, H, H // 32, 32)
-    words = jnp.sum(
-        bits.astype(jnp.uint32) << jnp.arange(32, dtype=jnp.uint32),
-        axis=-1, dtype=jnp.uint32)                     # [H, H, W32]
+    words = _pack_z_words(occ[0].astype(jnp.float32))  # [H, H, W32]
     padded = jnp.pad(words, ((1, 1), (1, 1), (0, 0)))
     blocks = [padded[1 + dx:1 + dx + H, 1 + dy:1 + dy + H]
               for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -422,12 +425,25 @@ def march_rays_window_bitmask_nb(
     variant (march_rays_window_bitmask) over-admits empty neighbor cells
     and measured −2.0 dB of trained-model quality from budget crowding
     (scripts/quality_check.py). Costs ~1 ms more VPU select math per 512²
-    frame; gather row count unchanged."""
+    frame; gather row count unchanged. Requires the drift envelope
+    (dt/2)·(H/(2·bound)) <= 1 cell — always true for the production
+    dt = 2·sqrt(3)·bound/H, checked at trace time otherwise."""
     B = rays_o.shape[0]
     W9 = col_nbmask.shape[1]
     W32 = W9 // 9
     H = W32 * 32
     group = 2
+    # exactness envelope: drift (cells) = (dt/2)*|d_xy| / (2*bound/H); with
+    # the production dt = 2*sqrt(3)*bound/H this is (sqrt(3)/2)*|d_xy| <= 1
+    # for any direction, but a caller-supplied dt/bound combination can
+    # exceed the ±1 neighborhood — refuse rather than silently mis-select
+    # (empirically 146/256 rays diverge at half the envelope).
+    drift_cells = (dt / 2.0) * H / (2.0 * bound)
+    if drift_cells > 1.0 + 1e-6:
+        raise ValueError(
+            f"nb-march drift {drift_cells:.2f} cells exceeds the ±1 "
+            f"neighborhood (dt={dt:.4f}, bound={bound}); use "
+            "march_rays_window or the dilated bitmask for this geometry")
     if max_samples > num_cand:
         raise ValueError(
             f"max_samples ({max_samples}) cannot exceed window candidates "

@@ -485,19 +485,20 @@ def render_rays_compact_blocks(
     t_start = nears_r + k0 * settings.dt
     t_end = jnp.minimum(fars_r, t1b)
 
-    # exact-neighborhood bitmask march (march_rays_window_bitmask_nb):
-    # sample-set-identical to the per-candidate exact marcher. march_group
-    # selects the legacy dilated single-column variant when != 2 (kept for
-    # experiments; it admits empty neighbor cells that crowd the S budget
-    # — measured −2.0 dB on a trained model).
-    if march_group == 2:
+    # march_group > 0: exact-neighborhood bitmask march
+    # (march_rays_window_bitmask_nb, group fixed at 2) — sample-identical
+    # to the per-candidate exact marcher. march_group < 0: the dilated
+    # single-column variant with group=|march_group| — the documented
+    # +2.5 FPS / −2 dB fast mode (-2); it admits empty neighbor cells
+    # that crowd the S budget (scripts/quality_check.py variant F).
+    if march_group > 0:
         m = march_rays_window_bitmask_nb(
             ro, rd, t_start, t_end, slot_valid, tables.col_nbmask,
             settings.bound, settings.dt, K2, S)
     else:
         m = march_rays_window_bitmask(
             ro, rd, t_start, t_end, slot_valid, tables.col_bitmask,
-            settings.bound, settings.dt, K2, S, group=march_group)
+            settings.bound, settings.dt, K2, S, group=-march_group)
 
     B = budget_b * 4
     n_stage2 = None

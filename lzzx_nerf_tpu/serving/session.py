@@ -175,7 +175,8 @@ class InferenceSession:
         lam = 0.35 if cfg.smooth_lips else 0.0
 
         def render_one(params, packed, tables, occ, pose, auds, prev_enc,
-                       has_prev, eye, torso_params, torso_packed, fmt):
+                       has_prev, eye, index, torso_params, torso_packed,
+                       fmt):
             enc_new = field.apply(params, auds, method="encode_audio")
             if lam:
                 enc_a = jnp.where(has_prev > 0,
@@ -184,6 +185,19 @@ class InferenceSession:
             else:
                 enc_a = enc_new
             rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
+            ray_o_origin = rays["rays_o"][0][0]
+            rays_d = rays["rays_d"][0]
+            if cfg.train_camera and "camera_dT" in params["params"]:
+                # apply the learned per-frame pose refinement exactly as
+                # the train step and run_test do (train/trainer.py)
+                from ..utils.pose import euler_angles_to_matrix
+
+                dT = params["params"]["camera_dT"][index]
+                dR = euler_angles_to_matrix(
+                    params["params"]["camera_dR"][index] / 180.0 * jnp.pi
+                    + 1e-8)
+                ray_o_origin = ray_o_origin + dT
+                rays_d = rays_d @ dR
             c = (params["params"]["individual_codes"][0]
                  if cfg.ind_dim > 0 else None)
 
@@ -212,7 +226,7 @@ class InferenceSession:
 
                 out = render_rays_compact_blocks(
                     apply_packed, params, isettings, occ,
-                    rays["rays_o"][0][0], rays["rays_d"][0], ds.H, ds.W,
+                    ray_o_origin, rays_d, ds.H, ds.W,
                     enc_a, c, eye, frame_bg, budget=budget,
                     window_candidates=k2, tables=tables,
                     stage_split=stage_split, stage2_budget=stage2_budget,
@@ -220,7 +234,8 @@ class InferenceSession:
             else:
                 out = render_rays_compact(
                     apply_packed, params, isettings, occ,
-                    rays["rays_o"][0], rays["rays_d"][0], enc_a, c, eye,
+                    jnp.broadcast_to(ray_o_origin, rays_d.shape), rays_d,
+                    enc_a, c, eye,
                     frame_bg, budget=budget, window_candidates=k2,
                     tables=tables, minimal=True,
                     stage_split=stage_split, stage2_budget=stage2_budget)
@@ -236,18 +251,19 @@ class InferenceSession:
         def make_render(fmt: str):
             @jax.jit
             def render_chunk(params, packed, tables, occ, poses, auds_c,
-                             prev_enc, has_prev, eyes_c, torso_params,
-                             torso_packed):
+                             prev_enc, has_prev, eyes_c, idxs_c,
+                             torso_params, torso_packed):
                 def body(carry, inp):
                     prev_enc, has_prev = carry
-                    pose, auds, eye = inp
+                    pose, auds, eye, idx = inp
                     buf, n_act, n_s2, enc_a = render_one(
                         params, packed, tables, occ, pose, auds, prev_enc,
-                        has_prev, eye, torso_params, torso_packed, fmt)
+                        has_prev, eye, idx, torso_params, torso_packed, fmt)
                     return (enc_a, jnp.float32(1.0)), (buf, n_act, n_s2)
 
                 (enc_final, _), (bufs, n_acts, n_s2s) = jax.lax.scan(
-                    body, (prev_enc, has_prev), (poses, auds_c, eyes_c))
+                    body, (prev_enc, has_prev),
+                    (poses, auds_c, eyes_c, idxs_c))
                 return bufs, n_acts, jnp.max(n_s2s), enc_final
 
             return render_chunk
@@ -347,7 +363,7 @@ class InferenceSession:
                 eye = [cfg.fix_eye]
             else:
                 eye = [ds.eye_area[fi] if cfg.exp_eye else 0.0]
-            return ds.poses[fi], ds.audio_window(i), eye
+            return ds.poses[fi], ds.audio_window(i), eye, fi
 
         for base in range(0, n, C):
             count = min(C, n - base)
@@ -356,14 +372,15 @@ class InferenceSession:
             idxs = [base + min(j, count - 1) for j in range(C)]
             with ph("stack-inputs"):
                 ins = [frame_inputs(i) for i in idxs]
-                poses = jnp.asarray(np.stack([p for p, _, _ in ins]))
-                auds_c = jnp.asarray(np.stack([a for _, a, _ in ins]),
+                poses = jnp.asarray(np.stack([p for p, _, _, _ in ins]))
+                auds_c = jnp.asarray(np.stack([a for _, a, _, _ in ins]),
                                      jnp.float32)
-                eyes_c = jnp.asarray([e for _, _, e in ins], jnp.float32)
+                eyes_c = jnp.asarray([e for _, _, e, _ in ins], jnp.float32)
+                idxs_c = jnp.asarray([fi for _, _, _, fi in ins], jnp.int32)
             with ph("dispatch"):
                 bufs, n_acts, n_s2, prev_enc = render(
                     self.infer_params, self.packed, self.tables, self.occ,
-                    poses, auds_c, prev_enc, has_prev, eyes_c,
+                    poses, auds_c, prev_enc, has_prev, eyes_c, idxs_c,
                     self.torso_params, self.torso_packed)
                 has_prev = jnp.float32(1.0)
                 if hasattr(bufs, "copy_to_host_async"):

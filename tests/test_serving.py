@@ -126,10 +126,12 @@ def test_overlay_sink_command(tmp_path):
     import unittest.mock as um
 
     with um.patch("subprocess.Popen") as pop, \
-         um.patch("shutil.which", return_value="/usr/bin/ffmpeg"):
+         um.patch("shutil.which", return_value="/usr/bin/ffmpeg"), \
+         um.patch.dict("sys.modules",
+                       {"lzzx_nerf_tpu.native": None}):  # no real pump thread
         pop.return_value.stdin.fileno.return_value = 1
         s.open()
-    assert hasattr(s, "pump")
+    assert hasattr(s, "pump") and s.pump is None
 
 
 def test_make_sink_picks_overlay_when_crop_params_exist(tmp_path):
