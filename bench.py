@@ -68,15 +68,20 @@ def main():
     ap.add_argument("--block", type=int, choices=[1, 2], default=2,
                     help="2 = 2x2-block window analysis (4x less "
                          "windows/compaction work, -5 ms @512²); 1 = per-ray")
-    ap.add_argument("--torso", action="store_true",
+    ap.add_argument("--torso", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="composite a torso pass under the head every frame "
-                         "(the reference's operating point does, "
-                         "renderer.py:553-561)")
+                         "— ON by default so the headline measures the "
+                         "reference's actual operating point "
+                         "(renderer.py:553-561); --no-torso for the "
+                         "head-only number")
     ap.add_argument("--march-group", type=int, default=2,
-                    help="positive = exact 3x3-neighborhood bitmask march "
-                         "(default, sample-exact); negative = dilated "
-                         "single-column mask with group=|n| (-2 is the "
-                         "+2.5 FPS / -2 dB fast mode)")
+                    help="2 = block-shared exact 5x5-neighborhood bitmask "
+                         "march (default, sample-exact for portrait "
+                         "cameras, 4x fewer march fetch rows); 1 = per-ray "
+                         "3x3-neighborhood march (exact for any "
+                         "direction); negative = dilated single-column "
+                         "mask with group=|n| (-2 is the fast -2 dB mode)")
     ap.add_argument("--fused", type=int, default=1, choices=[0, 1, 2],
                     help="field-MLP evaluation: 1 = folded-weight XLA "
                          "decomposition (default, measured fastest), 2 = "

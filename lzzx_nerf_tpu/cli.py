@@ -455,6 +455,19 @@ def run_test(cfg) -> None:
     budget = max(1024, int(cfg.budget_frac * ds.H * ds.W) // 1024 * 1024)
     bg_coords_full = get_bg_coords(ds.H, ds.W)[0]
 
+    # the window/bitmask fast path assumes cascade == 1 (bound <= 1 — true
+    # for every talking-head production config); multi-cascade scenes fall
+    # back to the exhaustive marcher EXPLICITLY instead of tripping the
+    # renderer assertion (reference marches any cascade count,
+    # raymarching.cu:42-54,409)
+    use_compact = settings.cascade == 1
+    if not use_compact:
+        trainer.log(
+            f"[INFO] bound={cfg.bound} -> cascade={settings.cascade} > 1: "
+            "the compact/block fast path supports cascade == 1 only; "
+            "rendering through the exhaustive marcher (render_rays) — "
+            "slower, sample-identical")
+
     # inference runs from the EMA weights (the reference's "best" checkpoint
     # saves EMA params and infers from them, TrainerUtil.py:1262-1279)
     infer_params = dict(state.params)
@@ -519,7 +532,15 @@ def run_test(cfg) -> None:
 
         staged = dict(stage_split=cfg.infer_stage_split,
                       stage2_budget=s2_budget)
-        if (cfg.infer_block == 2 and ds.H % 2 == 0 and ds.W % 2 == 0
+        if not use_compact:
+            from .render import render_rays
+
+            out = render_rays(
+                apply_packed, params, isettings, occ,
+                jnp.broadcast_to(ray_o_origin, rays_d.shape), rays_d,
+                enc_a, c, eye, bg, compute_uncertainty=False)
+            out = {**out, "n_active": jnp.int32(0)}
+        elif (cfg.infer_block == 2 and ds.H % 2 == 0 and ds.W % 2 == 0
                 and budget % 4 == 0):
             from .render import render_rays_compact_blocks
 

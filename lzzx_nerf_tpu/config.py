@@ -173,12 +173,15 @@ class Config:
     # to the single pass when the stage-2 budget suffices. 0 disables.
     infer_stage_split: int = 8
     infer_stage2_frac: float = 0.375  # stage-2 ray budget / stage-1 budget
-    # block-path march mode: positive = the EXACT 3x3-neighborhood
-    # bitmask march (sample-identical to per-candidate exact marching;
-    # default). Negative = the dilated single-column mask with
-    # group=|value| — -2 is the +2.5 FPS / −2 dB fast mode (dilated cells
-    # crowd the S budget: quality_check variant F attributed the entire
-    # serving gap to it); -3 measured slower than -2 (odd-factor repeat).
+    # block-path march mode: 2 = block-shared EXACT 5x5-neighborhood
+    # bitmask march (one row fetch per 2x2 block per candidate group — 4x
+    # fewer march gather rows; sample-identical to per-candidate exact
+    # marching for every portrait-camera geometry, |d_xy| <= 0.95;
+    # default). 1 = per-ray EXACT 3x3-neighborhood march (any direction).
+    # Negative = the dilated single-column mask with group=|value| — -2 is
+    # the fast / −2 dB mode (dilated cells crowd the S budget:
+    # quality_check variant F attributed the entire serving gap to it);
+    # -3 measured slower than -2 (odd-factor repeat).
     infer_march_group: int = 2
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;

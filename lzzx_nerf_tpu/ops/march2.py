@@ -53,6 +53,9 @@ class InferenceTables(NamedTuple):
     col_bitmask: jnp.ndarray  # [H*H, H//32] uint32, xy-dilated z-occupancy
     col_nbmask: jnp.ndarray   # [H*H, 9*H//32] uint32, exact 3x3-neighborhood
                               # z-bitstrings (column_bitmasks_neighborhood)
+    col_nb5mask: jnp.ndarray  # [H*H, 25*H//32] uint32, exact 5x5-neighborhood
+                              # z-bitstrings (column_bitmasks_neighborhood5),
+                              # for the block-shared fetch marcher
 
 
 class CompactSet(NamedTuple):
@@ -211,6 +214,25 @@ def column_bitmasks_neighborhood(occ: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=-1).reshape(H * H, 9 * (H // 32))
 
 
+def column_bitmasks_neighborhood5(occ: jnp.ndarray) -> jnp.ndarray:
+    """occ [CAS, H, H, H] -> [H*H, 25*(H//32)] uint32: for each (x, y) cell,
+    the EXACT z-bitstrings of its 5x5 xy-neighborhood, ordered
+    (dx+2)*5 + (dy+2) blocks of H//32 words (out-of-grid columns 0).
+
+    The ±2 envelope lets ONE row serve all 8 candidates of a (2x2-pixel
+    block, 2-candidate group) — the block-shared fetch cuts march gather
+    rows 4x vs the per-ray 3x3 row (march_rays_window_bitmask_nb_block).
+    Rows are 100 uint32 at H=128 — still inside the full-rate gather zone
+    (<=116 elements, scripts/gatherbench.py); table 6.5 MB."""
+    H = occ.shape[1]
+    assert H % 32 == 0, "grid size must be a multiple of 32 for bit-packing"
+    words = _pack_z_words(occ[0].astype(jnp.float32))  # [H, H, W32]
+    padded = jnp.pad(words, ((2, 2), (2, 2), (0, 0)))
+    blocks = [padded[2 + dx:2 + dx + H, 2 + dy:2 + dy + H]
+              for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)]
+    return jnp.concatenate(blocks, axis=-1).reshape(H * H, 25 * (H // 32))
+
+
 def build_inference_tables(occ: jnp.ndarray, bound: float,
                            dilate_intervals: int = 2,
                            dilate_mask: int = 1) -> InferenceTables:
@@ -218,7 +240,8 @@ def build_inference_tables(occ: jnp.ndarray, bound: float,
     z_lo, z_hi = column_intervals(occ, bound, dilate=dilate_intervals)
     return InferenceTables(z_lo=z_lo, z_hi=z_hi,
                            col_bitmask=column_bitmasks(occ, dilate_mask),
-                           col_nbmask=column_bitmasks_neighborhood(occ))
+                           col_nbmask=column_bitmasks_neighborhood(occ),
+                           col_nb5mask=column_bitmasks_neighborhood5(occ))
 
 
 def compact_rays(active: jnp.ndarray, budget: int) -> CompactSet:
@@ -498,6 +521,155 @@ def march_rays_window_bitmask_nb(
     # flatten to [B, Kp] and drop the padded tail candidates
     t_cand = t_cand.reshape(B, Kp)[:, :num_cand]
     occ = occ.reshape(B, Kp)[:, :num_cand]
+    valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
+    sel_k, mask = _first_s_select(valid, num_cand, max_samples, select)
+
+    t_sel = t_start[:, None] + sel_k * dt
+    xyzs = jnp.clip(
+        rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :],
+        -bound, bound)
+    deltas = jnp.where(mask, dt, 0.0)
+    return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
+
+
+def march_rays_window_bitmask_nb_block(
+    rays_o: jnp.ndarray,       # [4*Bb, 3] block-major (4 rays per 2x2 block)
+    rays_d: jnp.ndarray,       # [4*Bb, 3]
+    t_start: jnp.ndarray,      # [4*Bb] per-ray snapped window start
+    t_end: jnp.ndarray,        # [4*Bb]
+    slot_valid: jnp.ndarray,   # [4*Bb]
+    t0_block: jnp.ndarray,     # [Bb] block window start — the fetch-lattice
+                               # anchor every ray's t_start derives from
+                               # (t_start_r in [t0_block-eps, t0_block+dt))
+    d_center: jnp.ndarray,     # [Bb, 3] unit block-centre direction
+    col_nb5mask: jnp.ndarray,  # [H*H, 25*(H//32)] from
+                               # column_bitmasks_neighborhood5
+    bound: float,
+    dt: float,
+    num_cand: int,             # K2
+    max_samples: int,          # S
+    select: str = "topk",
+    variant: str = "wslice",
+) -> MarchResult:
+    """Block-shared EXACT bitmask march: ONE 5x5-neighborhood row fetch per
+    (2x2-pixel block, 2-candidate group) serves all 8 of the block's
+    candidates — 4x fewer march gather rows than the per-ray nb marcher at
+    the same exact per-candidate column test (VERDICT r2 item 1b).
+
+    variant: how the per-candidate bit is selected from the fetched row
+    (same result, different VPU cost — measured in scripts/marchbench.py):
+      "wslice": per (block, group) pre-reduce each neighbor's W32 z-words
+        to the 2 words that can contain ANY of the group's candidates
+        (z drift <= ~2 cells << 32: words (zf-3)>>5 and +1), then one flat
+        50-way select per candidate — ~60% of the nb_first select math.
+      "nb_first": select the neighbor column (25 -> W32 words), then the
+        z word (W32 -> 1).
+
+    Exactness envelope (per axis, in grid cells): each candidate's t lies
+    within dt of the block fetch point t0_block + (2g+1)*dt because every
+    ray's snapped t_start lies in [t0_block - eps, t0_block + dt) — so the
+    xy drift is dt*|d_xy| = sqrt(3)*|d_xy| cells at the production
+    dt = 2*sqrt(3)*bound/H, plus <=0.35 cells of intra-block angular
+    offset. For |d_xy| <= 0.95 that stays under the ±2-cell neighborhood —
+    every practical portrait camera (|d_xy| <= ~0.6 incl. pose rotation).
+    Offsets are clipped to ±2; a hypothetical near-transverse ray
+    (|d_xy| > 0.95) through a corner pixel could mis-test single cells —
+    use march_rays_window_bitmask_nb (per-ray, any direction) for such
+    geometry. Guarded by tests/test_march2.py block-exactness tests."""
+    B = rays_o.shape[0]
+    Bb = B // 4
+    assert B % 4 == 0
+    W25 = col_nb5mask.shape[1]
+    W32 = W25 // 25
+    H = W32 * 32
+    group = 2
+    # trace-time sanity on the lattice/grid relation (data-independent part
+    # of the envelope): production dt gives sqrt(3) cells per step
+    step_cells = dt * H / (2.0 * bound)
+    if step_cells > 2.0 + 1e-6:
+        raise ValueError(
+            f"nb-block march: {step_cells:.2f} cells per lattice step "
+            f"exceeds the ±2 neighborhood (dt={dt:.4f}, bound={bound}); "
+            "use march_rays_window_bitmask_nb for this geometry")
+    if max_samples > num_cand:
+        raise ValueError(
+            f"max_samples ({max_samples}) cannot exceed window candidates "
+            f"({num_cand})")
+    G = (num_cand + group - 1) // group
+    Kp = G * group
+
+    # ---- one fetch per (block, group): 5x5-neighborhood row at the group
+    # midpoint of the BLOCK lattice t0_block + k*dt, along the centre dir
+    o_blk = rays_o.reshape(Bb, 4, 3).mean(axis=1)          # == shared origin
+    gk = jnp.arange(G, dtype=jnp.float32) * group + (group - 1) / 2.0
+    t_g = t0_block[:, None] + gk[None] * dt                # [Bb, G]
+    pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
+    pg = jnp.clip(pg, -bound, bound)
+    gx = jnp.clip((pg[..., 0] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    gy = jnp.clip((pg[..., 1] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    gz = jnp.clip((pg[..., 2] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)                                         # [Bb, G]
+    rows = jnp.take(col_nb5mask, (gx * H + gy).reshape(-1),
+                    axis=0).reshape(Bb, 1, G, 1, 25, W32)  # ray/slot bcast
+
+    # ---- per-candidate exact cells on each ray's OWN lattice
+    kg = (jnp.arange(G, dtype=jnp.float32)[:, None] * group
+          + jnp.arange(group, dtype=jnp.float32)[None, :])  # [G, group]
+    t_cand = t_start[:, None, None] + kg[None] * dt         # [B, G, group]
+    pos = (rays_o[:, None, None, :]
+           + t_cand[..., None] * rays_d[:, None, None, :])
+    pos = jnp.clip(pos, -bound, bound)
+    gp = jnp.clip(0.5 * (pos / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
+    cx, cy, cz = gp[..., 0], gp[..., 1], gp[..., 2]        # [B, G, group]
+    # block-shaped views [Bb, 4, G, group]
+    cxb = cx.reshape(Bb, 4, G, group)
+    cyb = cy.reshape(Bb, 4, G, group)
+    czb = cz.reshape(Bb, 4, G, group)
+    dx = jnp.clip(cxb - gx[:, None, :, None], -2, 2)
+    dy = jnp.clip(cyb - gy[:, None, :, None], -2, 2)
+    nb = (dx + 2) * 5 + (dy + 2)                           # [Bb, 4, G, group]
+
+    word = czb >> 5
+    bit = (czb & 31).astype(jnp.uint32)
+    if variant == "wslice":
+        # stage 0 (amortised over the block's 8 candidates): per (block,
+        # group) keep only the 2 z-words that can contain any candidate —
+        # the group's z span is |dt|*|dz| + angular <= ~2.1 cells, so all
+        # candidate words lie in {w0, w0+1} with w0 = (zf-3)>>5 (7 cells
+        # < 32 can cross at most one word boundary)
+        w0 = jnp.clip(jnp.maximum(gz - 3, 0) >> 5, 0, W32 - 1)  # [Bb, G]
+        # wm [Bb,1,G,1,1,2,W32]: word-pair one-hot; rows2[..., n, i] =
+        # rows[..., n, w0+i]
+        wm = ((w0[:, None, :, None, None, None, None]
+               + jnp.arange(2, dtype=jnp.int32)[:, None])
+              == jnp.arange(W32, dtype=jnp.int32))
+        rows2 = jnp.sum(
+            jnp.where(wm, rows[..., :, None, :], jnp.uint32(0)),
+            axis=-1, dtype=jnp.uint32)                     # [Bb,1,G,1,25,2]
+        # flat 50-way select: index = nb*2 + (word - w0), clipped into range
+        widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
+        j2 = nb * 2 + widx                                 # [Bb, 4, G, group]
+        fmask = (j2[..., None]
+                 == jnp.arange(50, dtype=jnp.int32))       # [Bb,4,G,g,50]
+        wsel = jnp.sum(
+            jnp.where(fmask, rows2.reshape(Bb, 1, G, 1, 50), jnp.uint32(0)),
+            axis=-1, dtype=jnp.uint32)                     # [Bb, 4, G, group]
+    elif variant == "nb_first":
+        # neighbor column first (25 -> W32 words), then the z word
+        nmask = (nb[..., None, None]
+                 == jnp.arange(25, dtype=jnp.int32)[:, None])
+        nb_words = jnp.sum(jnp.where(nmask, rows, jnp.uint32(0)),
+                           axis=-2, dtype=jnp.uint32)      # [Bb,4,G,g,W32]
+        wmask = word[..., None] == jnp.arange(W32, dtype=jnp.int32)
+        wsel = jnp.sum(jnp.where(wmask, nb_words, jnp.uint32(0)),
+                       axis=-1, dtype=jnp.uint32)          # [Bb, 4, G, group]
+    else:
+        raise ValueError(f"unknown nb-block select variant {variant!r}")
+    occ = (((wsel >> bit) & jnp.uint32(1)) > 0).reshape(B, Kp)[:, :num_cand]
+
+    t_cand = t_cand.reshape(B, Kp)[:, :num_cand]
     valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
     sel_k, mask = _first_s_select(valid, num_cand, max_samples, select)
 

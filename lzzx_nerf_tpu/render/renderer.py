@@ -22,7 +22,8 @@ from ..ops.march2 import (InferenceTables, build_inference_tables,
                           column_intervals, compact_rays,
                           default_window_candidates, march_rays_window,
                           march_rays_window_bitmask,
-                          march_rays_window_bitmask_nb, ray_windows)
+                          march_rays_window_bitmask_nb,
+                          march_rays_window_bitmask_nb_block, ray_windows)
 from ..ops.ray import near_far_from_aabb
 from .state import OccupancyState, RenderSettings
 
@@ -437,7 +438,10 @@ def render_rays_compact_blocks(
     2x2 rays of a block share (x, y) columns to within ~0.1 grid cell, so
     the block-centre window is as conservative as the per-ray one; per-ray
     t-lattices stay anchored at each ray's own near (reference semantics).
-    March/field-eval/composite still run per ray. Minimal outputs only
+    The march's bitmask-row fetches are ALSO per block (one 5x5-neighborhood
+    row per block per candidate group, march_group=2 default — 4x fewer
+    march gather rows); candidate tests, field-eval and composite still run
+    per ray. Minimal outputs only
     (image + weights_sum + n_active; n_active counts rays = 4x blocks)."""
     assert settings.cascade == 1, "compact path supports cascade == 1 only"
     assert H % 2 == 0 and W % 2 == 0 and budget % 4 == 0
@@ -468,12 +472,14 @@ def render_rays_compact_blocks(
     cs = compact_rays(win.active, budget_b)
 
     cols = jnp.concatenate(
-        [d_blocks.reshape(NB, 12), win.t_start[:, None], win.t_end[:, None]],
-        axis=-1)
-    rows = jnp.take(cols, cs.ray_idx, axis=0)            # [Bb, 14]
+        [d_blocks.reshape(NB, 12), win.t_start[:, None], win.t_end[:, None],
+         d_center], axis=-1)
+    rows = jnp.take(cols, cs.ray_idx, axis=0)            # [Bb, 17]
     rd = rows[:, :12].reshape(budget_b * 4, 3)
-    t0b = jnp.repeat(rows[:, 12], 4)
+    t0_blk = rows[:, 12]
+    t0b = jnp.repeat(t0_blk, 4)
     t1b = jnp.repeat(rows[:, 13], 4)
+    dc = rows[:, 14:17]
     ro = jnp.broadcast_to(rays_o_origin, rd.shape)
     slot_valid = jnp.repeat(cs.slot_valid, 4)
 
@@ -485,13 +491,20 @@ def render_rays_compact_blocks(
     t_start = nears_r + k0 * settings.dt
     t_end = jnp.minimum(fars_r, t1b)
 
-    # march_group > 0: exact-neighborhood bitmask march
-    # (march_rays_window_bitmask_nb, group fixed at 2) — sample-identical
-    # to the per-candidate exact marcher. march_group < 0: the dilated
-    # single-column variant with group=|march_group| — the documented
-    # +2.5 FPS / −2 dB fast mode (-2); it admits empty neighbor cells
-    # that crowd the S budget (scripts/quality_check.py variant F).
-    if march_group > 0:
+    # march_group == 2 (default): block-shared exact 5x5-neighborhood march
+    # — one row fetch per (2x2 block, candidate group), 4x fewer march
+    # gather rows, sample-identical for any portrait-camera geometry
+    # (|d_xy| <= 0.95 envelope — march2.march_rays_window_bitmask_nb_block).
+    # march_group == 1: per-ray exact 3x3-neighborhood march (any
+    # direction, round-2 path). march_group < 0: the dilated single-column
+    # variant with group=|march_group| — the documented +2.5 FPS / −2 dB
+    # fast mode (-2); it admits empty neighbor cells that crowd the S
+    # budget (scripts/quality_check.py variant F).
+    if march_group == 2:
+        m = march_rays_window_bitmask_nb_block(
+            ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
+            tables.col_nb5mask, settings.bound, settings.dt, K2, S)
+    elif march_group > 0:
         m = march_rays_window_bitmask_nb(
             ro, rd, t_start, t_end, slot_valid, tables.col_nbmask,
             settings.bound, settings.dt, K2, S)

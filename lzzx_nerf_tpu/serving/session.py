@@ -156,7 +156,17 @@ class InferenceSession:
                             // 1024 * 1024)
         self.stage2_budget = stage2_budget
         bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
-        use_blocks = (cfg.infer_block == 2 and ds.H % 2 == 0
+        # multi-cascade scenes (bound > 1) fall back to the exhaustive
+        # marcher with an explicit notice — the window/bitmask fast path
+        # assumes cascade == 1 (reference marches any cascade,
+        # raymarching.cu:42-54; every talking-head config uses bound <= 1)
+        use_compact = self.settings.cascade == 1
+        if not use_compact:
+            print(f"[INFO] bound={cfg.bound} -> cascade="
+                  f"{self.settings.cascade} > 1: serving through the "
+                  "exhaustive marcher (render_rays) — slower, "
+                  "sample-identical; the fast path needs cascade == 1")
+        use_blocks = (use_compact and cfg.infer_block == 2 and ds.H % 2 == 0
                       and ds.W % 2 == 0 and budget % 4 == 0)
         field = self.field
         torso = self.torso
@@ -231,7 +241,7 @@ class InferenceSession:
                     window_candidates=k2, tables=tables,
                     stage_split=stage_split, stage2_budget=stage2_budget,
                     march_group=cfg.infer_march_group)
-            else:
+            elif use_compact:
                 out = render_rays_compact(
                     apply_packed, params, isettings, occ,
                     jnp.broadcast_to(ray_o_origin, rays_d.shape), rays_d,
@@ -239,6 +249,14 @@ class InferenceSession:
                     frame_bg, budget=budget, window_candidates=k2,
                     tables=tables, minimal=True,
                     stage_split=stage_split, stage2_budget=stage2_budget)
+            else:
+                from ..render import render_rays
+
+                out = render_rays(
+                    apply_packed, params, isettings, occ,
+                    jnp.broadcast_to(ray_o_origin, rays_d.shape), rays_d,
+                    enc_a, c, eye, frame_bg, compute_uncertainty=False)
+                out = {**out, "n_active": jnp.int32(0)}
             img = jnp.clip(out["image"].reshape(ds.H, ds.W, 3), 0, 1)
             if fmt == "yuv420p":
                 from ..utils import rgb_to_yuv420
@@ -251,19 +269,26 @@ class InferenceSession:
         def make_render(fmt: str):
             @jax.jit
             def render_chunk(params, packed, tables, occ, poses, auds_c,
-                             prev_enc, has_prev, eyes_c, idxs_c,
+                             prev_enc, has_prev, eyes_c, idxs_c, valid_c,
                              torso_params, torso_packed):
                 def body(carry, inp):
                     prev_enc, has_prev = carry
-                    pose, auds, eye, idx = inp
+                    pose, auds, eye, idx, valid = inp
                     buf, n_act, n_s2, enc_a = render_one(
                         params, packed, tables, occ, pose, auds, prev_enc,
                         has_prev, eye, idx, torso_params, torso_packed, fmt)
-                    return (enc_a, jnp.float32(1.0)), (buf, n_act, n_s2)
+                    # padded tail slots (valid == 0) must NOT advance the
+                    # carried smooth-lips EMA: the padding repeats the last
+                    # real frame only to fill the static chunk shape, and
+                    # letting it step the EMA made the carried state depend
+                    # on the chunk size (round-2 review, weak item 6)
+                    carry_enc = jnp.where(valid > 0, enc_a, prev_enc)
+                    carry_has = jnp.maximum(has_prev, valid)
+                    return (carry_enc, carry_has), (buf, n_act, n_s2)
 
                 (enc_final, _), (bufs, n_acts, n_s2s) = jax.lax.scan(
                     body, (prev_enc, has_prev),
-                    (poses, auds_c, eyes_c, idxs_c))
+                    (poses, auds_c, eyes_c, idxs_c, valid_c))
                 return bufs, n_acts, jnp.max(n_s2s), enc_final
 
             return render_chunk
@@ -367,8 +392,10 @@ class InferenceSession:
 
         for base in range(0, n, C):
             count = min(C, n - base)
-            # pad the tail chunk by repeating its last frame (the extra
-            # smooth-lips EMA steps re-feed the same window — harmless)
+            # pad the tail chunk by repeating its last frame; padded slots
+            # carry valid=0 so they render (static chunk shape) but do not
+            # advance the smooth-lips EMA — the streamed frames are
+            # chunk-size invariant (tests/test_serving.py)
             idxs = [base + min(j, count - 1) for j in range(C)]
             with ph("stack-inputs"):
                 ins = [frame_inputs(i) for i in idxs]
@@ -377,11 +404,13 @@ class InferenceSession:
                                      jnp.float32)
                 eyes_c = jnp.asarray([e for _, _, e, _ in ins], jnp.float32)
                 idxs_c = jnp.asarray([fi for _, _, _, fi in ins], jnp.int32)
+                valid_c = jnp.asarray([1.0 if j < count else 0.0
+                                       for j in range(C)], jnp.float32)
             with ph("dispatch"):
                 bufs, n_acts, n_s2, prev_enc = render(
                     self.infer_params, self.packed, self.tables, self.occ,
                     poses, auds_c, prev_enc, has_prev, eyes_c, idxs_c,
-                    self.torso_params, self.torso_packed)
+                    valid_c, self.torso_params, self.torso_packed)
                 has_prev = jnp.float32(1.0)
                 if hasattr(bufs, "copy_to_host_async"):
                     bufs.copy_to_host_async()

@@ -327,3 +327,132 @@ def test_webapi_serves_browser_ui(tmp_path):
             assert hook in page, f"UI missing {hook}"
     finally:
         httpd.shutdown()
+
+
+def _make_session_workspace(root, **cfg_kw):
+    """Toy dataset + untrained-but-saved checkpoint for InferenceSession
+    tests (no training loop: the session only needs loadable state)."""
+    import json
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from lzzx_nerf_tpu.cli import _build_world
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.data.provider import NeRFDataset
+    from lzzx_nerf_tpu.train import TrainState, Trainer, build_optimizer
+
+    H = W = 40
+    n = 6
+    data = root / "data"
+    for sub in ("gt_imgs", "torso_imgs", "ori_imgs"):
+        (data / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(n):
+        cv2.imwrite(str(data / "gt_imgs" / f"{i}.jpg"),
+                    rng.uniform(0, 255, (H, W, 3)).astype(np.uint8))
+        torso = np.zeros((H, W, 4), np.uint8)
+        torso[20:, :, :3] = 128
+        torso[20:, :, 3] = 255
+        cv2.imwrite(str(data / "torso_imgs" / f"{i}.png"), torso)
+        lms = np.stack([rng.uniform(5, W - 5, 68),
+                        rng.uniform(5, H - 5, 68)], axis=-1)
+        np.savetxt(str(data / "ori_imgs" / f"{i}.lms"), lms)
+        pose = np.eye(4)
+        pose[2, 3] = 0.6
+        frames.append({"img_id": i, "aud_id": i,
+                       "transform_matrix": pose.tolist()})
+    cv2.imwrite(str(data / "bc.jpg"), np.full((H, W, 3), 200, np.uint8))
+    tf = {"focal_len": 60.0, "cx": W / 2, "cy": H / 2, "h": H, "w": W,
+          "frames": frames}
+    json.dump(tf, open(data / "transforms_train.json", "w"))
+    json.dump({**tf, "frames": frames[:2]},
+              open(data / "transforms_val.json", "w"))
+    with open(data / "au.csv", "w") as f:
+        f.write("frame, AU45_r\n")
+        for i in range(n):
+            f.write(f"{i}, {0.5 + 0.1 * i}\n")
+    np.save(str(data / "aud_ds.npy"),
+            rng.standard_normal((n, 16, 29)).astype(np.float32))
+
+    cfg = Config(**{"path": str(data), "workspace": str(root / "ws"),
+                    "asr_model": "deepspeech", "grid_size": 32,
+                    "max_steps": 8, **cfg_kw})
+    ds = NeRFDataset(cfg, type="train")
+    settings, occ, field, params = _build_world(cfg, ds)
+    tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters)
+    state = TrainState.create(params, tx)
+    Trainer(str(root / "ws")).save_checkpoint(state, occ)
+    return str(data), str(root / "ws")
+
+
+@pytest.fixture(scope="module")
+def session_workspace(tmp_path_factory):
+    return _make_session_workspace(tmp_path_factory.mktemp("sess"))
+
+
+def test_session_frames_invariant_to_chunk_size(session_workspace):
+    """The streamed frames must be IDENTICAL whatever infer_chunk is: the
+    tail-chunk padding repeats the last frame to fill the static scan shape
+    but must not advance the carried smooth-lips EMA (round-2 review weak
+    item 6 — padded slots previously stepped the EMA up to C-1 extra times,
+    so the state carried into the next run() depended on the chunk size)."""
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+
+    data, ws = session_workspace
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((6, 16, 29)).astype(np.float32)
+
+    def run_frames(chunk):
+        cfg = Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                     infer_samples=8, infer_window_candidates=24,
+                     infer_chunk=chunk)
+        s = InferenceSession(cfg)
+        s.load_model(data, ws)
+        n = s.set_audio_features(feats)
+        got = {}
+        s.run(max_frames=n, on_frame=lambda i, buf: got.__setitem__(i, buf))
+        # a second run continues from the carried EMA state — it must match
+        # across chunkings too (this is where tail padding used to leak)
+        s.set_audio_features(feats)  # resets EMA like a fresh upload
+        first = dict(got)
+        got.clear()
+        s.run(max_frames=n, on_frame=lambda i, buf: got.__setitem__(i, buf))
+        return first, got
+
+    # 6 frames: chunk=3 divides evenly (no padding), chunk=4 pads 2 slots,
+    # chunk=5 pads 4 slots
+    base_a, base_b = run_frames(3)
+    for chunk in (4, 5):
+        got_a, got_b = run_frames(chunk)
+        assert sorted(got_a) == sorted(base_a) == list(range(6))
+        for i in range(6):
+            np.testing.assert_array_equal(got_a[i], base_a[i])
+            np.testing.assert_array_equal(got_b[i], base_b[i])
+
+
+def test_session_multicascade_falls_back_to_full_marcher(tmp_path, capsys):
+    """bound > 1 (cascade > 1) must serve through the exhaustive marcher
+    with an explicit notice instead of tripping the compact-path assertion
+    (round-2 review missing item 4; reference marches any cascade count,
+    raymarching.cu:42-54)."""
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+
+    data, ws = _make_session_workspace(tmp_path, bound=2.0, max_steps=16)
+    cfg = Config(asr_model="deepspeech", grid_size=32, bound=2.0,
+                 max_steps=16, infer_samples=16, infer_chunk=2)
+    s = InferenceSession(cfg)
+    s.load_model(data, ws)
+    assert "cascade" in capsys.readouterr().out
+    rng = np.random.default_rng(1)
+    n = s.set_audio_features(
+        rng.standard_normal((2, 16, 29)).astype(np.float32))
+    got = {}
+    s.run(max_frames=n, on_frame=lambda i, buf: got.__setitem__(i, buf))
+    assert sorted(got) == list(range(n))
+    for buf in got.values():
+        assert np.isfinite(buf.astype(np.float32)).all()
