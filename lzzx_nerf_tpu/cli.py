@@ -170,9 +170,11 @@ def run_train(cfg) -> None:
     step_fn = jax.jit(make_train_step(field, settings, tx,
                                       finetune_lips=False, **common))
     # ray-compacted step used after the density grid has refined
-    # (cfg.train_compact_warmup; see Config.train_budget_frac)
+    # (cfg.train_compact_warmup; see Config.train_budget_frac). Under
+    # --data_parallel the compaction runs per shard (trainer.py vmaps the
+    # compact renderer over the mesh axis — no cross-shard collectives)
     compact_step_fn = None
-    if train_budget > 0 and dp_sharding is None:
+    if train_budget > 0:
         compact_step_fn = jax.jit(make_train_step(
             field, settings, tx, finetune_lips=False,
             train_budget=train_budget, **common))
@@ -183,6 +185,25 @@ def run_train(cfg) -> None:
     if cfg.finetune_lips:
         from .train import lpips as lpips_mod
 
+        # LPIPS provenance must be LOUD: a lips finetune against the
+        # fixed-seed random backbone silently diverges from the reference's
+        # pretrained LPIPS-alex (TrainerUtil.py:106-109) and the user only
+        # finds out 25k iters later
+        lpips_path = lpips_mod.default_weights_path()
+        if lpips_path is None and not cfg.allow_rand_lpips:
+            raise SystemExit(
+                "[ERROR] --finetune_lips needs pretrained LPIPS weights "
+                "(none found at $LZZX_LPIPS_NPZ or "
+                f"{lpips_mod.DEFAULT_WEIGHTS}).\n"
+                "Export them once with scripts/export_lpips.py (any machine "
+                "with the `lpips` pip package), or pass --allow_rand_lpips "
+                "to knowingly fine-tune against the fixed-seed RANDOM "
+                "backbone (quality diverges from the reference).")
+        provenance = (f"pretrained ({lpips_path})" if lpips_path
+                      else "RANDOM fixed-seed backbone (--allow_rand_lpips)")
+        trainer.log(f"[INFO] finetune-lips LPIPS weights: {provenance}")
+        trainer.scalar("train/lpips_pretrained",
+                       0.0 if lpips_path is None else 1.0, 0)
         lips_step_fn = jax.jit(make_train_step(
             field, settings, tx, finetune_lips=True,
             lips_pad=cfg.lips_crop, lpips_params=lpips_mod.get_params(),
@@ -284,8 +305,10 @@ def run_train(cfg) -> None:
         if epoch % eval_interval == 0 and (not distributed
                                            or is_coordinator()):
             psnr_meter.clear(); lpips_meter.clear()
+            # full val split by default (reference TrainerUtil.py:1107-1220);
+            # --eval_frames N caps it for quick runs
             for vi, vb in enumerate(val.frames(shuffle=False)):
-                if vi >= 4:
+                if cfg.eval_frames and vi >= cfg.eval_frames:
                     break
                 out = eval_fn(state, occ,
                               {k: jnp.asarray(v) for k, v in vb.items()})

@@ -75,6 +75,12 @@ class Config:
 
     init_lips: bool = False
     finetune_lips: bool = False
+    # --finetune_lips without pretrained LPIPS weights is REFUSED unless
+    # this is set: a 25k-iter lips run against the fixed-seed random
+    # backbone (train/lpips.py fallback) is a silent quality divergence
+    # from the reference's real LPIPS-alex (TrainerUtil.py:106-109);
+    # export weights with scripts/export_lpips.py
+    allow_rand_lpips: bool = False
     smooth_lips: bool = False
     # static lips-crop side for the finetune-lips LPIPS step (the reference
     # uses the variable lms rect padded to >=32; static shapes need a fixed
@@ -206,6 +212,10 @@ class Config:
     # unaffected.
     fused_field: int = -1
     eval_interval: int = 1
+    # frames evaluated per eval epoch: 0 = the FULL val split (reference
+    # TrainerUtil.py:1107-1220 semantics); a small cap (the round-1/2 code
+    # hardwired 4) is noisy enough to mask a lips-finetune regression
+    eval_frames: int = 0
     max_keep_ckpt: int = 2
 
     @property

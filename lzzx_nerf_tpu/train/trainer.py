@@ -156,11 +156,56 @@ def make_train_step(
             # train_budget > 0: window-compacted training render — exact for
             # every slotted ray, skips the field entirely for rays whose
             # columns hold no occupied cell (render_rays_train_compact).
-            # Unavailable under data sharding (global compaction cumsum) and
-            # pointless for the lips crop (all-face rays).
-            use_compact = (train_budget > 0 and not finetune_lips
-                           and data_sharding is None)
-            if use_compact:
+            # Pointless for the lips crop (all-face rays).
+            use_compact = train_budget > 0 and not finetune_lips
+            if use_compact and data_sharding is not None:
+                # PER-SHARD compaction (round-2 review item 3): vmap the
+                # compact renderer over a leading shard axis — the
+                # windows/cumsum/scatter/top_k all become batched ops that
+                # partition along the mesh axis with NO cross-shard
+                # collectives (each shard compacts its own rays into
+                # budget/n_shards slots; the unbiased overflow reweighting
+                # runs per shard, so the estimator stays unbiased — slotted
+                # rays are a uniform random subset within each shard too)
+                mesh = data_sharding.mesh
+                axis = data_sharding.spec[0]
+                n_sh = mesh.shape[axis]
+                if rays_o.shape[0] % n_sh:
+                    raise ValueError(
+                        f"num_rays {rays_o.shape[0]} must divide by the "
+                        f"data-parallel factor {n_sh}")
+                b_local = max(256, train_budget // n_sh)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh2 = NamedSharding(mesh, PartitionSpec(axis))
+                wsc2 = jax.lax.with_sharding_constraint
+
+                def shard_render(ro_s, rd_s, bg_s, noise_s):
+                    return render_rays_train_compact(
+                        field.apply, params, settings, occ, ro_s, rd_s,
+                        enc_a, c, eye, bg_s, budget=b_local, noise=noise_s,
+                        compute_uncertainty=unc_loss)
+
+                res_sh = jax.vmap(shard_render)(
+                    ro.reshape(n_sh, -1, 3), rd.reshape(n_sh, -1, 3),
+                    bg.reshape(n_sh, -1, 3), noise.reshape(n_sh, -1))
+                # flatten the shard axis back to the original ray order
+                # (ray i lives at [i // n_local, i % n_local])
+                n_rays = rays_o.shape[0]
+                res = {}
+                for k, v in res_sh.items():
+                    if k == "rays":
+                        pts_s, dirs_s, mask_s = v
+                        res[k] = (pts_s.reshape(-1, 3), dirs_s.reshape(-1, 3),
+                                  mask_s.reshape(-1))
+                    elif k == "n_active":
+                        res[k] = jnp.sum(v)
+                    elif v.ndim >= 2 and v.shape[1] == n_rays // n_sh:
+                        res[k] = wsc2(v.reshape(n_rays, *v.shape[2:]), sh2)
+                    else:
+                        res[k] = v
+                ray_weight = res["ray_weight"]
+            elif use_compact:
                 res = render_rays_train_compact(
                     field.apply, params, settings, occ, ro, rd, enc_a, c,
                     eye, bg, budget=train_budget, noise=noise,

@@ -258,6 +258,46 @@ def test_compact_train_step_matches_full(world):
                                    rtol=5e-4, atol=5e-5)
 
 
+def test_compact_train_step_data_parallel_matches_single_device(world):
+    """Per-shard compaction (round-2 review item 3): the compact step under
+    an 8-device data mesh (budget/8 slots per shard, per-shard reweighting)
+    must match the single-device compact step — when no shard overflows the
+    sample sets, loss and gradients are identical up to float order."""
+    from lzzx_nerf_tpu.parallel import data_sharding, make_mesh
+
+    ds, settings, state0, field, params = world
+    r = jnp.linspace(-1, 1, GRID)
+    X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+    occ = state0._replace(occ=(jnp.sqrt(X**2 + Y**2 + Z**2) < 0.45)[None])
+
+    tx = build_optimizer(iters=100)
+    mesh = make_mesh("data", jax.devices()[:8])
+    common = dict(H=ds.H, W=ds.W, intrinsics=ds.intrinsics, num_rays=1024,
+                  iters=100, ind_dim=4, ema_interval=50, train_budget=1024)
+    step1 = jax.jit(make_train_step(field, settings, tx, **common))
+    step8 = jax.jit(make_train_step(field, settings, tx,
+                                    data_sharding=data_sharding(mesh),
+                                    **common))
+
+    b = {k: jnp.asarray(v) for k, v in ds.frame(0).items()}
+    rng = jax.random.PRNGKey(3)
+    s1, m1 = step1(TrainState.create(params, tx), occ, b, rng)
+    s8, m8 = step8(TrainState.create(params, tx), occ, b, rng)
+
+    # same demand (n_active sums the per-shard counts), same loss
+    assert int(m8["n_active"]) == int(m1["n_active"])
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=2e-5, atol=1e-7)
+    import jax.tree_util as jtu
+
+    f1 = jtu.tree_flatten_with_path(s1.params)[0]
+    f8 = jtu.tree_flatten_with_path(s8.params)[0]
+    for (path, a), (_, c) in zip(f1, f8):
+        tol = 5e-3 if "encoder" in jtu.keystr(path) else 5e-5
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=tol,
+                                   err_msg=jtu.keystr(path))
+
+
 def test_compact_train_step_overflow_masks_loss(world):
     """A too-small budget must stay finite and expose the demand via
     n_active; overflowed rays are excluded from the loss."""
@@ -289,3 +329,32 @@ def test_config_json_roundtrip():
                  offset=(0.1, 0.2, 0.3))
     back = Config.from_json(cfg.to_json())
     assert back == cfg
+
+
+def test_finetune_lips_refuses_random_lpips(tmp_path, monkeypatch):
+    """--finetune_lips without pretrained LPIPS weights must refuse loudly
+    (round-2 review weak item 4: a 25k-iter lips run against the fixed-seed
+    random backbone is a silent quality divergence from the reference's
+    LPIPS-alex, TrainerUtil.py:106-109) unless --allow_rand_lpips opts in."""
+    import pytest as _pytest
+
+    from conftest import make_toy_dataset
+    from lzzx_nerf_tpu import cli
+    from lzzx_nerf_tpu.config import Config
+
+    monkeypatch.delenv("LZZX_LPIPS_NPZ", raising=False)
+    monkeypatch.setattr("lzzx_nerf_tpu.train.lpips.DEFAULT_WEIGHTS",
+                        str(tmp_path / "none.npz"))
+    data = make_toy_dataset(tmp_path / "data")
+    cfg = Config(path=data, workspace=str(tmp_path / "ws"),
+                 asr_model="deepspeech", grid_size=32, max_steps=8,
+                 num_rays=1024, iters=2, finetune_lips=True, patch_size=1,
+                 lips_crop=32)
+    with _pytest.raises(SystemExit, match="allow_rand_lpips"):
+        cli.run_train(cfg)
+    # with the explicit opt-in it proceeds (and logs the provenance)
+    cfg2 = cfg.replace(allow_rand_lpips=True,
+                       workspace=str(tmp_path / "ws2"))
+    cli.run_train(cfg2)
+    log = open(tmp_path / "ws2" / "log_ngp.txt").read()
+    assert "RANDOM fixed-seed backbone" in log
