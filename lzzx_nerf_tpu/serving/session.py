@@ -129,6 +129,8 @@ class InferenceSession:
                     density_grid_torso=occ_t.density_grid_torso,
                     mean_density_torso=occ_t.mean_density_torso)
         self._overflow_warned = self._s2_warned = False
+        self._pending_budget = None
+        self._budget_override = None
         self._compile_render()
         self._built = True
 
@@ -142,8 +144,14 @@ class InferenceSession:
         from ..utils import get_rays
 
         ds, cfg = self.ds, self.cfg
-        budget = max(1024,
-                     int(cfg.budget_frac * ds.H * ds.W) // 1024 * 1024)
+        # budget slot granularity: 1024 at production frame sizes, finer for
+        # tiny frames so the adaptive cap can actually reach the demand
+        gran = 1024 if ds.H * ds.W >= 65536 else 256
+        self._budget_gran = gran
+        frame_cap = max(gran, ds.H * ds.W // gran * gran)
+        budget = getattr(self, "_budget_override", None) or max(
+            gran, int(cfg.budget_frac * ds.H * ds.W) // gran * gran)
+        budget = min(budget, frame_cap)
         self.budget = budget
         # serving operating point: S=infer_samples, capped window candidates
         # (guarded by tests/test_render.py PSNR checks)
@@ -355,11 +363,31 @@ class InferenceSession:
                       f"overflow rays truncate at the split (raise "
                       f"infer_stage2_frac)")
                 self._s2_warned = True
+            max_act = int(acts[:count].max()) if count else 0
+            gran = self._budget_gran
+            frame_cap = max(gran, ds.H * ds.W // gran * gran)
+            if max_act > self.budget and self.budget < frame_cap:
+                # ADAPTIVE BUDGET (round-2 review item 6): a model whose
+                # silhouette outgrows the initial budget must not clip rays
+                # to background for the rest of the session — rebuild the
+                # render program with ~1.25x the observed demand at the
+                # next chunk boundary (compile once per budget value, then
+                # cached; frames already queued keep streaming meanwhile)
+                want = min(frame_cap,
+                           max(gran, int(max_act * 1.25) // gran * gran))
+                if want > self.budget:
+                    print(f"[WARN] frame {base}: {max_act} active rays "
+                          f"exceed budget {self.budget}; rebuilding the "
+                          f"render program with budget {want} at the next "
+                          f"chunk boundary")
+                    self._pending_budget = want
             for j in range(count):
                 if not self._overflow_warned and int(acts[j]) > self.budget:
-                    print(f"[WARN] frame {base + j}: {int(acts[j])} active "
-                          f"rays exceed budget {self.budget}; overflow "
-                          f"rendered as background (raise budget_frac)")
+                    if self.budget >= frame_cap:
+                        print(f"[WARN] frame {base + j}: {int(acts[j])} "
+                              f"active rays exceed the whole-frame budget "
+                              f"{self.budget}; overflow rendered as "
+                              f"background")
                     self._overflow_warned = True
                 sink.push(bufs[j].tobytes())
                 if on_frame:
@@ -391,6 +419,18 @@ class InferenceSession:
             return ds.poses[fi], ds.audio_window(i), eye, fi
 
         for base in range(0, n, C):
+            if self._pending_budget:
+                if self._pending_budget > self.budget:
+                    # adaptive-budget rebuild at the chunk boundary: drain
+                    # the queued chunks (their program is being replaced),
+                    # then recompile with the larger budget — once per
+                    # budget value, persistent-cache-backed
+                    while queue:
+                        consume()
+                    self._budget_override = self._pending_budget
+                    self._compile_render()
+                    render = self._get_render(fmt)
+                self._pending_budget = None
             count = min(C, n - base)
             # pad the tail chunk by repeating its last frame; padded slots
             # carry valid=0 so they render (static chunk shape) but do not

@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--k2", type=int, default=40)
     args = ap.parse_args()
 
     import jax
@@ -131,7 +132,7 @@ def main():
     # full budget: quality isolation (overflow is a separate, warned-about
     # failure mode); stage-2 budget at the serving fraction
     budget = res * res
-    K2 = 40
+    K2 = args.k2
     staged = dict(stage_split=8,
                   stage2_budget=max(1024, int(budget * 0.375) // 1024 * 1024))
 
