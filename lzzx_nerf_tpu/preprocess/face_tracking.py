@@ -257,15 +257,24 @@ def sh_irradiance(normals: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
 
 
 def splat_render(proj: jnp.ndarray, colors: jnp.ndarray, weights: jnp.ndarray,
-                 H: int, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 H: int, W: int, depth: Optional[jnp.ndarray] = None,
+                 depth_tau: Optional[jnp.ndarray] = None,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable point-splat: bilinear scatter-add of per-vertex colors.
 
     proj [B, N, 2] pixel coords (x, y), colors [B, N, 3], weights [B, N]
     (visibility/facing weights) -> (image [B, H, W, 3], wsum [B, H, W]).
-    Static shapes, no sort: occlusion is approximated by the facing weights
-    (back-facing vertices contribute ~0) — adequate for the near-frontal
-    talking-head footage this tracker ingests, and self-consistent for the
-    optimization because the target fit uses the same forward model."""
+    Static shapes, no sort.
+
+    depth/depth_tau (round-2 review item 7 — occlusion handling beyond
+    facing weights): `depth` [B, N] positive camera distances enable a SOFT
+    Z-BUFFER — pass 1 scatter-mins the nearest contributing depth per
+    pixel, pass 2 multiplies each splat by exp(-(d - d_nearest)/tau)
+    ([B] or scalar tau), so surfaces behind a nearer surface fade out
+    smoothly (differentiable, unlike the reference's hard rasterizer
+    z-test, render_3dmm.py:79-207, which this approximates as tau -> 0).
+    Facing weights alone are exact only for convex geometry; profile-view
+    frames (far cheek behind the near one) need the depth term."""
     B, N = proj.shape[:2]
     x = proj[..., 0]
     y = proj[..., 1]
@@ -274,14 +283,37 @@ def splat_render(proj: jnp.ndarray, colors: jnp.ndarray, weights: jnp.ndarray,
     fx = x - x0
     fy = y - y0
 
-    img = jnp.zeros((B, H * W, 3))
-    wsum = jnp.zeros((B, H * W))
-    for dx, dy, w in ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
-                      (0, 1, (1 - fx) * fy), (1, 1, fx * fy)):
+    corners = ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
+               (0, 1, (1 - fx) * fy), (1, 1, fx * fy))
+
+    def corner_idx(dx, dy):
         xi = jnp.clip(x0 + dx, 0, W - 1).astype(jnp.int32)
         yi = jnp.clip(y0 + dy, 0, H - 1).astype(jnp.int32)
-        idx = yi * W + xi                              # [B, N]
-        ww = w * weights
+        return yi * W + xi                             # [B, N]
+
+    occl = [1.0] * 4
+    if depth is not None:
+        tau = jnp.asarray(depth_tau if depth_tau is not None else 1.0,
+                          jnp.float32)
+        tau = jnp.broadcast_to(tau, (B,))              # scalar or [B]
+        zsrc = jnp.where(weights > 1e-6, depth, 1e9)   # ignore back-facing
+        zbuf = jnp.full((B, H * W), 1e9)
+        for dx, dy, _ in corners:
+            idx = corner_idx(dx, dy)
+            zbuf = jax.vmap(lambda zb, i, v: zb.at[i].min(v))(zbuf, idx, zsrc)
+        zbuf = jax.lax.stop_gradient(zbuf)
+        occl = []
+        for dx, dy, _ in corners:
+            idx = corner_idx(dx, dy)
+            znear = jnp.take_along_axis(zbuf, idx, axis=1)  # [B, N]
+            occl.append(jnp.exp(-jnp.maximum(depth - znear, 0.0)
+                                / jnp.maximum(tau.reshape(B, 1), 1e-6)))
+
+    img = jnp.zeros((B, H * W, 3))
+    wsum = jnp.zeros((B, H * W))
+    for (dx, dy, w), oc in zip(corners, occl):
+        idx = corner_idx(dx, dy)
+        ww = w * weights * oc
         img = jax.vmap(lambda im, i, v: im.at[i].add(v))(
             img, idx, colors * ww[..., None])
         wsum = jax.vmap(lambda ws, i, v: ws.at[i].add(v))(wsum, idx, ww)
@@ -290,9 +322,15 @@ def splat_render(proj: jnp.ndarray, colors: jnp.ndarray, weights: jnp.ndarray,
 
 
 def render_photometric(model: Face3DMM, params: Dict, cxy, H: int, W: int,
-                       scale: float = 1.0, frames_idx: Optional[slice] = None):
+                       scale: float = 1.0, frames_idx: Optional[slice] = None,
+                       depth_tau_rel: float = 0.05):
     """Forward photometric model: geometry -> normals -> SH shading ->
-    point-splat. Returns (image [F, H', W', 3], wsum) at resolution/scale."""
+    depth-weighted point-splat. Returns (image [F, H', W', 3], wsum) at
+    resolution/scale.
+
+    depth_tau_rel: soft z-buffer temperature as a fraction of the model's
+    per-frame depth range (splat_render's occlusion term; 0 disables —
+    facing weights only, the pre-round-3 behavior)."""
     idb = jnp.broadcast_to(params["id"],
                            (params["exp"].shape[0], params["id"].shape[-1]))
     verts = model.geometry(idb, params["exp"])
@@ -314,7 +352,15 @@ def render_photometric(model: Face3DMM, params: Dict, cxy, H: int, W: int,
     py = (params["focal"] * Y / Z + cxy[1]) * scale
     proj = jnp.stack([px, py], -1)
     h, w = int(round(H * scale)), int(round(W * scale))
-    return splat_render(proj, colors, facing, h, w)
+    depth = tau = None
+    if depth_tau_rel > 0:
+        # camera at the origin looking along -Z (projection above): positive
+        # camera distance is -Z; tau scales with the head's depth extent
+        depth = -Z
+        rng_d = (jnp.max(depth, axis=1) - jnp.min(depth, axis=1))
+        tau = jnp.maximum(depth_tau_rel * rng_d, 1e-6)
+    return splat_render(proj, colors, facing, h, w, depth=depth,
+                        depth_tau=tau)
 
 
 def fit_light(model: Face3DMM, frames: jnp.ndarray, cxy, params: Dict,
