@@ -78,12 +78,14 @@ class FaceParser:
             self._init_modelscope()
         except Exception:
             raise RuntimeError(
-                "no face-parsing backend available: set LZZX_PARSER_TS to a "
-                "TorchScript face parser ([1,3,H,W] RGB in [0,1] -> "
-                "[1,19,H,W] CelebAMask-HQ logits, e.g. an exported BiSeNet) "
-                "or install modelscope for the reference's M2FP pipeline; "
-                "alternatively drop precomputed color-coded PNGs into the "
-                "parsing/ directory")
+                "no face-parsing backend available. Get one with "
+                "scripts/get_parsing_model.py: `bisenet --weights "
+                "79999_iter.pth` converts the pinned CelebAMask-HQ BiSeNet "
+                "(zllrunning/face-parsing.PyTorch) to a TorchScript parser "
+                "(then export LZZX_PARSER_TS=<out>), or `modelscope` warms "
+                "the reference's M2FP pipeline (needs pip install "
+                "modelscope). Alternatively drop precomputed color-coded "
+                "PNGs into the parsing/ directory")
 
     def _init_torchscript(self, path: str) -> None:
         import torch

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--k2", type=int, default=40)
+    ap.add_argument("--warmup", type=int, default=1000)
+    ap.add_argument("--log-every", type=int, default=500)
     args = ap.parse_args()
 
     import jax
@@ -93,7 +95,7 @@ def main():
     step_full = jax.jit(make_train_step(field, settings, tx, **common))
     step_compact = jax.jit(make_train_step(field, settings, tx,
                                            train_budget=3072, **common))
-    warmup = 1000
+    warmup = args.warmup
 
     def density_fn(pts, ea, eye):
         return field.apply(state.params, pts, ea, eye, method="density").sigma
@@ -116,7 +118,7 @@ def main():
         rng, sub = jax.random.split(rng)
         step = step_full if it < warmup else step_compact
         state, metrics = step(state, occ, batch, sub)
-        if it % 500 == 0:
+        if it % args.log_every == 0:
             print(f"step {it}: loss={float(metrics['loss']):.5f} "
                   f"({it / max(time.time() - t0, 1e-9):.1f} it/s)",
                   flush=True)

@@ -158,3 +158,61 @@ def test_parsing_color_code_and_tasks_4_to_6(tmp_path):
     os.environ.pop("LZZX_PARSER_TS", None)
     with pytest.raises(RuntimeError, match="LZZX_PARSER_TS"):
         FaceParser()
+
+
+def test_bisenet_torchscript_export_drives_parser(tmp_path):
+    """The parsing-model deliverable (round-2 review item 9): the BiSeNet
+    exporter must produce a TorchScript module that preprocess/parsing.py's
+    backend consumes end-to-end — RGB frame -> 19-class label map ->
+    reference-palette PNG. Random weights here (the pinned CelebAMask-HQ
+    checkpoint loads via the same shape-ordered assignment on any machine
+    with network)."""
+    import sys
+
+    import cv2
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from get_parsing_model import (BiSeNet, assign_by_shape_order,
+                                   export_bisenet)
+    from lzzx_nerf_tpu.preprocess.parsing import FaceParser, run_parsing
+
+    ts = str(tmp_path / "parser.ts")
+    export_bisenet(None, ts, eval_size=64)
+
+    parser = FaceParser(ts_path=ts)
+    assert parser.name.startswith("torchscript:")
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)
+    labels = parser.parse(frame)
+    assert labels.shape == (48, 40) and labels.dtype == np.int32
+    assert labels.min() >= 0 and labels.max() < 19
+
+    # full task-4 contract: ori_imgs -> parsing/<i>.png in the palette
+    ori = tmp_path / "ori_imgs"
+    ori.mkdir()
+    cv2.imwrite(str(ori / "0.jpg"), frame[..., ::-1])
+    n = run_parsing(str(ori), str(tmp_path / "parsing"), parser=parser)
+    assert n == 1
+    png = cv2.imread(str(tmp_path / "parsing" / "0.png"))[..., ::-1]
+    palette = {(255, 255, 255), (0, 0, 255), (0, 255, 0), (255, 0, 0)}
+    got = set(map(tuple, png.reshape(-1, 3).tolist()))
+    assert got <= palette, got - palette
+
+    # the shape-ordered checkpoint assignment round-trips an isomorphic
+    # state dict with arbitrary key names
+    net = BiSeNet()
+    src = {f"ckpt.{i}": v.clone() + 1.0
+           for i, (k, v) in enumerate(net.state_dict().items())
+           if "num_batches_tracked" not in k}
+    net2 = BiSeNet()
+    assign_by_shape_order(net2, src)
+    ref = [v for k, v in net.state_dict().items()
+           if "num_batches_tracked" not in k]
+    got2 = [v for k, v in net2.state_dict().items()
+            if "num_batches_tracked" not in k]
+    for a, b in zip(ref, got2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a) + 1.0)
