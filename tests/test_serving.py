@@ -599,3 +599,39 @@ def test_overlay_sink_composites_crop_onto_source(tmp_path):
     st = _probe(tmp_path / "out.mp4")
     assert (st["width"], st["height"]) == (SW, SH)
     assert int(st["nb_read_frames"]) >= N - 1  # shortest-input policy
+
+
+def test_filtered_sink_preserves_frame_order():
+    """Multi-frame pass-through: a (stateful) fake restorer must see frames
+    strictly in push order and the inner sink must receive the restored
+    frames in the same order (round-2 review weak item 8 — the GFPGAN slot
+    was single-frame-tested only)."""
+    from lzzx_nerf_tpu.serving.streaming import FilteredSink, FrameSink
+
+    class CaptureSink(FrameSink):
+        width, height = 4, 2
+        pix_fmt = "rgb24"
+
+        def __init__(self):
+            self.frames = []
+
+        def push(self, b):
+            self.frames.append(np.frombuffer(b, np.uint8).reshape(2, 4, 3))
+
+    seen = []
+
+    def restorer(f):
+        seen.append(int(f[0, 0, 0]))
+        out = f.copy()
+        out[..., 1] = len(seen)         # stamp the restoration order
+        return out
+
+    inner = CaptureSink()
+    sink = FilteredSink(inner, restorer)
+    for i in (10, 20, 30):
+        frame = np.full((2, 4, 3), i, np.uint8)
+        sink.push(frame.tobytes())
+    assert seen == [10, 20, 30]
+    assert [int(f[0, 0, 0]) for f in inner.frames] == [10, 20, 30]
+    assert [int(f[0, 0, 1]) for f in inner.frames] == [1, 2, 3]
+    assert sink.count == 3

@@ -358,3 +358,33 @@ def test_finetune_lips_refuses_random_lpips(tmp_path, monkeypatch):
     cli.run_train(cfg2)
     log = open(tmp_path / "ws2" / "log_ngp.txt").read()
     assert "RANDOM fixed-seed backbone" in log
+
+
+def test_lmd_meter_matches_reference_formula():
+    """LMDMeter with an injected landmark backend must compute exactly the
+    reference's mouth-LMD (utils.py:497-537): mouth lms 48:68, each set
+    centred on its own centroid, mean per-landmark Euclidean distance,
+    averaged over updates."""
+    from lzzx_nerf_tpu.train.metrics import LMDMeter
+
+    rng = np.random.default_rng(0)
+    sets = [(rng.uniform(0, 128, (68, 2)).astype(np.float32),
+             rng.uniform(0, 128, (68, 2)).astype(np.float32))
+            for _ in range(3)]
+
+    m = LMDMeter()
+    feed = iter([x for pair in sets for x in pair])
+    m.predictor = "fake"
+    m.get_landmarks = lambda img: next(feed)
+    for _ in sets:
+        m.update(np.zeros((4, 4, 3)), np.zeros((4, 4, 3)))
+
+    # literal transcription of the reference update()
+    want = 0.0
+    for lp, lg in sets:
+        lp, lg = lp[48:68], lg[48:68]
+        lp = lp - lp.mean(0)
+        lg = lg - lg.mean(0)
+        want += np.sqrt(((lp - lg) ** 2).sum(1)).mean(0)
+    want /= len(sets)
+    np.testing.assert_allclose(m.measure(), want, rtol=1e-6)
