@@ -309,3 +309,63 @@ def test_converted_full_field_runs_and_mlps_match():
             sd[f"sigma_net.net.{l}.weight"]).T} for l in range(3)}},
         jnp.asarray(h)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_import_reference_ckpt_to_workspace(tmp_path):
+    """scripts/import_reference_ckpt.py: a reference-layout torch checkpoint
+    (converted params + MORTON-ordered density grid + EMA semantics) must
+    become a workspace that cli --test renders from directly — the
+    documented real-data protocol's executable half (round-2 review
+    missing item 1)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from conftest import make_toy_dataset
+    from import_reference_ckpt import dem_morton, main as import_main
+
+    from lzzx_nerf_tpu import cli
+
+    # reference-layout checkpoint: random-but-valid state dict + a morton
+    # density grid whose natural-order image we know
+    GRID = 32
+    sd = _torch_reference_state()
+    rng = np.random.default_rng(2)
+    natural = rng.uniform(0, 20, (1, GRID, GRID, GRID)).astype(np.float32)
+    from lzzx_nerf_tpu.ops.morton import morton3d
+
+    coords = np.stack(np.meshgrid(*([np.arange(GRID)] * 3), indexing="ij"),
+                      -1).reshape(-1, 3)
+    codes = np.asarray(morton3d(jnp.asarray(coords, jnp.uint32)))
+    morton_flat = np.zeros((1, GRID ** 3), np.float32)
+    morton_flat[:, codes] = natural.reshape(1, -1)
+    np.testing.assert_allclose(dem_morton(morton_flat, GRID), natural)
+    sd["density_grid"] = torch.as_tensor(morton_flat)
+
+    ckpt_path = tmp_path / "ngp_ep0001.pth"
+    torch.save({"model": sd, "mean_density": 2.0, "global_step": 123},
+               ckpt_path)
+
+    data = make_toy_dataset(tmp_path / "data")
+    ws = str(tmp_path / "ws")
+    argv = sys.argv
+    sys.argv = ["x", "--ckpt", str(ckpt_path), "--data", data,
+                "--workspace", ws, "--asr_model", "deepspeech",
+                "--grid_size", "32"]
+    try:
+        import_main()
+    finally:
+        sys.argv = argv
+    assert os.path.isdir(os.path.join(ws, "checkpoints"))
+
+    # the standard --test consumer renders from it (hash encoder adopted)
+    cli.main([data, "--workspace", ws, "--encoder", "hash", "--asr_model",
+              "deepspeech", "--test", "1", "--test_train", "1",
+              "--grid_size", "32", "--max_steps", "8", "--ind_num", "64",
+              "--infer_samples", "8", "--infer_window_candidates", "24",
+              "--data_range", "0", "-1"])
+    results = os.listdir(os.path.join(ws, "results"))
+    assert [f for f in results if f.endswith(".png")]
+    log = open(os.path.join(ws, "log_ngp.txt")).read()
+    assert "resumed=True" in log or "ckpt resumed" in log
