@@ -191,7 +191,13 @@ class NeRFField(nn.Module):
         h = self.sigma_net(h)
         sigma = jnp.exp(h[..., 0].astype(jnp.float32))
         geo_feat = h[..., 1:]
-        amb_aud = jnp.linalg.norm(aud_ch_att, axis=-1)         # [N]
+        # safe L2: the plain norm's gradient at an EXACTLY-zero vector is
+        # x/||x|| = nan, and the ambient-audio loss actively drives these
+        # outputs to zero outside the face (TrainerUtil.py:331-336) — a
+        # single fully-dead ReLU row then NaNs aud_ch_att's gradients even
+        # through masked/zero upstream weights (0*nan). torch.norm
+        # special-cases the zero subgradient; replicate that.
+        amb_aud = jnp.sqrt(jnp.sum(aud_ch_att ** 2, axis=-1) + 1e-12)  # [N]
         return DensityOutputs(sigma, geo_feat, amb_aud, eye_att[..., 0])
 
     def __call__(

@@ -115,8 +115,12 @@ def lpips(params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     fy = _features(params, y)
     total = 0.0
     for i, (a, b) in enumerate(zip(fx, fy)):
-        na = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
-        nb = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+        # sqrt(sum+eps) rather than norm: the norm's gradient at an
+        # exactly-zero feature vector (all-dead ReLU channels at a pixel)
+        # is nan even when clamped forward — same hazard as the amb_aud
+        # norm (models/nerf.py density)
+        na = a / jnp.sqrt(jnp.sum(a ** 2, -1, keepdims=True) + 1e-12)
+        nb = b / jnp.sqrt(jnp.sum(b ** 2, -1, keepdims=True) + 1e-12)
         d = (na - nb) ** 2                              # [B, h, w, C]
         w = jnp.maximum(params[f"lin{i}"], 0.0)         # non-negative heads
         total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))

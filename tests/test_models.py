@@ -98,3 +98,43 @@ def test_torso_field(field_and_params):
     assert alpha.shape == (32, 1) and color.shape == (32, 3) and dx.shape == (32, 2)
     assert np.all(np.asarray(alpha) >= -0.001 - 1e-6)
     assert np.all(np.asarray(alpha) <= 1.001 + 1e-6)
+
+
+def test_ambient_aud_gradient_finite_at_dead_attention():
+    """d||x||/dx at x=0 is nan in JAX (torch special-cases it): with the
+    aud_ch_att MLP forced to output EXACTLY zero (fully dead layer — the
+    state the ambient-audio loss drives non-face regions toward), the
+    gradient through ambient_aud must stay finite (regression: this NaN'd
+    the grid-128 production training run at ~step 320, 0*nan poisoning
+    aud_ch_att's update even though the zero rows were masked)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lzzx_nerf_tpu.models import NeRFField
+
+    field = NeRFField(audio_in_dim=29, encoder="dense", ind_num=8)
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    # kill the attention head: output == 0 for every input
+    p = jax.tree.map(lambda x: x, params)
+    p["params"]["aud_ch_att_net"]["net_1"]["kernel"] = jnp.zeros_like(
+        p["params"]["aud_ch_att_net"]["net_1"]["kernel"])
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(-0.5, 0.5, (16, 3)),
+                    jnp.float32)
+    d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    enc_a = jnp.ones((1, 32))
+
+    def loss(params):
+        out = field.apply(params, x, d, enc_a, jnp.zeros(4),
+                          jnp.asarray([0.25]))
+        # amb_aud feeds the loss both directly and via a masked (zero
+        # weight) term — the 0*nan path
+        return jnp.sum(out.ambient_aud) + jnp.sum(out.ambient_aud * 0.0) \
+            + jnp.sum(out.sigma * 1e-6)
+
+    g = jax.grad(loss)(p)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
