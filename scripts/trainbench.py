@@ -33,6 +33,14 @@ def main():
                     help="training-ray compaction budget as a fraction of "
                          "num_rays (render_rays_train_compact); 0 = the "
                          "full static path")
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="shard the ray batch over an N-device 'data' mesh "
+                         "(the compact step runs per-shard, trainer.py). "
+                         "N=1 on the single real chip measures the vmapped "
+                         "per-shard compaction's overhead vs the plain "
+                         "path; N>1 needs N devices (virtual CPU mesh via "
+                         "--cpu + XLA_FLAGS=--xla_force_host_platform_"
+                         "device_count=N)")
     args = ap.parse_args()
 
     import jax
@@ -40,6 +48,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.data_parallel > 1:
+            jax.config.update("jax_num_cpu_devices", args.data_parallel)
         args.res, args.grid, args.num_rays, args.steps = 96, 32, 1024, 8
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/jax_cache_lzzx_tpu" if not args.cpu
@@ -73,12 +83,21 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(params))
     tx = build_optimizer(1e-2, 1e-3, 100_000)
     state = TrainState.create(params, tx)
-    budget = (int(args.num_rays * args.budget_frac) // 1024 * 1024
+    gran = 1024 if args.num_rays >= 8192 else 256
+    budget = (max(gran, int(args.num_rays * args.budget_frac) // gran * gran)
               if args.budget_frac > 0 else 0)
+    dp_sharding = None
+    if args.data_parallel > 0:
+        from lzzx_nerf_tpu.parallel import data_sharding, make_mesh
+
+        devs = jax.devices()[:args.data_parallel]
+        assert len(devs) == args.data_parallel, (
+            f"need {args.data_parallel} devices, have {len(jax.devices())}")
+        dp_sharding = data_sharding(make_mesh("data", devs))
     step = jax.jit(make_train_step(
         field, settings, tx, H=res, W=res, intrinsics=ds.intrinsics,
         num_rays=args.num_rays, iters=100_000, ind_dim=4,
-        ema_interval=1000, train_budget=budget))
+        ema_interval=1000, train_budget=budget, data_sharding=dp_sharding))
 
     def density_fn(pts, ea, eye):
         return field.apply(state.params, pts, ea, eye, method="density").sigma
@@ -111,7 +130,8 @@ def main():
     its = args.steps / dt_s
     n_act = (f", n_active={int(metrics['n_active'])}/{budget}"
              if "n_active" in metrics else "")
-    print(f"train step: {its:.2f} it/s at num_rays={args.num_rays}, "
+    dp = f", dp={args.data_parallel}" if args.data_parallel else ""
+    print(f"train step{dp}: {its:.2f} it/s at num_rays={args.num_rays}, "
           f"grid={grid}, S=16, budget={budget}, {n_params/1e6:.2f}M params "
           f"({args.num_rays * its / 1e6:.2f} Mrays/s backprop){n_act}")
     print(f"reference recipe on one chip: head 100k iters = "
