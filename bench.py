@@ -35,10 +35,13 @@ def main():
     ap.add_argument("--budget-frac", type=float, default=0.5,
                     help="active-ray budget as a fraction of total rays "
                          "(compact path)")
-    ap.add_argument("--k2", type=int, default=40,
-                    help="window candidates per compacted ray (0 = auto); "
-                         "40 covers a generously dilated head column at "
-                         "dt=2sqrt(3)/128 (serving default)")
+    ap.add_argument("--k2", type=int, default=0,
+                    help="window candidates per compacted ray. 0 (default) "
+                         "= ADAPTIVE from the scene's longest column slab "
+                         "+ camera obliquity, like serving "
+                         "(Config.infer_window_candidates) — K2 must scale "
+                         "with the grid; fixed 40 truncated grid-128 "
+                         "windows (-11 dB, round-3 find)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 MLP compute")
     ap.add_argument("--f32-tables", action="store_true",
@@ -134,6 +137,17 @@ def main():
         lambda p: field.apply(p, method="bake_tables", dtype=tdtype))(params)
     tables = jax.jit(
         lambda o: build_inference_tables(o, settings.bound))(occ.occ)
+    if not args.k2:
+        from lzzx_nerf_tpu.ops.march2 import window_candidates_for_scene
+        from lzzx_nerf_tpu.utils.rays import min_corner_dz
+
+        args.k2 = window_candidates_for_scene(
+            np.asarray(tables.z_lo), np.asarray(tables.z_hi), settings.dt,
+            min_dz=min_corner_dz(
+                np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5],
+                          [0, 0, 0, 1]], np.float32),
+                (res / 0.6, res / 0.6, res / 2, res / 2), res, res))
+        print(f"# adaptive K2={args.k2}", file=sys.stderr)
     torso_packed = torso_plan = None
     if args.torso:
         from lzzx_nerf_tpu.render import build_torso_plan

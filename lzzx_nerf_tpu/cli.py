@@ -502,7 +502,6 @@ def run_test(cfg) -> None:
     # params are static at test time (same as serving/session.py)
     isettings = dataclasses.replace(
         settings, max_steps=cfg.infer_samples or settings.max_steps)
-    k2 = cfg.infer_window_candidates or None
     tdtype = jnp.bfloat16 if cfg.infer_table_bf16 else None
     packed = jax.jit(
         lambda p: field.apply(p, method="bake_tables", dtype=tdtype))(
@@ -511,6 +510,18 @@ def run_test(cfg) -> None:
 
     tables = jax.jit(
         lambda o: build_inference_tables(o, settings.bound))(occ.occ)
+    k2 = cfg.infer_window_candidates
+    if not k2 and use_compact:
+        # adaptive K2 from the trained occupancy + camera obliquity
+        # (Config.infer_window_candidates)
+        from .ops.march2 import window_candidates_for_scene
+        from .utils.rays import min_corner_dz
+
+        k2 = window_candidates_for_scene(
+            np.asarray(tables.z_lo), np.asarray(tables.z_hi), isettings.dt,
+            min_dz=min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
+        trainer.log(f"[INFO] adaptive window candidates: K2={k2}")
+    k2 = k2 or None
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
 
     @jax.jit

@@ -173,7 +173,14 @@ class Config:
     # early-termination eval (infer_stage_split) instead — the exact
     # analogue of the reference's alive-ray T-threshold termination.
     infer_samples: int = 16
-    infer_window_candidates: int = 40
+    # window candidates per compacted ray. 0 (default) = ADAPTIVE: derived
+    # at model load from the trained occupancy's longest column z-slab and
+    # the camera obliquity (ops/march2.window_candidates_for_scene). K2
+    # must scale with grid_size — a fixed 40 covered only 1.08 world units
+    # at grid 128 and truncated the far side of the head (-11 dB on the
+    # trained oracle, round-3 find); the reference's alive-ray marcher
+    # never truncates.
+    infer_window_candidates: int = 0
     # evaluate samples [0, split) for all rays, then samples [split, S) only
     # for rays still transmissive (T >= T_thresh) — mathematically identical
     # to the single pass when the stage-2 budget suffices. 0 disables.

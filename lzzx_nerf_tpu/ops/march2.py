@@ -686,3 +686,36 @@ def default_window_candidates(bound: float, grid_size: int, dt: float,
     """Static K2: candidates covering `max_extent` world units of window
     (default 1.2 ≈ a generously dilated head) plus padding."""
     return int(math.ceil(max_extent / dt)) + 4
+
+
+def window_candidates_for_scene(z_lo, z_hi, dt: float, min_dz: float = 0.8,
+                                pad_steps: float = 3.0,
+                                margin: int = 6) -> int:
+    """Adaptive K2 from the ACTUAL occupancy (host-side, once per model
+    load): enough lattice candidates to cover the longest column z-slab at
+    the shallowest camera obliquity, plus the window pads and a drift
+    margin.
+
+    K2 must scale with the grid: a fixed candidate count covers K2*dt
+    world units, and dt halves at grid 128 vs 64 — the round-2 fixed
+    K2=40 silently truncated grid-128 windows longer than 1.08 world
+    units, cutting the back side of semi-transparent heads (measured
+    -11 dB on the trained synthetic oracle; scripts/quality_check.py
+    --grid 128). The reference's alive-ray marcher never truncates
+    (renderer.py:503-548) — parity demands the window be fully covered.
+
+    min_dz: smallest |world-z| ray-direction component the cameras
+    produce (utils.rays.min_corner_dz computes it from the poses);
+    windows stretch by 1/|dz|. Rays below the min_axis_frac fallback
+    (0.3) use [near, far] windows and may still truncate — such rays do
+    not exist for portrait cameras."""
+    import numpy as np
+
+    zl = np.asarray(z_lo)
+    zh = np.asarray(z_hi)
+    valid = zh > zl
+    max_slab = float((zh - zl)[valid].max()) if valid.any() else 0.0
+    k2 = (int(np.ceil(max_slab / (dt * max(min_dz, 0.3))))
+          + int(2 * pad_steps) + margin)
+    k2 = max(k2, 16)
+    return k2 + (k2 % 2)

@@ -158,7 +158,19 @@ class InferenceSession:
         isettings = dataclasses.replace(
             self.settings,
             max_steps=cfg.infer_samples or self.settings.max_steps)
-        k2 = cfg.infer_window_candidates or None
+        k2 = cfg.infer_window_candidates
+        if not k2:
+            # adaptive K2 from the trained occupancy + this model's camera
+            # obliquity (see Config.infer_window_candidates)
+            from ..ops.march2 import window_candidates_for_scene
+            from ..utils.rays import min_corner_dz
+
+            k2 = window_candidates_for_scene(
+                np.asarray(self.tables.z_lo), np.asarray(self.tables.z_hi),
+                isettings.dt,
+                min_dz=min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
+            print(f"[INFO] adaptive window candidates: K2={k2} "
+                  f"(grid {isettings.grid_size}, dt {isettings.dt:.4f})")
         stage_split = cfg.infer_stage_split
         stage2_budget = max(1024, int(budget * cfg.infer_stage2_frac)
                             // 1024 * 1024)

@@ -91,3 +91,24 @@ def get_rays(
     rays_o = jnp.broadcast_to(poses[:, None, :3, 3], rays_d.shape)
 
     return {"rays_o": rays_o, "rays_d": rays_d, "inds": inds, "i": i, "j": j}
+
+
+def min_corner_dz(poses, intrinsics, H: int, W: int) -> float:
+    """Smallest |world z| direction component over every pose's frame-corner
+    rays (host-side numpy; poses [F, 4, 4] or [4, 4]). The window marcher's
+    candidate count stretches by 1/|dz| (ops/march2.py
+    window_candidates_for_scene) — corners are the obliquity extreme of a
+    pinhole frame, and z is the column-interval reduction axis."""
+    import numpy as np
+
+    p = np.asarray(poses, np.float32)
+    if p.ndim == 2:
+        p = p[None]
+    fx, fy, cx, cy = [float(v) for v in intrinsics]
+    ii = np.array([0.5, W - 0.5, 0.5, W - 0.5], np.float32)
+    jj = np.array([0.5, 0.5, H - 0.5, H - 0.5], np.float32)
+    d = np.stack([(ii - cx) / fx, (jj - cy) / fy, np.ones(4, np.float32)],
+                 -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    world = np.einsum("nk,fjk->fnj", d, p[:, :3, :3])
+    return float(np.abs(world[..., 2]).min())

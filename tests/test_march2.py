@@ -569,3 +569,75 @@ def test_nb_table_layout():
                     np.testing.assert_array_equal(blk, exact[x + dx, y + dy])
                 else:
                     assert (blk == 0).all()
+
+
+def test_adaptive_k2_covers_two_crust_scene():
+    """Round-3 regression: a fixed K2 shorter than the occupied slab
+    truncates the window and silently loses the BACK surface (measured
+    -11 dB at grid 128 where dt halves). The adaptive K2
+    (window_candidates_for_scene) must size the window so the compacted
+    march reproduces the exhaustive marcher sample-for-sample on a
+    front+back two-crust scene; an undersized K2 must demonstrably lose
+    the back-crust samples (the failure mode being guarded)."""
+    from lzzx_nerf_tpu.ops.march2 import window_candidates_for_scene
+
+    # two z-walls spanning most of the box: slab ~ 1.55 world
+    occ_np = np.zeros((GRID, GRID, GRID), bool)
+    occ_np[8:24, 8:24, 3:5] = True      # front crust
+    occ_np[8:24, 8:24, 27:29] = True    # back crust
+    occ = jnp.asarray(occ_np)[None]
+    o, d = _scene()[1:]
+    nears, fars = near_far_from_aabb(o, d, AABB, 0.05)
+    v1 = march_rays_uniform(o, d, nears, fars, occ, BOUND, DT, 64, 8)
+
+    z_lo, z_hi = column_intervals(occ, BOUND)
+    win = ray_windows(o, d, nears, fars, z_lo, z_hi, BOUND, DT)
+    cs = compact_rays(win.active, 256)
+    ro = jnp.take(o, cs.ray_idx, axis=0)
+    rd = jnp.take(d, cs.ray_idx, axis=0)
+    t0 = jnp.take(win.t_start, cs.ray_idx)
+    t1 = jnp.take(win.t_end, cs.ray_idx)
+
+    k2 = window_candidates_for_scene(z_lo, z_hi, DT, min_dz=0.8)
+    assert k2 * DT >= 1.55, (k2, k2 * DT)
+
+    v2 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, BOUND, DT,
+                           k2, 8)
+    # adaptive K2: per-ray sample sets equal the exhaustive marcher
+    v1m, v2m = np.asarray(v1.mask), np.asarray(v2.mask)
+    v1t, v2t = np.asarray(v1.ts), np.asarray(v2.ts)
+    back_seen = False
+    for slot in np.where(np.asarray(cs.slot_valid))[0]:
+        ray = int(np.asarray(cs.ray_idx)[slot])
+        n1, n2 = int(v1m[ray].sum()), int(v2m[slot].sum())
+        assert n1 == n2, f"ray {ray}: {n1} vs {n2}"
+        if n1:
+            np.testing.assert_allclose(v2t[slot, :n1], v1t[ray, :n1],
+                                       atol=2e-4)
+            back_seen |= bool((np.asarray(v1.xyzs)[ray, :n1, 2] > 0.5).any())
+    assert back_seen, "scene must exercise back-crust samples"
+
+    # undersized K2 (the old fixed-value failure): back-crust samples lost
+    v3 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, BOUND, DT,
+                           12, 8)
+    lost = 0
+    for slot in np.where(np.asarray(cs.slot_valid))[0]:
+        ray = int(np.asarray(cs.ray_idx)[slot])
+        lost += int(v1m[ray].sum()) - int(np.asarray(v3.mask)[slot].sum())
+    assert lost > 0
+
+
+def test_min_corner_dz_portrait_camera():
+    from lzzx_nerf_tpu.utils.rays import min_corner_dz
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.5
+    dz = min_corner_dz(pose, (512 / 0.6, 512 / 0.6, 256, 256), 512, 512)
+    assert 0.85 < dz < 1.0
+    # a 30-degree yawed pose lowers the minimum
+    c, s = np.cos(0.5), np.sin(0.5)
+    yaw = np.array([[c, 0, s, 0], [0, 1, 0, 0], [-s, 0, c, -2.5],
+                    [0, 0, 0, 1]], np.float32)
+    dz2 = min_corner_dz(np.stack([pose, yaw]),
+                        (512 / 0.6, 512 / 0.6, 256, 256), 512, 512)
+    assert dz2 < dz
