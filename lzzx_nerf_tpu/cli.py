@@ -522,6 +522,26 @@ def run_test(cfg) -> None:
             min_dz=min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
         trainer.log(f"[INFO] adaptive window candidates: K2={k2}")
     k2 = k2 or None
+    march_group = cfg.infer_march_group
+    if march_group == 2 and use_compact:
+        # block-shared march envelope check (see serving/session.py)
+        import math as _math
+
+        from .ops.march2 import nb_block_drift_cells
+        from .utils.rays import min_corner_dz
+
+        t_max = float(np.linalg.norm(
+            np.asarray(ds.poses)[:, :3, 3], axis=1).max()) \
+            + _math.sqrt(3.0) * settings.bound
+        drift = nb_block_drift_cells(
+            isettings.dt, settings.bound, settings.grid_size,
+            min(ds.intrinsics[0], ds.intrinsics[1]), t_max,
+            min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
+        if drift > 2.0:
+            trainer.log(f"[INFO] block-shared march drift {drift:.2f} "
+                        "cells exceeds the ±2 envelope — using the "
+                        "per-ray exact neighborhood march")
+            march_group = 1
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
 
     @jax.jit
@@ -582,7 +602,7 @@ def run_test(cfg) -> None:
                 apply_packed, params, isettings, occ, ray_o_origin,
                 rays_d, ds.H, ds.W, enc_a, c, eye, bg,
                 budget=budget, window_candidates=k2, tables=tables,
-                march_group=cfg.infer_march_group, **staged)
+                march_group=march_group, **staged)
         else:
             out = render_rays_compact(
                 apply_packed, params, isettings, occ,

@@ -688,6 +688,27 @@ def default_window_candidates(bound: float, grid_size: int, dt: float,
     return int(math.ceil(max_extent / dt)) + 4
 
 
+def nb_block_drift_cells(dt: float, bound: float, grid_size: int,
+                         focal: float, t_max: float,
+                         min_dz: float) -> float:
+    """Worst-case per-axis cell drift between a candidate's true xy cell
+    and the block-shared fetch cell (march_rays_window_bitmask_nb_block):
+    lattice-phase drift dt*|d_xy| (each ray's own near-anchored t_start
+    lies within one step of the block anchor) plus the intra-block angular
+    offset (~1 pixel of direction difference integrated over the ray
+    length). The block-shared march is EXACT while this stays within the
+    ±2-cell neighborhood; production 512²/grid-128 portrait cameras sit
+    near 1.0, but low-resolution-per-cell geometries (e.g. 128² renders on
+    a 128 grid) exceed 2 and must fall back to the per-ray nb march —
+    the -0.4 dB block-path delta measured there (quality_check --grid 128
+    --res 128)."""
+    cells_per_world = grid_size / (2.0 * bound)
+    max_dxy = math.sqrt(max(0.0, 1.0 - min_dz * min_dz))
+    step_drift = dt * cells_per_world * max(max_dxy, 1e-3)
+    angular = t_max * (1.0 / max(focal, 1e-6)) * cells_per_world
+    return step_drift + angular
+
+
 def window_candidates_for_scene(z_lo, z_hi, dt: float, min_dz: float = 0.8,
                                 pad_steps: float = 3.0,
                                 margin: int = 6) -> int:

@@ -188,6 +188,29 @@ class InferenceSession:
                   "sample-identical; the fast path needs cascade == 1")
         use_blocks = (use_compact and cfg.infer_block == 2 and ds.H % 2 == 0
                       and ds.W % 2 == 0 and budget % 4 == 0)
+        march_group = cfg.infer_march_group
+        if use_blocks and march_group == 2:
+            # the block-SHARED march is exact only within its ±2-cell
+            # envelope; verify it for THIS model's camera/grid geometry and
+            # fall back to the per-ray exact nb march otherwise
+            import math as _math
+
+            from ..ops.march2 import nb_block_drift_cells
+            from ..utils.rays import min_corner_dz
+
+            t_max = float(np.linalg.norm(
+                np.asarray(ds.poses)[:, :3, 3], axis=1).max()) \
+                + _math.sqrt(3.0) * self.settings.bound
+            drift = nb_block_drift_cells(
+                self.settings.dt, self.settings.bound,
+                self.settings.grid_size, min(ds.intrinsics[0],
+                                             ds.intrinsics[1]), t_max,
+                min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
+            if drift > 2.0:
+                print(f"[INFO] block-shared march drift {drift:.2f} cells "
+                      "exceeds the ±2 envelope for this camera/grid — "
+                      "using the per-ray exact neighborhood march")
+                march_group = 1
         field = self.field
         torso = self.torso
         if torso is not None:
@@ -260,7 +283,7 @@ class InferenceSession:
                     enc_a, c, eye, frame_bg, budget=budget,
                     window_candidates=k2, tables=tables,
                     stage_split=stage_split, stage2_budget=stage2_budget,
-                    march_group=cfg.infer_march_group)
+                    march_group=march_group)
             elif use_compact:
                 out = render_rays_compact(
                     apply_packed, params, isettings, occ,
