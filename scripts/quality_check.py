@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--k2", type=int, default=40)
     ap.add_argument("--warmup", type=int, default=1000)
+    ap.add_argument("--samples", type=int, default=16,
+                    help="serving-path S (parity path A stays 16)")
     ap.add_argument("--log-every", type=int, default=500)
     args = ap.parse_args()
 
@@ -139,7 +141,9 @@ def main():
                   stage2_budget=max(1024, int(budget * 0.375) // 1024 * 1024))
 
     # the serving paths use the production apply: the folded-weight
-    # decomposition (Config.fused_field default; models/nerf.py)
+    # decomposition (Config.fused_field default; models/nerf.py) and may
+    # run a reduced sample count (--samples); parity path A stays S=16
+    isettings = dataclasses.replace(settings, max_steps=args.samples)
     from lzzx_nerf_tpu.models.nerf import make_fused_apply
 
     ap16 = make_fused_apply(field, packed16)
@@ -164,7 +168,7 @@ def main():
         rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
         c = params["params"]["individual_codes"][0]
         return render_rays_compact(
-            ap16, params, settings, occ, rays["rays_o"][0],
+            ap16, params, isettings, occ, rays["rays_o"][0],
             rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
             window_candidates=K2, tables=tables, minimal=True,
             **staged)["image"]
@@ -174,7 +178,7 @@ def main():
         rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
         c = params["params"]["individual_codes"][0]
         return render_rays_compact_blocks(
-            ap32, params, settings, occ, rays["rays_o"][0][0],
+            ap32, params, isettings, occ, rays["rays_o"][0][0],
             rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
             window_candidates=K2, tables=tables, **staged)["image"]
 
@@ -185,7 +189,7 @@ def main():
         rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
         c = params["params"]["individual_codes"][0]
         return render_rays_compact_blocks(
-            ap16, params, settings, occ, rays["rays_o"][0][0],
+            ap16, params, isettings, occ, rays["rays_o"][0][0],
             rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
             window_candidates=K2, tables=tables)["image"]
 
@@ -196,22 +200,46 @@ def main():
         rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
         c = params["params"]["individual_codes"][0]
         return render_rays_compact(
-            ap16, params, settings, occ, rays["rays_o"][0],
+            ap16, params, isettings, occ, rays["rays_o"][0],
             rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
             window_candidates=K2, tables=tables, minimal=True,
             use_bitmask=False, **staged)["image"]
+
+    @jax.jit
+    def render_G(params, occ, tables, pose, enc_a, eye, bg):
+        # A's exhaustive march but with the SERVING apply (folded weights +
+        # bf16 packed tables): isolates the apply/table math from the
+        # window/compaction machinery
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays(ap16, params, settings, occ,
+                           rays["rays_o"][0], rays["rays_d"][0], enc_a, c,
+                           eye, bg, compute_uncertainty=False)["image"]
+
+    @jax.jit
+    def render_H(params, occ, tables, pose, enc_a, eye, bg):
+        # B with a much larger window budget: isolates residual window
+        # truncation/coverage from everything else
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays_compact(
+            ap16, params, isettings, occ, rays["rays_o"][0],
+            rays["rays_d"][0], enc_a, c, eye, bg, budget=budget,
+            window_candidates=K2 + 32, tables=tables, minimal=True,
+            **staged)["image"]
 
     @jax.jit
     def render_C(params, occ, tables, pose, enc_a, eye, bg):
         rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
         c = params["params"]["individual_codes"][0]
         return render_rays_compact_blocks(
-            ap16, params, settings, occ, rays["rays_o"][0][0],
+            ap16, params, isettings, occ, rays["rays_o"][0][0],
             rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
             window_candidates=K2, tables=tables, **staged)["image"]
 
     scores = {"A_parity_S16": [], "B_serving_S8": [], "C_serving_block": [],
-              "D_block_f32tab": [], "E_no_staging": [], "F_exact_march": []}
+              "D_block_f32tab": [], "E_no_staging": [], "F_exact_march": [],
+              "G_folded_apply": [], "H_wide_window": []}
     for fi in range(0, ds.num_frames, 3):
         b = ds.frame(fi)
         pose = jnp.asarray(b["pose"])
@@ -230,6 +258,10 @@ def main():
             psnr(render_D(params, occ, tables, pose, enc_a, eye, bg), gt))
         scores["E_no_staging"].append(
             psnr(render_E(params, occ, tables, pose, enc_a, eye, bg), gt))
+        scores["G_folded_apply"].append(
+            psnr(render_G(params, occ, tables, pose, enc_a, eye, bg), gt))
+        scores["H_wide_window"].append(
+            psnr(render_H(params, occ, tables, pose, enc_a, eye, bg), gt))
         scores["F_exact_march"].append(
             psnr(render_F(params, occ, tables, pose, enc_a, eye, bg), gt))
 
@@ -251,6 +283,12 @@ def main():
           f"(delta {epts - a:+.2f})")
     print(f"  F = B with exact march (no bitmask dilation): {fpts:6.2f} dB "
           f"(delta {fpts - a:+.2f})")
+    gpts = float(np.mean(scores["G_folded_apply"]))
+    hpts = float(np.mean(scores["H_wide_window"]))
+    print(f"  G = A with the serving apply (folded, bf16) : {gpts:6.2f} dB "
+          f"(delta {gpts - a:+.2f})")
+    print(f"  H = B with K2+32 window candidates          : {hpts:6.2f} dB "
+          f"(delta {hpts - a:+.2f})")
 
 
 if __name__ == "__main__":
