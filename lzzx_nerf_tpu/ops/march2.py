@@ -101,11 +101,25 @@ def ray_windows(
     dt: float,
     min_axis_frac: float = 0.3,
     pad_steps: float = 2.0,
+    probes: int = 8,
 ) -> RayWindow:
-    """Intersect rays with their (x,y)-column z-slabs. Two column lookups per
-    ray (at the near point and at the first window estimate) make the window
-    robust to in-window xy drift; rays with |dz| < min_axis_frac fall back to
-    [near, far]."""
+    """Intersect rays with the (x,y)-column z-slabs they cross: column
+    lookups at the near point plus `probes - 1` uniformly-spaced points
+    along [near, far], window = the t-envelope of every nonempty slab'-
+    intersection; rays with |dz| < min_axis_frac fall back to [near, far].
+
+    probes=8 (round 3): the original 2-probe scheme (near + first window
+    estimate) mis-windowed GRAZING rays whose probes both landed in
+    columns missing the actual crust crossing — at grid 128 (columns half
+    the grid-64 width, so rays cross twice as many of them) a contiguous
+    band of silhouette pixels lost every sample (~38 pixels of err≈0.95 at
+    256², the dominant term of a −0.8 dB serving delta;
+    scripts/marchdiag.py). Uniform probes bound the unprobed gap to
+    (far−near)/probes of ray length, which the interval dilation (±2
+    cells) plus the head's own column footprint comfortably bridges.
+    More probes only WIDEN windows (superset — the conservative
+    direction); each probe costs one [N]-row gather in a phase that runs
+    per 2x2 block."""
     H = z_lo.shape[0]
     zmaps = jnp.stack([z_lo, z_hi], axis=-1).reshape(H * H, 2)  # one table
 
@@ -133,15 +147,26 @@ def ray_windows(
         empty = zl > zh
         return jnp.where(empty, big, ta), jnp.where(empty, -big, tb)
 
-    zl1, zh1 = col_lookup(nears)
-    ta1, tb1 = slab_to_t(zl1, zh1)
-    # second lookup at the estimated window start (captures xy drift)
-    t_probe = jnp.clip(ta1, nears, fars)
-    zl2, zh2 = col_lookup(t_probe)
-    ta2, tb2 = slab_to_t(zl2, zh2)
+    def probe_at(t):
+        zl, zh = col_lookup(t)
+        ta_i, tb_i = slab_to_t(zl, zh)
+        # empty columns contribute nothing to the envelope; a nonempty
+        # column contributes its FULL slab crossing even when probed at a
+        # different t (that is the point: whichever probe lands in a crust
+        # column recovers the true crossing interval). Over-wide envelopes
+        # are conservative — [near, far] clipping below bounds them.
+        valid = tb_i > ta_i
+        return jnp.where(valid, ta_i, big), jnp.where(valid, tb_i, -big)
 
-    ta = jnp.minimum(ta1, ta2) - pad_steps * dt
-    tb = jnp.maximum(tb1, tb2) + pad_steps * dt
+    ta, tb = probe_at(nears)
+    seg = fars - nears
+    for i in range(max(probes - 1, 1)):
+        frac = (i + 0.5) / max(probes - 1, 1)
+        ta_i, tb_i = probe_at(nears + frac * seg)
+        ta = jnp.minimum(ta, ta_i)
+        tb = jnp.maximum(tb, tb_i)
+    ta = ta - pad_steps * dt
+    tb = tb + pad_steps * dt
 
     fallback = jnp.abs(dz) < min_axis_frac
     ta = jnp.where(fallback, nears, ta)

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=1000)
     ap.add_argument("--samples", type=int, default=16,
                     help="serving-path S (parity path A stays 16)")
+    ap.add_argument("--save-state", default="",
+                    help="npz path: dump trained params + occupancy for "
+                         "offline probes (scripts/marchdiag.py)")
     ap.add_argument("--log-every", type=int, default=500)
     args = ap.parse_args()
 
@@ -129,6 +132,17 @@ def main():
     from lzzx_nerf_tpu.utils import get_rays
 
     params = state.params
+    if args.save_state:
+        import pickle
+
+        flat, treedef = jax.tree_util.tree_flatten(params)
+        with open(args.save_state, "wb") as f:
+            pickle.dump({"leaves": [np.asarray(x) for x in flat],
+                         "treedef": treedef,
+                         "occ": np.asarray(occ.occ),
+                         "density_grid": np.asarray(occ.density_grid),
+                         "mean_density": float(occ.mean_density)}, f)
+        print(f"state saved to {args.save_state}")
     packed16 = jax.jit(lambda p: field.apply(p, method="bake_tables",
                                              dtype=jnp.bfloat16))(params)
     tables = jax.jit(lambda o: build_inference_tables(o, settings.bound))(
