@@ -202,7 +202,15 @@ class Config:
     # TrainerUtil.py:691-699, i.e. 1.28 s of batching latency — 8 frames
     # adds 320 ms). Adds chunk-1 frames of stream latency.
     infer_chunk: int = 8
-    budget_frac: float = 0.5  # active-ray budget as a fraction of the frame
+    # active-ray budget as a fraction of the frame. 0.375 (round 3): the
+    # z-band-probed windows deactivate grazing/background rays the old
+    # 2-probe analysis kept active (bench head: n_active 69,360 of 262,144
+    # rays — 53% of the old 0.5 budget, and 25.2 -> 34.5 FPS @512² from
+    # shrinking every per-slot phase); a frame that outgrows the budget
+    # triggers the adaptive rebuild (serving/session.py run(): pending-
+    # budget recompile at the next chunk boundary) instead of clipping,
+    # so the tighter default is safe for larger identities.
+    budget_frac: float = 0.375
     # bf16 prebaked triplane tables at inference: half the bytes keeps the
     # packed table VMEM-resident -> 3x gather rate on v5e (quality-guarded
     # by tests/test_render.py)

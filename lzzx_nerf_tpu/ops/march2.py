@@ -101,25 +101,27 @@ def ray_windows(
     dt: float,
     min_axis_frac: float = 0.3,
     pad_steps: float = 2.0,
-    probes: int = 8,
+    probes: int = 6,
 ) -> RayWindow:
     """Intersect rays with the (x,y)-column z-slabs they cross: column
     lookups at the near point plus `probes - 1` uniformly-spaced points
     along [near, far], window = the t-envelope of every nonempty slab'-
     intersection; rays with |dz| < min_axis_frac fall back to [near, far].
 
-    probes=8 (round 3): the original 2-probe scheme (near + first window
+    probes=6 (round 3): the original 2-probe scheme (near + first window
     estimate) mis-windowed GRAZING rays whose probes both landed in
     columns missing the actual crust crossing — at grid 128 (columns half
     the grid-64 width, so rays cross twice as many of them) a contiguous
     band of silhouette pixels lost every sample (~38 pixels of err≈0.95 at
     256², the dominant term of a −0.8 dB serving delta;
-    scripts/marchdiag.py). Uniform probes bound the unprobed gap to
-    (far−near)/probes of ray length, which the interval dilation (±2
-    cells) plus the head's own column footprint comfortably bridges.
-    More probes only WIDEN windows (superset — the conservative
-    direction); each probe costs one [N]-row gather in a phase that runs
-    per 2x2 block."""
+    scripts/marchdiag.py). Probes are spaced uniformly over the ray's
+    crossing of the GLOBALLY occupied z-band (derived in-graph from the
+    interval maps — outside it no column has content, so probing there is
+    provably wasted), bounding the unprobed gap to band/probes of ray
+    length, which the interval dilation (±2 cells) plus the head's own
+    column footprint comfortably bridges. More probes only WIDEN windows
+    (superset — the conservative direction); each probe costs one [N]-row
+    gather in a phase that runs per 2x2 block."""
     H = z_lo.shape[0]
     zmaps = jnp.stack([z_lo, z_hi], axis=-1).reshape(H * H, 2)  # one table
 
@@ -158,11 +160,21 @@ def ray_windows(
         valid = tb_i > ta_i
         return jnp.where(valid, ta_i, big), jnp.where(valid, tb_i, -big)
 
-    ta, tb = probe_at(nears)
-    seg = fars - nears
+    # restrict the probe span to the ray's crossing of the global occupied
+    # z-band [zmin, zmax] (in-graph scalars — cheap masked reductions)
+    valid_col = z_hi > z_lo
+    zmin = jnp.min(jnp.where(valid_col, z_lo, big))
+    zmax = jnp.max(jnp.where(valid_col, z_hi, -big))
+    tz1 = (zmin - oz) / safe_dz
+    tz2 = (zmax - oz) / safe_dz
+    p_lo = jnp.clip(jnp.minimum(tz1, tz2), nears, fars)
+    p_hi = jnp.clip(jnp.maximum(tz1, tz2), nears, fars)
+
+    ta, tb = probe_at(p_lo)
+    seg = p_hi - p_lo
     for i in range(max(probes - 1, 1)):
-        frac = (i + 0.5) / max(probes - 1, 1)
-        ta_i, tb_i = probe_at(nears + frac * seg)
+        frac = (i + 1.0) / max(probes - 1, 1)
+        ta_i, tb_i = probe_at(p_lo + frac * seg)
         ta = jnp.minimum(ta, ta_i)
         tb = jnp.maximum(tb, tb_i)
     ta = ta - pad_steps * dt
