@@ -30,7 +30,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--k2", type=int, default=40)
+    ap.add_argument("--k2", type=int, default=48,
+                    help="48 = the bench scene's adaptive K2 at grid 128")
+    ap.add_argument("--budget-frac", type=float, default=0.375,
+                    help="match Config.budget_frac (round-3 default)")
     ap.add_argument("--samples", type=int, default=16)
     ap.add_argument("--stage-split", type=int, default=8)
     args = ap.parse_args()
@@ -55,7 +58,7 @@ def main():
     S = args.samples
     S1 = args.stage_split
     settings, occ, field, params = _build(res=res, grid=128, max_steps=S)
-    budget = max(1024, int(0.5 * res * res) // 1024 * 1024)
+    budget = max(1024, int(args.budget_frac * res * res) // 1024 * 1024)
     budget_b = budget // 4
     b2 = max(1024, int(budget * 0.375) // 1024 * 1024)
     K2 = args.k2
