@@ -323,7 +323,10 @@ def test_webapi_serves_browser_ui(tmp_path):
             assert r.headers.get("Content-Type", "").startswith("text/html")
             page = r.read().decode()
         for hook in ("/api/model_select", "/api/audio_upload",
-                     "/api/inference", "/api/status", "result.mp4", "whep"):
+                     "/api/inference", "/api/status", "result.mp4", "whep",
+                     # round 3: browser mic -> 16 kHz WAV path, WHEP
+                     # reconnect backoff, HLS fallback
+                     "getUserMedia", "encodeWav", "retryWhep", "attachHls"):
             assert hook in page, f"UI missing {hook}"
     finally:
         httpd.shutdown()
