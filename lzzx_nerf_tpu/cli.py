@@ -23,6 +23,12 @@ def build_config(argv=None):
     ap.add_argument("path", type=str)
     ap.add_argument("-O", action="store_true",
                     help="equals --fp16 --exp_eye (reference train.py:143-145)")
+    # drop-in compatibility: the reference's --cuda_ray selects its CUDA
+    # marcher over the pure-pytorch fallback (train.py:34); here the
+    # TPU marcher IS the only path, so the flag is accepted and ignored
+    ap.add_argument("--cuda_ray", type=int, choices=[0, 1], default=None,
+                    help="accepted for reference CLI compatibility; the "
+                         "TPU ray marcher is always used")
     defaults = Config()
     for f in dataclasses.fields(Config):
         if f.name == "path":

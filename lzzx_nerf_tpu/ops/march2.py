@@ -635,10 +635,16 @@ def march_rays_window_bitmask_nb_block(
     G = (num_cand + group - 1) // group
     Kp = G * group
 
-    # ---- one fetch per (block, group): 5x5-neighborhood row at the group
-    # midpoint of the BLOCK lattice t0_block + k*dt, along the centre dir
+    # ---- one fetch per (block, group): 5x5-neighborhood row at the centre
+    # of the group's candidate SPAN. Candidates live on each ray's OWN
+    # lattice (t_start in [t0_block - eps, t0_block + dt)), so group g's
+    # t values cover [t0_block + 2g*dt, t0_block + (2g+2)*dt) — midpoint
+    # gk = 2g+1, giving |t_cand - t_fetch| <= dt as the envelope assumes.
+    # ((group-1)/2, the per-ray-lattice midpoint used by the non-block
+    # marchers, would sit 0.5*dt early here and stretch the worst case to
+    # 1.5*dt — under-covered by nb_block_drift_cells.)
     o_blk = rays_o.reshape(Bb, 4, 3).mean(axis=1)          # == shared origin
-    gk = jnp.arange(G, dtype=jnp.float32) * group + (group - 1) / 2.0
+    gk = jnp.arange(G, dtype=jnp.float32) * group + group / 2.0
     t_g = t0_block[:, None] + gk[None] * dt                # [Bb, G]
     pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
     pg = jnp.clip(pg, -bound, bound)

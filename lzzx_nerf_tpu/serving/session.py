@@ -408,8 +408,13 @@ class InferenceSession:
                 # render program with ~1.25x the observed demand at the
                 # next chunk boundary (compile once per budget value, then
                 # cached; frames already queued keep streaming meanwhile)
+                # ceil to granularity: budget is itself a gran multiple, so
+                # max_act > budget guarantees want > budget and the rebuild
+                # (and its warning) always fires — rounding DOWN left a band
+                # budget < max_act < 0.8*(budget+gran) that never rebuilt
+                # and, with the frame_cap gate below, never even warned
                 want = min(frame_cap,
-                           max(gran, int(max_act * 1.25) // gran * gran))
+                           max(gran, -(-int(max_act * 1.25) // gran) * gran))
                 if want > self.budget:
                     print(f"[WARN] frame {base}: {max_act} active rays "
                           f"exceed budget {self.budget}; rebuilding the "

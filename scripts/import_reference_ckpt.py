@@ -160,6 +160,13 @@ def main():
         if "density_grid_torso" in tsd:
             g = np.asarray(tsd["density_grid_torso"].float()).reshape(H, H)
             occ_t = occ._replace(density_grid_torso=jnp.asarray(g))
+        # the torso run's own checkpoint carries the real mean (the head
+        # ckpt's, read above, is 0 unless head+torso trained together —
+        # TrainerUtil.py:1234-1235 saves it per-run); without it the torso
+        # occupancy threshold min(density_thresh_torso, mean) collapses to 0
+        if "mean_density_torso" in tckpt:
+            occ_t = occ_t._replace(mean_density_torso=jnp.asarray(
+                float(tckpt["mean_density_torso"]), jnp.float32))
         t_state = TrainState.create({**tp, "params": tbase}, tx)
         t_state = t_state.replace(ema_params=tbase)
         tws = args.workspace.rstrip("/") + "_torso"

@@ -96,7 +96,6 @@ def main():
     imgB = np.asarray(outB["image"])
 
     err = np.abs(imgA - imgB).max(-1)
-    mseA = float(np.mean((imgA - imgA) ** 2))  # 0, sanity
     print(f"frame {args.frame}: n_active={int(outB['n_active'])} "
           f"/ {res * res}")
     print(f"pixels with |diff| > 0.02: {(err > 0.02).sum()} "

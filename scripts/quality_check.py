@@ -4,7 +4,8 @@ Trains the field on the synthetic talking-head oracle (on the current
 platform — TPU by default) and renders held-out frames through:
   A. reference-parity path: render_rays, S=16, fp32 in-graph bake
   B. serving point:         render_rays_compact, S=16 with the two-stage
-                            early-termination eval (split 8), K2=40, bf16
+                            early-termination eval (split 8), adaptive K2
+                            (the serving session's derivation), bf16
                             prebaked tables, bitmask march (dilate=1,
                             group=2), minimal outputs
   C. serving point with 2x2-block window analysis
@@ -42,7 +43,13 @@ def main():
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--k2", type=int, default=40)
+    ap.add_argument("--k2", type=int, default=0,
+                    help="window candidates; 0 (default) derives it from "
+                         "occupancy + camera obliquity exactly like the "
+                         "serving session does — a fixed value here once "
+                         "made the guard measure a K2-truncation artifact "
+                         "(-11.8 dB at grid 128) instead of the production "
+                         "operating point")
     ap.add_argument("--warmup", type=int, default=1000)
     ap.add_argument("--samples", type=int, default=16,
                     help="serving-path S (parity path A stays 16)")
@@ -151,6 +158,15 @@ def main():
     # failure mode); stage-2 budget at the serving fraction
     budget = res * res
     K2 = args.k2
+    if not K2:
+        from lzzx_nerf_tpu.ops.march2 import window_candidates_for_scene
+        from lzzx_nerf_tpu.utils.rays import min_corner_dz
+
+        poses = np.stack([ds.pose(i) for i in range(ds.num_frames)])
+        K2 = window_candidates_for_scene(
+            np.asarray(tables.z_lo), np.asarray(tables.z_hi), dt,
+            min_dz=min_corner_dz(poses, ds.intrinsics, res, res))
+        print(f"adaptive K2={K2} (grid {grid}, dt {dt:.4f})")
     staged = dict(stage_split=8,
                   stage2_budget=max(1024, int(budget * 0.375) // 1024 * 1024))
 

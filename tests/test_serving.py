@@ -335,50 +335,16 @@ def test_webapi_serves_browser_ui(tmp_path):
 def _make_session_workspace(root, **cfg_kw):
     """Toy dataset + untrained-but-saved checkpoint for InferenceSession
     tests (no training loop: the session only needs loadable state)."""
-    import json
-
-    import cv2
-    import jax
     import jax.numpy as jnp
+    from conftest import make_toy_dataset
 
     from lzzx_nerf_tpu.cli import _build_world
     from lzzx_nerf_tpu.config import Config
     from lzzx_nerf_tpu.data.provider import NeRFDataset
     from lzzx_nerf_tpu.train import TrainState, Trainer, build_optimizer
 
-    H = W = 40
-    n = 6
     data = root / "data"
-    for sub in ("gt_imgs", "torso_imgs", "ori_imgs"):
-        (data / sub).mkdir(parents=True)
-    rng = np.random.default_rng(0)
-    frames = []
-    for i in range(n):
-        cv2.imwrite(str(data / "gt_imgs" / f"{i}.jpg"),
-                    rng.uniform(0, 255, (H, W, 3)).astype(np.uint8))
-        torso = np.zeros((H, W, 4), np.uint8)
-        torso[20:, :, :3] = 128
-        torso[20:, :, 3] = 255
-        cv2.imwrite(str(data / "torso_imgs" / f"{i}.png"), torso)
-        lms = np.stack([rng.uniform(5, W - 5, 68),
-                        rng.uniform(5, H - 5, 68)], axis=-1)
-        np.savetxt(str(data / "ori_imgs" / f"{i}.lms"), lms)
-        pose = np.eye(4)
-        pose[2, 3] = 0.6
-        frames.append({"img_id": i, "aud_id": i,
-                       "transform_matrix": pose.tolist()})
-    cv2.imwrite(str(data / "bc.jpg"), np.full((H, W, 3), 200, np.uint8))
-    tf = {"focal_len": 60.0, "cx": W / 2, "cy": H / 2, "h": H, "w": W,
-          "frames": frames}
-    json.dump(tf, open(data / "transforms_train.json", "w"))
-    json.dump({**tf, "frames": frames[:2]},
-              open(data / "transforms_val.json", "w"))
-    with open(data / "au.csv", "w") as f:
-        f.write("frame, AU45_r\n")
-        for i in range(n):
-            f.write(f"{i}, {0.5 + 0.1 * i}\n")
-    np.save(str(data / "aud_ds.npy"),
-            rng.standard_normal((n, 16, 29)).astype(np.float32))
+    make_toy_dataset(data)
 
     cfg = Config(**{"path": str(data), "workspace": str(root / "ws"),
                     "asr_model": "deepspeech", "grid_size": 32,
