@@ -525,6 +525,51 @@ def test_nb_block_march_exact_random_scenes():
                                atol=1e-5)
 
 
+def test_nb_block_march_fetch_centering_edge_geometry():
+    """Regression for the block-fetch centring (gk = 2g+1): candidates live
+    on each ray's OWN lattice, whose snap can sit a full step past the
+    block anchor, so group g's candidate span is [2g*dt, (2g+2)*dt) around
+    the anchor. A fetch at the per-ray-lattice midpoint 2g+0.5 (as the
+    non-block marchers correctly use) leaves odd candidates 1.5*dt away —
+    at |d_xy| = 0.9 and the production sqrt(3)-cells step that is 2.34
+    cells of xy drift, overflowing the ±2-cell clip and mis-testing a
+    neighbouring column. Geometry here is built to sit exactly in that
+    band (earlier camera-block tests only reach |d_xy| ~ 0.45 and pass
+    either way)."""
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_neighborhood5, march_rays_window_bitmask_nb_block)
+
+    d = np.array([0.9, 0.0, np.sqrt(1.0 - 0.81)], np.float32)
+    B = 4
+    o = np.tile(np.array([[-0.95, -0.06, -0.55]], np.float32), (B, 1))
+    t0 = 0.15
+    K2, S = 8, 8
+    t_start = np.full(B, t0, np.float32)
+    t_start[3] = t0 + 0.999 * DT          # worst lattice phase vs the anchor
+    t_end = np.full(B, t0 + (K2 + 1) * DT, np.float32)
+    # occupy exactly the probe ray's ODD candidates (the 1.5*dt offenders)
+    occ_np = np.zeros((GRID, GRID, GRID), bool)
+    for k in range(1, K2, 2):
+        pos = o[3] + (t_start[3] + k * DT) * d
+        cell = np.clip(((pos / BOUND + 1.0) * 0.5 * GRID).astype(int),
+                       0, GRID - 1)
+        occ_np[tuple(cell)] = True
+    occ = jnp.asarray(occ_np)[None]
+    nb5 = column_bitmasks_neighborhood5(occ)
+    ro = jnp.asarray(o)
+    rd = jnp.broadcast_to(jnp.asarray(d), (B, 3))
+    sv = jnp.ones(B, bool)
+    ts0, ts1 = jnp.asarray(t_start), jnp.asarray(t_end)
+    ref = march_rays_window(ro, rd, ts0, ts1, sv, occ, BOUND, DT, K2, S)
+    blk = march_rays_window_bitmask_nb_block(
+        ro, rd, ts0, ts1, sv, jnp.asarray([t0], jnp.float32),
+        jnp.asarray(d)[None], nb5, BOUND, DT, K2, S)
+    assert int(np.asarray(ref.mask)[3].sum()) >= 3  # scene actually sampled
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(blk.mask))
+    np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(blk.ts),
+                               atol=1e-5)
+
+
 def test_nb5_table_layout():
     """5x5-neighborhood rows hold each neighbor's exact column bitstring at
     block (dx+2)*5+(dy+2); out-of-grid neighbors are zero."""
