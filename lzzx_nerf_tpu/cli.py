@@ -26,7 +26,9 @@ def build_config(argv=None):
     # drop-in compatibility: the reference's --cuda_ray selects its CUDA
     # marcher over the pure-pytorch fallback (train.py:34); here the
     # TPU marcher IS the only path, so the flag is accepted and ignored
+    # the reference declares it store_true, so the bare form must parse too
     ap.add_argument("--cuda_ray", type=int, choices=[0, 1], default=None,
+                    nargs="?", const=1,
                     help="accepted for reference CLI compatibility; the "
                          "TPU ray marcher is always used")
     defaults = Config()
