@@ -24,6 +24,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..config import Config
+from ..utils.audio import get_audio_features_np
 from ..utils.pose import nerf_matrix_to_ngp, smooth_camera_path
 
 
@@ -181,6 +182,18 @@ class NeRFDataset:
         if cfg.smooth_path:
             self.poses = smooth_camera_path(self.poses, cfg.smooth_path_window)
 
+        # Dataset audio is paired to frames via aud_id (reference
+        # provider.py:477 gathers `aud_features[min(f['aud_id'], ...)]` per
+        # kept frame); windows are then taken over this per-frame sequence by
+        # loader index. Without this, any split not starting at global frame 0
+        # (val/test, --part, data_range) would fetch the wrong audio. Novel
+        # audio (cfg.aud != "") stays raw: the loader walks it directly
+        # (reference provider.py:199,259).
+        if self.aud_features is not None and cfg.aud == "":
+            ids = np.minimum(np.asarray(self.aud_ids, np.int64),
+                             len(self.aud_features) - 1)
+            self.aud_features = self.aud_features[ids]
+
         self.eye_area = np.asarray(self.eye_area, np.float32)
         if cfg.exp_eye and cfg.smooth_eye and len(self.eye_area):
             ori = self.eye_area.copy()
@@ -189,7 +202,7 @@ class NeRFDataset:
 
         # intrinsics (provider.py:617-634)
         if "focal_len" in transform:
-            fl_x = fl_y = transform["focal_len"]
+            fl_x = fl_y = transform["focal_len"] / downscale
         elif "fl_x" in transform or "fl_y" in transform:
             fl_x = transform.get("fl_x", transform.get("fl_y")) / downscale
             fl_y = transform.get("fl_y", transform.get("fl_x")) / downscale
@@ -201,8 +214,9 @@ class NeRFDataset:
             fl_x, fl_y = fl_x or fl_y, fl_y or fl_x
         else:
             raise RuntimeError("no focal length in transforms json")
-        cx = transform.get("cx", self.W / 2) / downscale
-        cy = transform.get("cy", self.H / 2) / downscale
+        # self.W/H are already downscaled; only json-sourced cx/cy need /downscale
+        cx = transform["cx"] / downscale if "cx" in transform else self.W / 2
+        cy = transform["cy"] / downscale if "cy" in transform else self.H / 2
         self.intrinsics = (float(fl_x), float(fl_y), float(cx), float(cy))
 
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
@@ -248,18 +262,9 @@ class NeRFDataset:
 
     def audio_window(self, index: int) -> np.ndarray:
         """[1 or 8, 16, C] attention window for (possibly novel-audio) frame
-        index (reference utils.py get_audio_features)."""
-        feats = self.aud_features
-        aud_index = min(index, feats.shape[0] - 1)
-        att = self.cfg.att
-        if att == 0:
-            return feats[aud_index][None]
-        offs = np.arange(-8, 0) if att == 1 else np.arange(-4, 4)
-        idx = aud_index + offs
-        valid = (idx >= 0) & (idx < feats.shape[0])
-        win = feats[np.clip(idx, 0, feats.shape[0] - 1)]
-        shape = (8,) + (1,) * (feats.ndim - 1)
-        return win * valid.astype(feats.dtype).reshape(shape)
+        index (reference utils.py get_audio_features). With dataset audio,
+        self.aud_features was re-gathered per frame via aud_id in __init__."""
+        return get_audio_features_np(self.aud_features, self.cfg.att, index)
 
     def frame(self, index: int) -> Dict[str, np.ndarray]:
         """Trainer batch dict for loader index `index` (full-frame layout)."""

@@ -44,14 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# real-SH constants (ops/sh.py; reference shencoder.cu:28-120)
-_C0 = 0.28209479177387814
-_C1 = 0.48860251190291987
-_C2 = (1.0925484305920792, -1.0925484305920792, 0.94617469575755997,
-       -1.0925484305920792, 0.54627421529603959)
-_C3 = (0.59004358992664352, 2.8906114426405538, 0.45704579946446572,
-       0.3731763325901154, 0.45704579946446572, 1.4453057213202769,
-       0.59004358992664352)
+from .sh import sh_encode
 
 
 class FieldWeights(NamedTuple):
@@ -133,23 +126,6 @@ def fold_frame_weights(w: FieldWeights, enc_a: jnp.ndarray,
         sig1=w.sig1, sig2=w.sig2, col0s=w.col0s, col0g=w.col0g,
         bias_c=bias_c, col1=w.col1,
     )
-
-
-def _sh16_terms(d):
-    """SH-degree-4 basis values as a list of 16 [T, 1] arrays."""
-    x, y, z = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-    xy, yz, xz = x * y, y * z, x * z
-    x2, y2, z2 = x * x, y * y, z * z
-    return [
-        jnp.full_like(x, _C0),
-        -_C1 * y, _C1 * z, -_C1 * x,
-        _C2[0] * xy, _C2[1] * yz, _C2[2] * z2 - 0.31539156525251999,
-        _C2[3] * xz, _C2[4] * (x2 - y2),
-        _C3[0] * y * (-3.0 * x2 + y2), _C3[1] * xy * z,
-        _C3[2] * y * (1.0 - 5.0 * z2), _C3[3] * z * (5.0 * z2 - 3.0),
-        _C3[4] * x * (1.0 - 5.0 * z2), _C3[5] * z * (x2 - y2),
-        _C3[6] * x * (-x2 + 3.0 * y2),
-    ]
 
 
 # row offsets of each weight inside the packed [448, 128] kernel input
@@ -253,8 +229,9 @@ def fused_field_eval(fw: FrameWeights, enc_x: jnp.ndarray, dirs: jnp.ndarray,
     N = enc_x.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # SH basis in XLA (one fused pass over dirs; see module docstring)
-    shd = jnp.concatenate(_sh16_terms(dirs.astype(jnp.float32)), axis=-1)
+    # SH basis in XLA (one fused pass over dirs; see module docstring) —
+    # shared with the training path (models/nerf.py uses the same encoder)
+    shd = sh_encode(dirs.astype(jnp.float32), 4)
     Np = (N + tile - 1) // tile * tile
     if Np != N:
         enc_x = jnp.pad(enc_x, ((0, Np - N), (0, 0)))
@@ -302,7 +279,7 @@ def fused_field_eval_reference(fw: FrameWeights, enc_x, dirs,
     h = mm(jnp.maximum(mm(h, fw.sig1), 0.0), fw.sig2)
     sigma = jnp.exp(h[:, 0])
     geo = h[:, 1:]
-    shd = jnp.concatenate(_sh16_terms(dirs), axis=-1)
+    shd = sh_encode(dirs.astype(jnp.float32), 4)
     hc = mm(geo, fw.col0g) + mm(shd, fw.col0s) + fw.bias_c
     rgb = mm(jnp.maximum(hc, 0.0), fw.col1)
     color = jax.nn.sigmoid(rgb) * 1.002 - 0.001

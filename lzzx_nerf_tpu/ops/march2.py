@@ -34,7 +34,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .march import MarchResult, occ_lookup
+from .march import MarchResult, _first_s_select, occ_lookup
 
 
 class RayWindow(NamedTuple):
@@ -350,11 +350,7 @@ def march_rays_window(
     if floor_t is not None:
         valid = valid & (t_cand >= floor_t[:, None])
 
-    score = jnp.where(valid, k[None, :], jnp.float32(num_cand))
-    neg_topk, _ = jax.lax.top_k(-score, max_samples)
-    sel_k = -neg_topk
-    mask = sel_k < num_cand
-    sel_k = jnp.where(mask, sel_k, 0.0)
+    sel_k, mask = _first_s_select(valid, num_cand, max_samples, "topk")
 
     t_sel = t0[:, None] + sel_k * dt
     xyzs = rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :]
@@ -436,32 +432,6 @@ def march_rays_window_bitmask(
         -bound, bound)
     deltas = jnp.where(mask, dt, 0.0)
     return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
-
-
-def _first_s_select(valid: jnp.ndarray, num_cand: int, max_samples: int,
-                    select: str = "topk"):
-    """First-S selection: per ray, the lattice indices of the first
-    `max_samples` valid candidates (in order) -> (sel_k [B, S] float,
-    mask [B, S] bool).
-
-    "topk": lax.top_k over a masked score. "rank": cumsum ranks + a
-    [B, K2, S] one-hot reduction (no sort). Same result; relative speed is
-    platform-dependent — measured on the serving shapes before choosing."""
-    k = jnp.arange(num_cand, dtype=jnp.float32)
-    if select == "topk":
-        score = jnp.where(valid, k[None], jnp.float32(num_cand))
-        neg_topk, _ = jax.lax.top_k(-score, max_samples)
-        sel_k = -neg_topk
-        mask = sel_k < num_cand
-        return jnp.where(mask, sel_k, 0.0), mask
-    if select == "rank":
-        rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)      # [B, K2]
-        slot = jnp.arange(1, max_samples + 1, dtype=jnp.int32)
-        sel = valid[:, :, None] & (rank[:, :, None] == slot[None, None, :])
-        sel_k = jnp.sum(k[None, :, None] * sel, axis=1)         # [B, S]
-        mask = jnp.any(sel, axis=1)
-        return sel_k, mask
-    raise ValueError(f"unknown select mode {select!r}")
 
 
 def march_rays_window_bitmask_nb(

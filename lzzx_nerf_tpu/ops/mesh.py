@@ -29,9 +29,20 @@ _CORNERS = np.array([[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)],
                     dtype=np.float32)
 
 
+def _orient_outward(tri, ref_in, ref_out):
+    """tri: [m, 3, 3]; flip vertex order wherever the face normal does not
+    point from the inside (v > iso) region toward the outside, so the whole
+    surface winds consistently (counter-clockwise seen from outside — the
+    orientation mcubes produces in the reference's save_mesh path)."""
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    flip = ((ref_out - ref_in) * n).sum(-1) < 0
+    tri[flip] = tri[flip][:, [0, 2, 1]]
+    return tri
+
+
 def _tet_triangles(p, v, iso):
     """p: [M, 4, 3] tet corner positions; v: [M, 4] values.
-    Returns [K, 3, 3] triangles crossing the iso level."""
+    Returns [K, 3, 3] triangles crossing the iso level, consistently wound."""
     inside = v > iso                                    # [M, 4]
     code = (inside * np.array([1, 2, 4, 8])).sum(-1)    # [M]
 
@@ -43,7 +54,8 @@ def _tet_triangles(p, v, iso):
         return p[sel, a] * (1 - t) + p[sel, b] * t
 
     tris = []
-    # one-corner-inside cases (and their complements) -> 1 triangle;
+    # one-corner-isolated cases -> 1 triangle (code with 1 bit: that corner
+    # is inside; 3 bits: the named corner is the only one outside);
     # two-inside -> 2 triangles
     single = {1: (0, (1, 2, 3)), 2: (1, (0, 2, 3)), 4: (2, (0, 1, 3)),
               8: (3, (0, 1, 2)),
@@ -57,7 +69,12 @@ def _tet_triangles(p, v, iso):
         if not sel.any():
             continue
         a, b, d = others
-        tris.append(np.stack([interp(ci, a), interp(ci, b), interp(ci, d)], 1))
+        tri = np.stack([interp(ci, a), interp(ci, b), interp(ci, d)], 1)
+        centroid = (p[sel, a] + p[sel, b] + p[sel, d]) / 3
+        corner_inside = c in (1, 2, 4, 8)
+        ref_in = p[sel, ci] if corner_inside else centroid
+        ref_out = centroid if corner_inside else p[sel, ci]
+        tris.append(_orient_outward(tri, ref_in, ref_out))
     for c, ((i0, i1), (o0, o1)) in double.items():
         sel = code == c
         if not sel.any():
@@ -67,8 +84,12 @@ def _tet_triangles(p, v, iso):
         e01 = interp(i0, o1)
         e10 = interp(i1, o0)
         e11 = interp(i1, o1)
-        tris.append(np.stack([e00, e01, e11], 1))
-        tris.append(np.stack([e00, e11, e10], 1))
+        ref_in = (p[sel, i0] + p[sel, i1]) / 2
+        ref_out = (p[sel, o0] + p[sel, o1]) / 2
+        tris.append(_orient_outward(np.stack([e00, e01, e11], 1),
+                                    ref_in, ref_out))
+        tris.append(_orient_outward(np.stack([e00, e11, e10], 1),
+                                    ref_in, ref_out))
     if not tris:
         return np.zeros((0, 3, 3), np.float32)
     return np.concatenate(tris, 0)

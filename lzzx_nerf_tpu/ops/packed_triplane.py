@@ -49,11 +49,13 @@ class DenseTriplaneSpec:
 
     def __post_init__(self):
         R = self.resolutions[-1]
+        assert tuple(sorted(self.resolutions)) == tuple(self.resolutions), (
+            "resolutions must be ascending (fine_res is the last entry)")
         for r in self.resolutions:
             assert R % r == 0 and (R // r) & (R // r - 1) == 0, (
                 "resolutions must nest by powers of two")
-        assert self.pack_res >= max(
-            (r for r in self.resolutions if r <= self.pack_res), default=1)
+        assert 0 <= self.pack_shift and self.pack_res >= 1, (
+            f"pack_shift {self.pack_shift} leaves no packing resolution")
 
     @property
     def output_dim(self) -> int:

@@ -6,11 +6,11 @@ dataset. Tasks 1/3 shell out to ffmpeg; 4/7/8 need pretrained vision models
 errors when their dependencies are absent — each accepts precomputed outputs
 dropped into the expected directory. Tasks 5/6/9 are exact numpy ports.
 
-Semantic parsing color code (reference face_parsing_by_m2fp/m2fp.py:36-114):
-  head/hair -> red (255,0,0 in RGB), neck -> green, torso/clothes -> blue,
-  background -> white. NOTE the reference reads parsing PNGs with cv2 (BGR),
-  so in its code "head" tests channel-0==255 in BGR == blue in RGB files; we
-  follow the same on-disk convention.
+Semantic parsing color code (reference face_parsing_by_m2fp/m2fp.py:36-114,
+same contract as preprocess/parsing.py):
+  head/hair -> blue (0,0,255 in RGB), neck -> green, torso/clothes -> red,
+  background -> white. The downstream tasks read the PNGs with cv2 (BGR), so
+  "head" tests channel-0==255 there.
 """
 
 from __future__ import annotations
@@ -279,26 +279,29 @@ def save_transforms(base_dir: str, ori_dir: str,
     trans = np.asarray(track_params["trans"], np.float32) / 10.0  # [N, 3]
     n = euler.shape[0]
 
-    def euler2rot(e):
-        # the tracker's convention (process.py:332-358): R = Rx @ Ry @ Rz with
-        # transposed-sine signs relative to the standard right-handed form
-        theta, phi, psi = e[:, 0], e[:, 1], e[:, 2]
-        z = np.zeros_like(theta)
-        o = np.ones_like(theta)
-        rx = np.stack([o, z, z, z, np.cos(theta), -np.sin(theta),
-                       z, np.sin(theta), np.cos(theta)], -1).reshape(-1, 3, 3)
-        rx = rx.transpose(0, 2, 1)
-        ry = np.stack([np.cos(phi), z, np.sin(phi), z, o, z,
-                       -np.sin(phi), z, np.cos(phi)], -1).reshape(-1, 3, 3)
-        ry = ry.transpose(0, 2, 1)
-        rz = np.stack([np.cos(psi), np.sin(psi), z, -np.sin(psi), np.cos(psi),
-                       z, z, z, o], -1).reshape(-1, 3, 3)
-        rz = rz.transpose(0, 2, 1)
-        return rx @ ry @ rz
+    # Params row i belongs to the i-th frame that HAS landmarks (the tracker
+    # loads sorted *.lms only — face_tracking.track_video / reference
+    # data_loader.py:6-16). The reference writes img_id=i densely
+    # (process.py:382-384), which misaligns every pose after a frame whose
+    # detection failed and then crashes its provider on the missing .lms; we
+    # write the true frame id instead.
+    valid_ids = sorted(
+        int(os.path.basename(p).split(".")[0])
+        for p in glob.glob(os.path.join(ori_dir, "*.lms")))
+    if len(valid_ids) < n:
+        raise RuntimeError(
+            f"track_params has {n} rows but only {len(valid_ids)} .lms files "
+            f"exist in {ori_dir} — rerun task 7/8 on a consistent frame set")
+    valid_ids = valid_ids[:n]
 
-    rot = euler2rot(euler)
+    # tracker rotation convention: shared with the fit that produced the
+    # params (preprocess.face_tracking.euler2rot; one-shot task, so the
+    # host->device round trip is irrelevant)
+    from .face_tracking import euler2rot
+
+    rot = np.asarray(euler2rot(euler), np.float64)
     rot_inv = rot.transpose(0, 2, 1)
-    trans_inv = -(rot_inv @ trans[..., None])[..., 0]
+    trans_inv = -(rot_inv @ trans[..., None].astype(np.float64))[..., 0]
 
     split = int(n * 10 / 11)
     for name, ids in (("train", range(0, split)), ("val", range(split, n))):
@@ -308,7 +311,8 @@ def save_transforms(base_dir: str, ori_dir: str,
             pose = np.eye(4, dtype=np.float64)
             pose[:3, :3] = rot_inv[i]
             pose[:3, 3] = trans_inv[i]
-            out["frames"].append({"img_id": i, "aud_id": i,
+            out["frames"].append({"img_id": valid_ids[i],
+                                  "aud_id": valid_ids[i],
                                   "transform_matrix": pose.tolist()})
         with open(os.path.join(base_dir, f"transforms_{name}.json"), "w") as f:
             json.dump(out, f, indent=2)

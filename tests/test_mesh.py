@@ -20,6 +20,30 @@ def test_sphere_mesh():
     assert faces.max() < len(verts)
 
 
+def test_sphere_winding_consistent():
+    """Every face of a convex iso-surface must wind counter-clockwise seen
+    from outside (normal . vertex > 0 for a centered sphere) — guards the
+    per-case orientation in _tet_triangles; complement sign codes used to
+    emit the same vertex order as their mirror case."""
+    R = 32
+    ax = np.linspace(-1, 1, R)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    vol = 0.55 - np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    verts, faces = marching_tetrahedra(vol, 0.0, origin=(-1, -1, -1),
+                                       spacing=(2 / (R - 1),) * 3)
+    tri = verts[faces]                                   # [T, 3, 3]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    outward = (n * tri.mean(1)).sum(-1)
+    assert (outward > 0).all(), f"{(outward <= 0).sum()}/{len(faces)} inward"
+
+    # inverted field (inside is now outside) must flip every normal
+    verts2, faces2 = marching_tetrahedra(-vol, 0.0, origin=(-1, -1, -1),
+                                         spacing=(2 / (R - 1),) * 3)
+    tri2 = verts2[faces2]
+    n2 = np.cross(tri2[:, 1] - tri2[:, 0], tri2[:, 2] - tri2[:, 0])
+    assert ((n2 * tri2.mean(1)).sum(-1) < 0).all()
+
+
 def test_extract_geometry_and_save(tmp_path):
     def query(pts):
         return 10.0 * (np.linalg.norm(pts, axis=-1) < 0.4)

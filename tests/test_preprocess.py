@@ -71,6 +71,12 @@ def test_save_transforms_roundtrip(scene):
         "euler": rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32),
         "trans": rng.uniform(-1, 1, (n, 3)).astype(np.float32) + [0, 0, 5],
     }
+    # params row i belongs to the i-th frame WITH landmarks; skip frame 6 to
+    # verify img_id/aud_id follow the real frame ids, not the dense row index
+    frame_ids = [i for i in range(n + 1) if i != 6]
+    for fid in frame_ids:
+        np.savetxt(os.path.join(scene, "ori_imgs", f"{fid}.lms"),
+                   rng.uniform(5, 40, (68, 2)))
     save_transforms(scene, os.path.join(scene, "ori_imgs"),
                     track_params=params)
     with open(os.path.join(scene, "transforms_train.json")) as f:
@@ -79,6 +85,10 @@ def test_save_transforms_roundtrip(scene):
         val = json.load(f)
     assert len(train["frames"]) == 10 and len(val["frames"]) == 1  # 10/11
     assert train["focal_len"] == 900.0
+    # ids map through the lms file list (frame 6 has no landmarks)
+    assert [f["img_id"] for f in train["frames"]] == frame_ids[:10]
+    assert [f["aud_id"] for f in train["frames"]] == frame_ids[:10]
+    assert val["frames"][0]["img_id"] == frame_ids[10]
     m = np.asarray(train["frames"][0]["transform_matrix"])
     # c2w: rotation orthonormal, last row [0,0,0,1]
     np.testing.assert_allclose(m[:3, :3] @ m[:3, :3].T, np.eye(3), atol=1e-5)

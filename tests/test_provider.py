@@ -101,6 +101,40 @@ def test_provider_torso_mode(dataset_dir):
     assert abs(float(b["bg_color"][30, 5, 0]) - 200 / 255) < 0.02
 
 
+def test_provider_audio_follows_aud_id(dataset_dir, tmp_path):
+    """Dataset audio must be gathered per frame via aud_id (reference
+    provider.py:477), not by split-local loader index: a val split whose
+    frames start at global frame k must see frame k's audio at index 0."""
+    import shutil
+
+    root = tmp_path / "data"
+    shutil.copytree(dataset_dir, root)
+    with open(root / "transforms_train.json") as f:
+        tf = json.load(f)
+    # a val split of the LAST two frames (like the real 10/11 split point)
+    with open(root / "transforms_val.json", "w") as f:
+        json.dump({**tf, "frames": tf["frames"][-2:]}, f)
+
+    cfg = Config(path=str(root), asr_model="deepspeech", att=0)
+    ds = NeRFDataset(cfg, type="val")
+    feats = np.load(str(root / "aud_ds.npy"))
+    np.testing.assert_allclose(ds.frame(0)["auds"][0],
+                               feats[N_FRAMES - 2], rtol=0, atol=0)
+    np.testing.assert_allclose(ds.frame(1)["auds"][0],
+                               feats[N_FRAMES - 1], rtol=0, atol=0)
+
+
+def test_provider_downscale_intrinsics(dataset_dir):
+    """downscale must scale focal_len and cx/cy exactly once."""
+    cfg = Config(path=dataset_dir, asr_model="deepspeech")
+    full = NeRFDataset(cfg, type="train")
+    half = NeRFDataset(cfg, type="train", downscale=2)
+    assert half.H == H // 2 and half.W == W // 2
+    fx, fy, cx, cy = half.intrinsics
+    assert fx == full.intrinsics[0] / 2 and fy == full.intrinsics[1] / 2
+    assert cx == full.intrinsics[2] / 2 and cy == full.intrinsics[3] / 2
+
+
 def test_provider_novel_audio(dataset_dir, tmp_path):
     novel = np.random.default_rng(1).standard_normal((17, 16, 29)).astype(
         np.float32)
