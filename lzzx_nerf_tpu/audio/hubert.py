@@ -54,6 +54,10 @@ class HubertFeatureExtractor:
                                 sampling_rate=16000).input_values
         values = values.to(self.device)
         total = values.shape[1]
+        if total < KERNEL:
+            raise ValueError(
+                f"audio too short for the HuBERT CNN: {total} samples "
+                f"< kernel {KERNEL} (~{KERNEL / 16000 * 1000:.0f} ms)")
         num_iter = total // CLIP
         expected_T = (total - (KERNEL - STRIDE)) // STRIDE
         chunks = []

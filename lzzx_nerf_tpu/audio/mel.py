@@ -121,6 +121,9 @@ def wav_to_mel_chunks(wav: np.ndarray, sr: int = 16000,
     half = p.mel_step_size // 2
     T = mel.shape[1]
     i = start = 0
+    # NOTE the stale-start loop test is reference-exact (wav2mel.py:138-147):
+    # the final tail chunk is appended 1-2x extra before `start` catches up.
+    # Consumers zip chunks with video frames, so surplus tail chunks drop.
     while start < T:
         start = int(i * mult)
         if start + half > T:

@@ -76,6 +76,9 @@ class FramePump:
         self.frame_bytes = frame_bytes
 
     def push(self, data: bytes) -> None:
+        if self._h is None:
+            # a None handle would reach C as NULL and segfault, not raise
+            raise ValueError("push() after close()")
         if len(data) != self.frame_bytes:
             raise ValueError(
                 f"frame must be {self.frame_bytes} bytes, got {len(data)}")
@@ -84,7 +87,7 @@ class FramePump:
             raise BrokenPipeError(f"frame sink failed (errno {rc})")
 
     def pending(self) -> int:
-        return self._lib.fp_pending(self._h)
+        return 0 if self._h is None else self._lib.fp_pending(self._h)
 
     def close(self) -> int:
         """Drain + stop; returns frames written (raises if the sink died)."""

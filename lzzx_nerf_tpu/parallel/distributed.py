@@ -26,10 +26,17 @@ def init_distributed(coordinator_address: Optional[str] = None,
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return False
+    # explicit args win over the environment even when falsy (process_id=0
+    # is rank 0, not "unset" — `or` would let a leaked JAX_PROCESS_ID shadow
+    # the coordinator's rank)
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", 1))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", 0))
     jax.distributed.initialize(
         coordinator_address=addr,
-        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", 1)),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", 0)),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     return True
 
@@ -40,13 +47,20 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
-def local_batch_to_global(mesh, batch):
-    """Assemble a host-local batch dict into global arrays sharded over the
-    mesh's data axis (per-host dataloading on pods)."""
+def local_batch_to_global(mesh, batch, sharded_keys=()):
+    """Assemble a host-local batch dict into global arrays on a pod.
+
+    The trainer's batch contract (train/trainer.py make_train_step) is a
+    REPLICATED full frame — pose [4,4], image [H,W,3], eye [1], auds — with
+    the sampled per-ray tensors sharded inside the jitted step, so every
+    host loads the same frame and every key defaults to P() (replicated).
+    Pass key names in `sharded_keys` only for arrays that genuinely carry a
+    per-host leading data axis (none in the current recipe)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     out = {}
     for k, v in batch.items():
-        sh = NamedSharding(mesh, P("data") if getattr(v, "ndim", 0) >= 1 else P())
-        out[k] = jax.make_array_from_process_local_data(sh, v)
+        spec = P("data") if k in sharded_keys else P()
+        out[k] = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), v)
     return out

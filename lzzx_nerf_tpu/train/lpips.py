@@ -75,14 +75,25 @@ def default_weights_path() -> Optional[str]:
 
 
 def get_params(path: Optional[str] = None) -> Dict[str, jnp.ndarray]:
-    path = path or default_weights_path()
-    if path and os.path.exists(path):
+    """Explicit path: must exist (a typo'd --lpips_weights silently scoring
+    with the random backbone is a quality divergence the user only discovers
+    after a full run). No path: default weights if present, else the
+    fixed-seed random backbone — is_pretrained() reports which, with the
+    same precedence."""
+    if path:
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"LPIPS weights not found: {path}")
         return load_weights(path)
+    default = default_weights_path()
+    if default:
+        return load_weights(default)
     return random_params()
 
 
 def is_pretrained(path: Optional[str] = None) -> bool:
-    return bool((path and os.path.exists(path)) or default_weights_path())
+    if path:
+        return os.path.exists(path)
+    return default_weights_path() is not None
 
 
 def _features(params, x):

@@ -68,14 +68,25 @@ class LMDMeter:
     landmark backend; `face_alignment`/`dlib` are optional — when absent the
     meter reports n/a instead of failing the eval loop."""
 
-    def __init__(self, backend: str = "fan"):
+    def __init__(self, backend: str = "fan",
+                 dlib_predictor_path: str = ""):
         self.backend = backend
         self.predictor = None
+        self.detector = None
         try:
             if backend == "dlib":
-                import dlib  # noqa
+                # reference utils.py:459-468: frontal detector + 68-point
+                # shape predictor (shape_predictor_68_face_landmarks.dat,
+                # http://dlib.net/files/...bz2)
+                import dlib
 
-                self.predictor = "dlib"
+                path = dlib_predictor_path or os.path.expanduser(
+                    "~/.cache/lzzx/shape_predictor_68_face_landmarks.dat")
+                if not os.path.exists(path):
+                    raise ImportError(
+                        f"dlib shape predictor not found at {path}")
+                self.detector = dlib.get_frontal_face_detector()
+                self.predictor = dlib.shape_predictor(path)
             else:
                 import face_alignment  # noqa
 
@@ -91,7 +102,16 @@ class LMDMeter:
     def get_landmarks(self, img: np.ndarray):
         if self.predictor is None:
             return None
-        lms = self.predictor.get_landmarks(np.asarray(img * 255, np.uint8))
+        u8 = np.asarray(img * 255, np.uint8)
+        if self.backend == "dlib":
+            # reference utils.py:483-495
+            faces = self.detector(u8, 1)
+            if len(faces) == 0:
+                return None
+            shape = self.predictor(u8, faces[0])
+            return np.array([[pt.x, pt.y] for pt in shape.parts()],
+                            np.float32)
+        lms = self.predictor.get_landmarks(u8)
         return None if not lms else lms[-1]
 
     def update(self, pred, gt):

@@ -35,13 +35,20 @@ def param_label_fn(path, leaf) -> str:
     return "net"
 
 
+def lr_decay_rate(finetune_lips: bool) -> float:
+    """Per-`iters` exponential decay (reference TrainerUtil scheduler: 0.5,
+    0.05 for lips finetune). Shared with the trainer's lr_factor metric so
+    the logged rate matches the optax schedule."""
+    return 0.05 if finetune_lips else 0.5
+
+
 def build_optimizer(
     lr: float = 1e-2,
     lr_net: float = 1e-3,
     iters: int = 200_000,
     finetune_lips: bool = False,
 ) -> optax.GradientTransformation:
-    decay_rate = 0.05 if finetune_lips else 0.5
+    decay_rate = lr_decay_rate(finetune_lips)
 
     def sched(base):
         return optax.exponential_decay(

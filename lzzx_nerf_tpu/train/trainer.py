@@ -30,6 +30,7 @@ from ..render.state import OccupancyState, RenderSettings
 from ..utils.rays import get_bg_coords, get_rays
 from . import lpips as lpips_mod
 from .losses import head_losses, torso_losses
+from .optim import lr_decay_rate
 
 
 class TrainState(struct.PyTreeNode):
@@ -87,8 +88,6 @@ def make_train_step(
     and for finetune_lips a fixed-size lips rect via batch['rect_origin']
     [2] + static lips_pad (static shapes: the rect crop is lips_pad^2).
     """
-    bg_coords_full = get_bg_coords(H, W)[0]  # [H*W, 2] constant
-
     def step_fn(state: TrainState, occ: OccupancyState, batch, rng):
         rng_rays, rng_noise, rng_reg = jax.random.split(rng, 3)
         step_factor = jnp.minimum(state.step.astype(jnp.float32) / iters, 1.0)
@@ -296,8 +295,12 @@ def make_train_step(
 
         new_state = state.replace(params=new_params, opt_state=new_opt,
                                   ema_params=new_ema, step=new_step)
+        # the actual optax schedule: decay_rate ** (step/iters), NOT clamped
+        # at iters (exponential_decay has no end_value) and 0.05 for lips
+        # finetune (optim.lr_decay_rate)
         metrics = {"loss": loss, **aux,
-                   "lr_factor": 0.5 ** (step_factor)}
+                   "lr_factor": lr_decay_rate(finetune_lips)
+                   ** (new_step.astype(jnp.float32) / iters)}
         return new_state, metrics
 
     return step_fn

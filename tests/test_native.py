@@ -81,3 +81,17 @@ def test_pump_wrong_size_rejected(tmp_path):
         pump.push(b"123")
     pump.close()
     os.close(fd)
+
+
+def test_pump_use_after_close_raises(tmp_path):
+    """push()/pending()/close() after close() must raise/no-op, never hand
+    a NULL handle to C (which would SIGSEGV the interpreter)."""
+    fd = os.open(str(tmp_path / "y.raw"), os.O_WRONLY | os.O_CREAT, 0o644)
+    pump = FramePump(fd, FRAME)
+    pump.push(b"\0" * FRAME)
+    assert pump.close() == 1
+    with pytest.raises(ValueError):
+        pump.push(b"\0" * FRAME)
+    assert pump.pending() == 0
+    assert pump.close() == 0  # idempotent
+    os.close(fd)

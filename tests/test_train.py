@@ -192,6 +192,28 @@ def test_lpips_pretrained_loader(tmp_path, monkeypatch):
     assert m2.measure() < 1e-6
 
 
+def test_lpips_explicit_bad_path_raises(tmp_path, monkeypatch):
+    """A typo'd explicit weights path must fail loudly, not silently score
+    with the random backbone while is_pretrained() reports True."""
+    import pytest
+
+    from lzzx_nerf_tpu.train import lpips as lpips_mod
+    from lzzx_nerf_tpu.train.metrics import LPIPSMeter
+
+    # even with valid default weights present, an explicit path wins
+    p = lpips_mod.random_params(seed=3)
+    good = tmp_path / "lpips_alex.npz"
+    np.savez(good, **{k: np.asarray(v) for k, v in p.items()})
+    monkeypatch.setenv("LZZX_LPIPS_NPZ", str(good))
+
+    bad = str(tmp_path / "nope.npz")
+    assert not lpips_mod.is_pretrained(bad)
+    with pytest.raises(FileNotFoundError):
+        lpips_mod.get_params(bad)
+    with pytest.raises(FileNotFoundError):
+        LPIPSMeter(weights_path=bad)
+
+
 def test_train_camera_refines_pose(world):
     """With train_camera, per-frame dR/dT get nonzero gradients and move
     off zero under the 'camera' optimizer group (reference
