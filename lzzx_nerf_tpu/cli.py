@@ -531,24 +531,30 @@ def run_test(cfg) -> None:
         trainer.log(f"[INFO] adaptive window candidates: K2={k2}")
     k2 = k2 or None
     march_group = cfg.infer_march_group
-    if march_group == 2 and use_compact:
-        # block-shared march envelope check (see serving/session.py)
+    if march_group in (2, 3) and use_compact:
+        # block march envelope checks (see serving/session.py): step down
+        # block-lattice 3x3 -> block-shared 5x5 -> per-ray
         import math as _math
 
-        from .ops.march2 import nb_block_drift_cells
+        from .ops.march2 import nb_block3_drift_cells, nb_block_drift_cells
         from .utils.rays import min_corner_dz
 
         t_max = float(np.linalg.norm(
             np.asarray(ds.poses)[:, :3, 3], axis=1).max()) \
             + _math.sqrt(3.0) * settings.bound
-        drift = nb_block_drift_cells(
-            isettings.dt, settings.bound, settings.grid_size,
-            min(ds.intrinsics[0], ds.intrinsics[1]), t_max,
-            min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
-        if drift > 2.0:
-            trainer.log(f"[INFO] block-shared march drift {drift:.2f} "
-                        "cells exceeds the ±2 envelope — using the "
-                        "per-ray exact neighborhood march")
+        geo = (isettings.dt, settings.bound, settings.grid_size,
+               min(ds.intrinsics[0], ds.intrinsics[1]), t_max,
+               min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
+        if march_group == 3 and nb_block3_drift_cells(*geo) > 1.0:
+            trainer.log(f"[INFO] block-lattice march drift "
+                        f"{nb_block3_drift_cells(*geo):.2f} cells exceeds "
+                        "the ±1 envelope — using the ±2 block-shared march")
+            march_group = 2
+        if march_group == 2 and nb_block_drift_cells(*geo) > 2.0:
+            trainer.log(f"[INFO] block-shared march drift "
+                        f"{nb_block_drift_cells(*geo):.2f} cells exceeds "
+                        "the ±2 envelope — using the per-ray exact "
+                        "neighborhood march")
             march_group = 1
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
 

@@ -694,6 +694,145 @@ def march_rays_window_bitmask_nb_block(
     return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
 
 
+def march_rays_window_bitmask_nb_block3(
+    rays_o: jnp.ndarray,       # [4*Bb, 3] block-major (4 rays per 2x2 block)
+    rays_d: jnp.ndarray,       # [4*Bb, 3]
+    nears: jnp.ndarray,        # [4*Bb] per-ray AABB entry (candidates
+                               # before it are masked, not lattice-shifted)
+    t_end: jnp.ndarray,        # [4*Bb]
+    slot_valid: jnp.ndarray,   # [4*Bb]
+    t0_block: jnp.ndarray,     # [Bb] block window start — ALL 4 rays march
+                               # on THIS lattice (t = t0_block + k*dt)
+    d_center: jnp.ndarray,     # [Bb, 3] unit block-centre direction
+    col_nbmask: jnp.ndarray,   # [H*H, 9*(H//32)] from
+                               # column_bitmasks_neighborhood (3x3)
+    bound: float,
+    dt: float,
+    num_cand: int,             # K2
+    max_samples: int,          # S
+    select: str = "topk",
+) -> MarchResult:
+    """Block-LATTICE exact bitmask march: the ±1 (3x3, 18-way select)
+    variant of march_rays_window_bitmask_nb_block.
+
+    MEASURED NEGATIVE RESULT (round 3, kept parity-tested like the fused
+    Pallas kernel and the MXU lookup): 31.4 FPS vs the ±2 block marcher's
+    32.9 on the 512² bench (the pre-reduce + double select layers cost
+    more than the 50->18-way shrink saves), and the dt-bounded lattice
+    phase shift costs −0.38 dB on the trained grid-128 oracle
+    (scripts/quality_check.py variant I) — the sample-placement change is
+    inherent to sharing the block lattice, not a bug. Opt-in via
+    march_group=3 only; serving/cli step it down by drift envelope.
+
+    The ±2/5x5 block marcher pays a 50-way per-candidate word select
+    because each ray keeps its own near-anchored lattice, adding dt*|d_xy|
+    of fetch-to-candidate drift. Snapping every ray of a 2x2 block to the
+    BLOCK's lattice (all candidates at t0_block + k*dt) makes the along-ray
+    offset exactly dt/2 (fetch at the candidate-pair midpoint k = 2g+0.5),
+    so the xy drift is (dt/2)*|d_xy| = (sqrt(3)/2)*|d_xy| cells at the
+    production dt — plus the intra-block angular offset. For portrait
+    cameras (session.py checks nb_block3_drift_cells <= 1 at model load)
+    that fits the ±1 neighborhood: 2.8x less select math, 2.8x smaller
+    fetch rows, same row count.
+
+    Trade-off vs the per-ray-lattice marchers: sample positions shift by
+    up to dt along each ray (a lattice phase change, same class as the
+    reference's per-ray noise jitter at train time, raymarching.cu:391-400)
+    — quality-guarded by scripts/quality_check.py variant I. Rays whose
+    AABB entry lies after t0_block keep their first candidates masked via
+    `nears` instead of shifting the lattice (alignment with the group
+    fetch is what the envelope proof needs)."""
+    B = rays_o.shape[0]
+    Bb = B // 4
+    assert B % 4 == 0
+    W9 = col_nbmask.shape[1]
+    W32 = W9 // 9
+    H = W32 * 32
+    group = 2
+    # data-independent envelope part: (dt/2) along the ray must stay within
+    # ±1 cell even for a transverse ray before the angular term (the
+    # host-side nb_block3_drift_cells check adds it per camera/grid)
+    half_step_cells = (dt / 2.0) * H / (2.0 * bound)
+    if half_step_cells > 1.0 + 1e-6:
+        raise ValueError(
+            f"nb-block3 march: {half_step_cells:.2f} cells per half-step "
+            f"exceeds the ±1 neighborhood (dt={dt:.4f}, bound={bound}); "
+            "use march_rays_window_bitmask_nb_block (±2) or the per-ray "
+            "nb march for this geometry")
+    if max_samples > num_cand:
+        raise ValueError(
+            f"max_samples ({max_samples}) cannot exceed window candidates "
+            f"({num_cand})")
+    G = (num_cand + group - 1) // group
+    Kp = G * group
+
+    # ---- one 3x3-neighborhood fetch per (block, group) at the candidate
+    # PAIR midpoint: candidates sit exactly at k = 2g, 2g+1 on the block
+    # lattice, so gk = 2g + 0.5 gives |t_cand - t_fetch| = dt/2
+    o_blk = rays_o.reshape(Bb, 4, 3).mean(axis=1)          # == shared origin
+    gk = jnp.arange(G, dtype=jnp.float32) * group + 0.5
+    t_g = t0_block[:, None] + gk[None] * dt                # [Bb, G]
+    pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
+    pg = jnp.clip(pg, -bound, bound)
+    gx = jnp.clip((pg[..., 0] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    gy = jnp.clip((pg[..., 1] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    gz = jnp.clip((pg[..., 2] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)                                         # [Bb, G]
+    rows = jnp.take(col_nbmask, (gx * H + gy).reshape(-1),
+                    axis=0).reshape(Bb, 1, G, 1, 9, W32)   # ray/slot bcast
+
+    # ---- per-candidate exact cells, ALL on the block lattice
+    kg = (jnp.arange(G, dtype=jnp.float32)[:, None] * group
+          + jnp.arange(group, dtype=jnp.float32)[None, :])  # [G, group]
+    t_cand = t0_block[:, None, None] + kg[None] * dt        # [Bb, G, group]
+    t_cand4 = jnp.broadcast_to(t_cand[:, None], (Bb, 4, G, group))
+    pos = (rays_o.reshape(Bb, 4, 1, 1, 3)
+           + t_cand4[..., None] * rays_d.reshape(Bb, 4, 1, 1, 3))
+    pos = jnp.clip(pos, -bound, bound)
+    gp = jnp.clip(0.5 * (pos / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
+    cxb, cyb, czb = gp[..., 0], gp[..., 1], gp[..., 2]     # [Bb, 4, G, group]
+    dx = jnp.clip(cxb - gx[:, None, :, None], -1, 1)
+    dy = jnp.clip(cyb - gy[:, None, :, None], -1, 1)
+    nb = (dx + 1) * 3 + (dy + 1)                           # [Bb, 4, G, group]
+
+    word = czb >> 5
+    bit = (czb & 31).astype(jnp.uint32)
+    # word-pair pre-reduce (same trick as the ±2 wslice variant): the
+    # group's z span is <= ~2.5 cells, so all candidate words lie in
+    # {w0, w0+1} with w0 = (gz-2)>>5 (5 cells < 32 cross at most one
+    # word boundary)
+    w0 = jnp.clip(jnp.maximum(gz - 2, 0) >> 5, 0, W32 - 1)     # [Bb, G]
+    wm = ((w0[:, None, :, None, None, None, None]
+           + jnp.arange(2, dtype=jnp.int32)[:, None])
+          == jnp.arange(W32, dtype=jnp.int32))
+    rows2 = jnp.sum(
+        jnp.where(wm, rows[..., :, None, :], jnp.uint32(0)),
+        axis=-1, dtype=jnp.uint32)                         # [Bb,1,G,1,9,2]
+    widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
+    j2 = nb * 2 + widx                                     # [Bb, 4, G, group]
+    fmask = (j2[..., None]
+             == jnp.arange(18, dtype=jnp.int32))           # [Bb,4,G,g,18]
+    wsel = jnp.sum(
+        jnp.where(fmask, rows2.reshape(Bb, 1, G, 1, 18), jnp.uint32(0)),
+        axis=-1, dtype=jnp.uint32)                         # [Bb, 4, G, group]
+    occ = (((wsel >> bit) & jnp.uint32(1)) > 0).reshape(B, Kp)[:, :num_cand]
+
+    t_cand = t_cand4.reshape(B, Kp)[:, :num_cand]
+    valid = (occ & (t_cand >= nears[:, None]) & (t_cand < t_end[:, None])
+             & slot_valid[:, None])
+    sel_k, mask = _first_s_select(valid, num_cand, max_samples, select)
+
+    t0r = jnp.repeat(t0_block, 4)
+    t_sel = t0r[:, None] + sel_k * dt
+    xyzs = jnp.clip(
+        rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :],
+        -bound, bound)
+    deltas = jnp.where(mask, dt, 0.0)
+    return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
+
+
 def default_window_candidates(bound: float, grid_size: int, dt: float,
                               max_extent: float = 1.2) -> int:
     """Static K2: candidates covering `max_extent` world units of window
@@ -720,6 +859,22 @@ def nb_block_drift_cells(dt: float, bound: float, grid_size: int,
     step_drift = dt * cells_per_world * max(max_dxy, 1e-3)
     angular = t_max * (1.0 / max(focal, 1e-6)) * cells_per_world
     return step_drift + angular
+
+
+def nb_block3_drift_cells(dt: float, bound: float, grid_size: int,
+                          focal: float, t_max: float,
+                          min_dz: float) -> float:
+    """Worst-case per-axis cell drift for the block-LATTICE 3x3 marcher
+    (march_rays_window_bitmask_nb_block3): every candidate sits dt/2 from
+    its group's fetch point on the shared lattice — half the per-ray-lattice
+    phase term of nb_block_drift_cells — plus the same intra-block angular
+    offset. The 3x3 march is EXACT while this stays <= 1; session.py falls
+    back to the ±2 (then per-ray) marcher otherwise."""
+    cells_per_world = grid_size / (2.0 * bound)
+    max_dxy = math.sqrt(max(0.0, 1.0 - min_dz * min_dz))
+    half_step_drift = 0.5 * dt * cells_per_world * max(max_dxy, 1e-3)
+    angular = t_max * (1.0 / max(focal, 1e-6)) * cells_per_world
+    return half_step_drift + angular
 
 
 def window_candidates_for_scene(z_lo, z_hi, dt: float, min_dz: float = 0.8,

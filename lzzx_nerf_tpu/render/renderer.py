@@ -23,7 +23,8 @@ from ..ops.march2 import (InferenceTables, build_inference_tables,
                           default_window_candidates, march_rays_window,
                           march_rays_window_bitmask,
                           march_rays_window_bitmask_nb,
-                          march_rays_window_bitmask_nb_block, ray_windows)
+                          march_rays_window_bitmask_nb_block,
+                          march_rays_window_bitmask_nb_block3, ray_windows)
 from ..ops.ray import near_far_from_aabb
 from .state import OccupancyState, RenderSettings
 
@@ -98,6 +99,7 @@ def render_rays(
 def _staged_eval_composite(
     field_apply, params, settings, m, rd, enc_a, ind_code, eye,
     B: int, S: int, stage_split: int, stage2_budget: int,
+    sample_budget: int = 0,
 ):
     """Two-stage field eval with exact early termination (the static-shape
     analogue of the reference's alive-ray loop, renderer.py:503-548):
@@ -106,7 +108,18 @@ def _staged_eval_composite(
     `stage2_budget` slots. Identical to the single-pass composite whenever
     the stage-2 budget holds every survivor (rays beyond it truncate at the
     split, reported via n_stage2). Returns (image_premult [B,3],
-    weights_sum [B], n_stage2)."""
+    weights_sum [B], n_stage2).
+
+    sample_budget > 0 additionally compacts the stage-1 field eval to the
+    march-masked samples only (the ray budget necessarily over-allocates —
+    overflow-safety slack plus rays with < S1 window samples leave ~40% of
+    the B*S1 point slots empty on a typical head): points whose march mask
+    is off never reach the triplane gather / MLPs, mirroring the reference
+    CUDA marcher writing only real samples into its packed buffer
+    (raymarching.cu:429-467). EXACT whenever every masked-on sample fits
+    the budget (masked-off samples contribute exactly nothing to the
+    composite: alpha is masked); overflowing samples compose as empty —
+    sized like the ray budget, via n_spts in the diagnostics."""
     S1, S2 = stage_split, S - stage_split
     dt = settings.dt
 
@@ -116,10 +129,25 @@ def _staged_eval_composite(
         return out.sigma * settings.density_scale, out.color
 
     # ---- stage 1: all rays, first S1 samples
-    pts1 = m.xyzs[:, :S1].reshape(B * S1, 3)
-    sig1, rgb1 = field_eval(pts1, jnp.repeat(rd, S1, axis=0))
-    sig1 = sig1.reshape(B, S1)
-    rgb1 = rgb1.reshape(B, S1, 3)
+    n_spts = None
+    if sample_budget > 0:
+        flat = m.mask[:, :S1].reshape(B * S1)
+        cp = compact_rays(flat, sample_budget)
+        n_spts = cp.n_active
+        src = cp.ray_idx                                       # flat pt idx
+        pts1 = jnp.take(m.xyzs[:, :S1].reshape(B * S1, 3), src, axis=0)
+        dirs1 = jnp.take(rd, src // S1, axis=0)
+        sig_c, rgb_c = field_eval(pts1, dirs1)
+        tgt = jnp.where(cp.slot_valid, src, B * S1)
+        sig1 = jnp.zeros((B * S1,), sig_c.dtype).at[tgt].set(
+            sig_c, mode="drop").reshape(B, S1)
+        rgb1 = jnp.zeros((B * S1, 3), rgb_c.dtype).at[tgt].set(
+            rgb_c, mode="drop").reshape(B, S1, 3)
+    else:
+        pts1 = m.xyzs[:, :S1].reshape(B * S1, 3)
+        sig1, rgb1 = field_eval(pts1, jnp.repeat(rd, S1, axis=0))
+        sig1 = sig1.reshape(B, S1)
+        rgb1 = rgb1.reshape(B, S1, 3)
     mask1 = m.mask[:, :S1]
     alpha1 = (1.0 - jnp.exp(-sig1 * m.deltas[:, :S1])) * mask1
     one_minus1 = 1.0 - alpha1
@@ -156,7 +184,7 @@ def _staged_eval_composite(
     image = image.at[tgt].add(jnp.einsum("ns,nsc->nc", w2, rgb2),
                               mode="drop")
     wsum = wsum.at[tgt].add(jnp.sum(w2, axis=-1), mode="drop")
-    return image, wsum, cs2.n_active
+    return image, wsum, cs2.n_active, n_spts
 
 
 def render_rays_compact(
@@ -178,6 +206,7 @@ def render_rays_compact(
     minimal: bool = False,
     stage_split: int = 0,
     stage2_budget: int = 0,
+    sample_budget: int = 0,
 ) -> Dict[str, Any]:
     """Fast inference path: per-(x,y)-column z-windows + static-budget ray
     compaction (ops/march2.py), then the same field-eval + composite as
@@ -242,14 +271,17 @@ def render_rays_compact(
 
     if minimal and stage_split > 0:
         b2 = stage2_budget or max(1024, budget // 4 // 1024 * 1024)
-        image_c, wsum_c, n_stage2 = _staged_eval_composite(
+        image_c, wsum_c, n_stage2, n_spts = _staged_eval_composite(
             field_apply, params, settings, m, rd, enc_a, ind_code, eye,
-            budget, S, stage_split, b2)
+            budget, S, stage_split, b2, sample_budget=sample_budget)
         img_acc = jnp.zeros((N, 3)).at[tgt].set(image_c, mode="drop")
         wsum = jnp.zeros((N,)).at[tgt].set(wsum_c, mode="drop")
         image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
-        return {"image": image, "weights_sum": wsum, "n_active": cs.n_active,
-                "n_stage2": n_stage2}
+        out = {"image": image, "weights_sum": wsum, "n_active": cs.n_active,
+               "n_stage2": n_stage2}
+        if n_spts is not None:
+            out["n_spts"] = n_spts
+        return out
 
     pts = m.xyzs.reshape(budget * S, 3)
     dirs = jnp.repeat(rd, S, axis=0)
@@ -429,6 +461,7 @@ def render_rays_compact_blocks(
     stage_split: int = 0,
     stage2_budget: int = 0,
     march_group: int = 2,
+    sample_budget: int = 0,
 ) -> Dict[str, Any]:
     """Serving fast path with 2x2-pixel-block window analysis/compaction.
 
@@ -491,7 +524,14 @@ def render_rays_compact_blocks(
     t_start = nears_r + k0 * settings.dt
     t_end = jnp.minimum(fars_r, t1b)
 
-    # march_group == 2 (default): block-shared exact 5x5-neighborhood march
+    # march_group == 3: block-LATTICE exact 3x3-neighborhood march — all
+    # four rays of a block march on the block's own lattice, shrinking the
+    # fetch-to-candidate drift to dt/2 so the ±1 neighborhood suffices
+    # (18-way select vs the ±2 path's 50-way; session.py gates it on
+    # nb_block3_drift_cells <= 1 for the model's camera/grid). Measured
+    # SLOWER than group 2 (31.4 vs 32.9 FPS) at −0.38 dB — documented
+    # negative result, opt-in only (ops/march2.py docstring).
+    # march_group == 2: block-shared exact 5x5-neighborhood march
     # — one row fetch per (2x2 block, candidate group), 4x fewer march
     # gather rows, sample-identical for any portrait-camera geometry
     # (|d_xy| <= 0.95 envelope — march2.march_rays_window_bitmask_nb_block).
@@ -500,7 +540,11 @@ def render_rays_compact_blocks(
     # variant with group=|march_group| — the documented +2.5 FPS / −2 dB
     # fast mode (-2); it admits empty neighbor cells that crowd the S
     # budget (scripts/quality_check.py variant F).
-    if march_group == 2:
+    if march_group == 3:
+        m = march_rays_window_bitmask_nb_block3(
+            ro, rd, nears_r, t_end, slot_valid, t0_blk, dc,
+            tables.col_nbmask, settings.bound, settings.dt, K2, S)
+    elif march_group == 2:
         m = march_rays_window_bitmask_nb_block(
             ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
             tables.col_nb5mask, settings.bound, settings.dt, K2, S)
@@ -514,12 +558,12 @@ def render_rays_compact_blocks(
             settings.bound, settings.dt, K2, S, group=-march_group)
 
     B = budget_b * 4
-    n_stage2 = None
+    n_stage2 = n_spts = None
     if stage_split > 0:
         b2 = stage2_budget or max(1024, budget // 4 // 1024 * 1024)
-        image_c, wsum_c, n_stage2 = _staged_eval_composite(
+        image_c, wsum_c, n_stage2, n_spts = _staged_eval_composite(
             field_apply, params, settings, m, rd, enc_a, ind_code, eye,
-            B, S, stage_split, b2)
+            B, S, stage_split, b2, sample_budget=sample_budget)
     else:
         pts = m.xyzs.reshape(B * S, 3)
         dirs = jnp.repeat(rd, S, axis=0)
@@ -549,6 +593,8 @@ def render_rays_compact_blocks(
     out = {"image": image, "weights_sum": wsum, "n_active": cs.n_active * 4}
     if n_stage2 is not None:
         out["n_stage2"] = n_stage2
+    if n_spts is not None:
+        out["n_spts"] = n_spts
     return out
 
 

@@ -189,28 +189,39 @@ class InferenceSession:
         use_blocks = (use_compact and cfg.infer_block == 2 and ds.H % 2 == 0
                       and ds.W % 2 == 0 and budget % 4 == 0)
         march_group = cfg.infer_march_group
-        if use_blocks and march_group == 2:
-            # the block-SHARED march is exact only within its ±2-cell
-            # envelope; verify it for THIS model's camera/grid geometry and
-            # fall back to the per-ray exact nb march otherwise
+        if use_blocks and march_group in (2, 3):
+            # the block marchers are exact only within their drift
+            # envelopes (±1 cells for the block-lattice 3x3 variant, ±2
+            # for the per-ray-lattice 5x5 one); verify for THIS model's
+            # camera/grid geometry and step down 3 -> 2 -> per-ray
             import math as _math
 
-            from ..ops.march2 import nb_block_drift_cells
+            from ..ops.march2 import (nb_block3_drift_cells,
+                                      nb_block_drift_cells)
             from ..utils.rays import min_corner_dz
 
             t_max = float(np.linalg.norm(
                 np.asarray(ds.poses)[:, :3, 3], axis=1).max()) \
                 + _math.sqrt(3.0) * self.settings.bound
-            drift = nb_block_drift_cells(
-                self.settings.dt, self.settings.bound,
-                self.settings.grid_size, min(ds.intrinsics[0],
-                                             ds.intrinsics[1]), t_max,
-                min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
-            if drift > 2.0:
-                print(f"[INFO] block-shared march drift {drift:.2f} cells "
-                      "exceeds the ±2 envelope for this camera/grid — "
-                      "using the per-ray exact neighborhood march")
-                march_group = 1
+            geo = (self.settings.dt, self.settings.bound,
+                   self.settings.grid_size,
+                   min(ds.intrinsics[0], ds.intrinsics[1]), t_max,
+                   min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
+            if march_group == 3:
+                drift3 = nb_block3_drift_cells(*geo)
+                if drift3 > 1.0:
+                    print(f"[INFO] block-lattice march drift {drift3:.2f} "
+                          "cells exceeds the ±1 envelope for this "
+                          "camera/grid — using the ±2 block-shared march")
+                    march_group = 2
+            if march_group == 2:
+                drift = nb_block_drift_cells(*geo)
+                if drift > 2.0:
+                    print(f"[INFO] block-shared march drift {drift:.2f} "
+                          "cells exceeds the ±2 envelope for this "
+                          "camera/grid — using the per-ray exact "
+                          "neighborhood march")
+                    march_group = 1
         field = self.field
         torso = self.torso
         if torso is not None:

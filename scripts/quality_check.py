@@ -267,9 +267,23 @@ def main():
             rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
             window_candidates=K2, tables=tables, **staged)["image"]
 
+    @jax.jit
+    def render_I(params, occ, tables, pose, enc_a, eye, bg):
+        # C with the block-LATTICE 3x3 march (march_group=3): isolates the
+        # dt-bounded lattice-phase shift the shared block lattice
+        # introduces (the occupancy test itself is exact — the only
+        # quality degree of freedom vs C is sample placement)
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays_compact_blocks(
+            ap16, params, isettings, occ, rays["rays_o"][0][0],
+            rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
+            window_candidates=K2, tables=tables, march_group=3,
+            **staged)["image"]
+
     scores = {"A_parity_S16": [], "B_serving_S8": [], "C_serving_block": [],
               "D_block_f32tab": [], "E_no_staging": [], "F_exact_march": [],
-              "G_folded_apply": [], "H_wide_window": []}
+              "G_folded_apply": [], "H_wide_window": [], "I_block_lattice": []}
     for fi in range(0, ds.num_frames, 3):
         b = ds.frame(fi)
         pose = jnp.asarray(b["pose"])
@@ -294,6 +308,8 @@ def main():
             psnr(render_H(params, occ, tables, pose, enc_a, eye, bg), gt))
         scores["F_exact_march"].append(
             psnr(render_F(params, occ, tables, pose, enc_a, eye, bg), gt))
+        scores["I_block_lattice"].append(
+            psnr(render_I(params, occ, tables, pose, enc_a, eye, bg), gt))
 
     a = float(np.mean(scores["A_parity_S16"]))
     bsepts = float(np.mean(scores["B_serving_S8"]))
@@ -319,6 +335,9 @@ def main():
           f"(delta {gpts - a:+.2f})")
     print(f"  H = B with K2+32 window candidates          : {hpts:6.2f} dB "
           f"(delta {hpts - a:+.2f})")
+    ipts = float(np.mean(scores["I_block_lattice"]))
+    print(f"  I = C with the block-lattice 3x3 march      : {ipts:6.2f} dB "
+          f"(delta {ipts - a:+.2f})")
 
 
 if __name__ == "__main__":

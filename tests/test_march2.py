@@ -366,6 +366,28 @@ def test_staged_eval_matches_single_pass():
     assert (np.asarray(tiny["weights_sum"])
             <= np.asarray(single["weights_sum"]) + 1e-5).all()
 
+    # stage-1 SAMPLE compaction (only march-masked samples reach the field
+    # eval) must be bit-identical to the uncompacted staged path when the
+    # point budget holds every masked-on sample...
+    sc = render_rays_compact(field.apply, params, settings, state, o, d,
+                             enc_a, jnp.zeros(4), jnp.asarray([0.25]),
+                             bg, stage_split=8, stage2_budget=256,
+                             sample_budget=256 * 8, **kw)
+    np.testing.assert_allclose(np.asarray(sc["image"]),
+                               np.asarray(staged["image"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sc["weights_sum"]),
+                               np.asarray(staged["weights_sum"]), atol=2e-6)
+    n_spts = int(sc["n_spts"])
+    assert 0 < n_spts <= 256 * 8
+    # ...and degrade gracefully (dropped samples compose as empty — finite
+    # image, coverage never exceeds the exact path) when it does not
+    tiny_s = render_rays_compact(field.apply, params, settings, state, o, d,
+                                 enc_a, jnp.zeros(4), jnp.asarray([0.25]),
+                                 bg, stage_split=8, stage2_budget=256,
+                                 sample_budget=32, **kw)
+    assert np.isfinite(np.asarray(tiny_s["image"])).all()
+    assert int(tiny_s["n_spts"]) == n_spts  # count reports demand, not cap
+
 
 def test_bitmask_march_group3_superset_camera_fov():
     """group=3 with the same dilate=1 mask must keep every exact-march
@@ -568,6 +590,121 @@ def test_nb_block_march_fetch_centering_edge_geometry():
     np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(blk.mask))
     np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(blk.ts),
                                atol=1e-5)
+
+
+def test_nb_block3_march_exact_camera_blocks():
+    """The block-LATTICE 3x3-neighborhood marcher must reproduce the
+    per-candidate EXACT marcher restricted to the block's lattice
+    (t = t0_block + k*dt) sample-for-sample on real pinhole-camera 2x2
+    blocks — the VERDICT-r2 item 1b proof obligation for the ±1 variant.
+    The reference here is march_rays_window launched with every ray's
+    t_start set to its block's t0 (same lattice, per-candidate exact
+    occupancy lookups); `nears` is zeroed so both paths enumerate the
+    identical candidate set."""
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_neighborhood, march_rays_window_bitmask_nb_block3)
+
+    occ, _, _ = _scene()
+    nb = column_bitmasks_neighborhood(occ)
+    K2, S = 40, 16
+    for z, fs in ((-2.5, 0.6), (-1.8, 0.9), (-3.5, 0.4)):
+        ro, rd, _, t_end, sv, t0_blk, dc = _block_march_inputs(
+            occ, z=z, fov_scale=fs)
+        t0b = jnp.repeat(t0_blk, 4)
+        zeros = jnp.zeros_like(t0b)
+        ref = march_rays_window(ro, rd, t0b, t_end, sv, occ, BOUND, DT,
+                                K2, S)
+        v3 = march_rays_window_bitmask_nb_block3(
+            ro, rd, zeros, t_end, sv, t0_blk, dc, nb, BOUND, DT, K2, S)
+        np.testing.assert_array_equal(np.asarray(ref.mask),
+                                      np.asarray(v3.mask))
+        np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(v3.ts),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ref.xyzs),
+                                   np.asarray(v3.xyzs), atol=1e-5)
+
+
+def test_nb_block3_march_nears_masking_brute_force():
+    """block3 anchors every candidate on the BLOCK lattice and handles a
+    ray whose AABB entry falls mid-window by MASKING the earlier candidates
+    (not by re-snapping its lattice, which would break fetch alignment).
+    Brute-force NumPy enumeration of that contract — lattice walk, exact
+    occupancy, nears/t_end/slot masks, first-S — must match, including
+    rays whose nears lands several steps past t0_block."""
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_neighborhood, march_rays_window_bitmask_nb_block3)
+
+    occ, _, _ = _scene()
+    occ_np = np.asarray(occ[0])
+    nb = column_bitmasks_neighborhood(occ)
+    K2, S = 40, 12
+    ro, rd, _, t_end, sv, t0_blk, dc = _block_march_inputs(occ)
+    B = ro.shape[0]
+    rng = np.random.default_rng(7)
+    # push nears past t0_block by 0..6 lattice steps (+ an off-lattice
+    # fraction so no candidate sits exactly on the mask boundary)
+    nears = (np.repeat(np.asarray(t0_blk), 4)
+             + rng.integers(0, 7, B) * DT + rng.uniform(0.1, 0.9, B) * DT
+             ).astype(np.float32)
+    v3 = march_rays_window_bitmask_nb_block3(
+        ro, rd, jnp.asarray(nears), t_end, sv, t0_blk, dc, nb,
+        BOUND, DT, K2, S)
+    o_np, d_np = np.asarray(ro), np.asarray(rd)
+    t0b = np.repeat(np.asarray(t0_blk), 4)
+    te, svn = np.asarray(t_end), np.asarray(sv)
+    exp_mask = np.zeros((B, S), bool)
+    exp_ts = np.zeros((B, S), np.float32)
+    for i in range(B):
+        sel = []
+        for k in range(K2):
+            t = t0b[i] + k * DT
+            if not (svn[i] and t >= nears[i] and t < te[i]):
+                continue
+            pos = np.clip(o_np[i] + t * d_np[i], -BOUND, BOUND)
+            cell = np.clip(((pos / BOUND + 1.0) * 0.5 * GRID).astype(int),
+                           0, GRID - 1)
+            if occ_np[tuple(cell)]:
+                sel.append(k)
+            if len(sel) == S:
+                break
+        for j, k in enumerate(sel):
+            exp_mask[i, j] = True
+            exp_ts[i, j] = t0b[i] + k * DT + DT
+    np.testing.assert_array_equal(exp_mask, np.asarray(v3.mask))
+    got_ts = np.asarray(v3.ts)
+    np.testing.assert_allclose(exp_ts[exp_mask], got_ts[exp_mask],
+                               atol=1e-5)
+    assert int(exp_mask.sum()) > 200   # the scene is actually exercised
+
+
+def test_nb_block3_drift_bound():
+    """nb_block3_drift_cells must be strictly tighter than the ±2
+    marcher's bound (its phase term is halved) and must scale with dt;
+    the kernel itself must refuse a dt whose half-step alone overflows
+    the ±1 neighborhood."""
+    import pytest
+
+    from lzzx_nerf_tpu.ops.march2 import (march_rays_window_bitmask_nb_block3,
+                                          nb_block3_drift_cells,
+                                          nb_block_drift_cells)
+
+    geo = dict(bound=1.0, grid_size=128, focal=1200.0, t_max=4.0,
+               min_dz=0.85)
+    d3 = nb_block3_drift_cells(dt=2 * 3 ** 0.5 / 128, **geo)
+    d5 = nb_block_drift_cells(dt=2 * 3 ** 0.5 / 128, **geo)
+    assert d3 < d5
+    assert d3 <= 1.0   # production portrait geometry fits the ±1 envelope
+    assert (nb_block3_drift_cells(dt=4 * 3 ** 0.5 / 128, **geo)
+            > nb_block3_drift_cells(dt=2 * 3 ** 0.5 / 128, **geo))
+    # kernel guard: half-step > 1 cell must raise, not silently mis-march
+    big_dt = 2.2 * (2 * BOUND) / GRID   # 1.1 cells per half-step
+    z = jnp.zeros((4, 3), jnp.float32)
+    with pytest.raises(ValueError):
+        march_rays_window_bitmask_nb_block3(
+            z, z, jnp.zeros(4), jnp.ones(4), jnp.ones(4, bool),
+            jnp.zeros(1), jnp.zeros((1, 3)),
+            jnp.zeros((GRID * GRID, 9 * (GRID // 32)), jnp.uint32),
+            BOUND, big_dt, 8, 8)
 
 
 def test_nb5_table_layout():
