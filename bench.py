@@ -61,6 +61,14 @@ def main():
                          "still transmissive (0 = single pass)")
     ap.add_argument("--stage2-frac", type=float, default=0.375,
                     help="stage-2 ray budget as a fraction of the budget")
+    ap.add_argument("--sample-frac", type=float, default=0.0,
+                    help="stage-1 SAMPLE compaction budget as a fraction "
+                         "of budget*stage_split point slots (0 = off): "
+                         "only march-masked samples reach the triplane "
+                         "gather + MLPs — empty ray slots and sub-S1 "
+                         "windows leave ~40%% of the slots dead on the "
+                         "bench head; exact while the masked-on samples "
+                         "fit (n_spts diagnostic)")
     ap.add_argument("--chunk", type=int, default=8,
                     help="frames per dispatch (lax.scan inside one jitted "
                          "call): the tunnel charges ~12 ms per dispatch "
@@ -122,6 +130,8 @@ def main():
     # clamp like serving/session.py: tiny --budget-frac/--res combos must not
     # round to a zero budget (an all-background frame benches meaninglessly)
     budget = max(1024, int(args.budget_frac * res * res) // 1024 * 1024)
+    staged_sb = (max(1024, int(budget * args.stage_split * args.sample_frac)
+                 // 1024 * 1024) if args.sample_frac > 0 else 0)
 
     pose = jnp.asarray(np.array(
         [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
@@ -199,6 +209,8 @@ def main():
             stage_split=args.stage_split,
             stage2_budget=max(1024, int(budget * args.stage2_frac)
                               // 1024 * 1024))
+        if staged_sb:
+            staged["sample_budget"] = staged_sb
         if args.path == "compact" and args.block == 2:
             from lzzx_nerf_tpu.render import render_rays_compact_blocks
 
@@ -220,7 +232,8 @@ def main():
         # device-side packing for the host handoff (→ffmpeg): yuv420p is
         # 1.5 B/px (the encoder converts to 4:2:0 anyway) vs rgb24's 3
         img = jnp.clip(out["image"].reshape(res, res, 3), 0, 1)
-        diag = (out.get("n_active", 0), out.get("n_stage2", 0))
+        diag = (out.get("n_active", 0), out.get("n_stage2", 0),
+                out.get("n_spts", 0))
         if args.pix_fmt == "yuv420p":
             from lzzx_nerf_tpu.utils import rgb_to_yuv420
 
@@ -240,10 +253,12 @@ def main():
             auds, eye = inp
             buf, diag = render_one(params, packed, tables, occ, auds, eye,
                                    tparams, torso_packed)
-            return carry, (buf, diag[0], diag[1])
+            return carry, (buf, diag[0], diag[1], diag[2])
 
-        _, (bufs, n_act, n_s2) = jax.lax.scan(body, 0, (auds_c, eyes_c))
-        return bufs, jnp.max(n_act), jnp.max(n_s2)    # [C, frame_bytes]
+        _, (bufs, n_act, n_s2, n_sp) = jax.lax.scan(
+            body, 0, (auds_c, eyes_c))
+        return (bufs, jnp.max(n_act), jnp.max(n_s2),
+                jnp.max(n_sp))    # [C, frame_bytes]
 
     # per-frame audio windows (streaming shape [8, 16, 1024])
     rng = np.random.default_rng(0)
@@ -256,11 +271,12 @@ def main():
         for i in range(n_chunks)]
 
     # warmup/compile
-    img, n_act, n_s2 = render_chunk(params, packed, tables, occ,
-                                    aud_stream[0], eyes[0], tparams,
-                                    torso_packed)
+    img, n_act, n_s2, n_sp = render_chunk(params, packed, tables, occ,
+                                          aud_stream[0], eyes[0], tparams,
+                                          torso_packed)
     np.asarray(img)
     max_act, max_s2 = int(n_act), int(n_s2)
+    max_sp0 = int(n_sp)
 
     # pipelined loop, exactly like the serving session (serving/session.py):
     # each chunk's host copy starts immediately (copy_to_host_async) and the
@@ -275,11 +291,11 @@ def main():
     t0 = time.perf_counter()
     q = deque()
     for f in range(n_chunks):
-        img, n_act, n_s2 = render_chunk(params, packed, tables, occ,
-                                        aud_stream[f], eyes[f], tparams,
-                                        torso_packed)
+        img, n_act, n_s2, n_sp = render_chunk(params, packed, tables,
+                                              occ, aud_stream[f], eyes[f],
+                                              tparams, torso_packed)
         img.copy_to_host_async()
-        diags.append((n_act, n_s2))
+        diags.append((n_act, n_s2, n_sp))
         q.append(img)
         if len(q) >= max(2, 3 // C + 1):
             frame_host = np.asarray(q.popleft())  # host handoff (ffmpeg)
@@ -287,8 +303,9 @@ def main():
         frame_host = np.asarray(q.popleft())
     dt = time.perf_counter() - t0
     fps = frames_total / dt
-    max_act = max([max_act] + [int(a) for a, _ in diags])
-    max_s2 = max([max_s2] + [int(s) for _, s in diags])
+    max_act = max([max_act] + [int(a) for a, _, _ in diags])
+    max_s2 = max([max_s2] + [int(s) for _, s, _ in diags])
+    max_sp = max([max_sp0] + [int(p) for _, _, p in diags])
 
     mrays = (res * res * fps) / 1e6
     result = {
@@ -300,7 +317,9 @@ def main():
     print(json.dumps(result))
     print(f"# {mrays:.2f} Mrays/s, {dt/frames_total*1000:.1f} ms/frame, "
           f"res={res}, samples/ray={settings.max_steps}, chunk={C}, "
-          f"n_active={max_act}/{budget}, n_stage2={max_s2}", file=sys.stderr)
+          f"n_active={max_act}/{budget}, n_stage2={max_s2}"
+          + (f", n_spts={max_sp}/{staged_sb}" if staged_sb else ""),
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,19 @@ def extract_audio_features(wav_path: str, mode: str = "hubert") -> str:
         out = wav_path.replace(".wav", "_eo.npy")
         np.save(out, asr.unfolded_features())
         return out
+    if mode == "deepspeech":
+        # The reference advertises --asr_model deepspeech
+        # (data_utils/process.py:29) but its snapshot does not ship the
+        # TF-based extractor either (data_utils/deepspeech_features/ is
+        # referenced, absent). Training/serving fully support 29-dim
+        # deepspeech features (Config.asr_model, data/provider.py) —
+        # bring your own <name>_ds.npy [T, 16, 29] produced by the
+        # original AD-NeRF extractor.
+        raise ValueError(
+            "deepspeech feature EXTRACTION is not bundled (the reference "
+            "snapshot lacks it too); supply <wav>_ds.npy [T, 16, 29] from "
+            "the AD-NeRF deepspeech_features tool — training and serving "
+            "accept it via --asr_model deepspeech")
     raise ValueError(f"unknown audio feature mode {mode}")
 
 
