@@ -202,6 +202,16 @@ class Config:
     # TrainerUtil.py:691-699, i.e. 1.28 s of batching latency — 8 frames
     # adds 320 ms). Adds chunk-1 frames of stream latency.
     infer_chunk: int = 8
+    # frame-parallel serving over an N-device mesh (0/1 = single chip):
+    # each dispatch shards its chunk's frames across the mesh via
+    # shard_map — the audio-encoder EMA chain (the only cross-frame
+    # dependency) is precomputed serially first (it is ~1e-5 of the frame
+    # FLOPs), then every device renders chunk/N whole frames
+    # independently: zero collectives in the hot path, near-linear
+    # offline/batch throughput. The reference has no serving-parallel
+    # equivalent (its DDP scaffolding is train-only and dormant,
+    # TrainerUtil.py:79-81). infer_chunk is rounded up to a multiple of N.
+    infer_data_parallel: int = 0
     # active-ray budget as a fraction of the frame. 0.375 (round 3): the
     # z-band-probed windows deactivate grazing/background rays the old
     # 2-probe analysis kept active (bench head: n_active 69,360 of 262,144

@@ -238,16 +238,18 @@ class InferenceSession:
         # lax.scan (the tunnel charges ~12 ms per dispatch+sync — PERF.md)
         lam = 0.35 if cfg.smooth_lips else 0.0
 
-        def render_one(params, packed, tables, occ, pose, auds, prev_enc,
-                       has_prev, eye, index, torso_params, torso_packed,
-                       fmt):
+        def smooth_enc(auds, prev_enc, has_prev, params):
+            """Audio encode + smooth-lips EMA step (the ONLY cross-frame
+            dependency in the frame program — reference renderer.py:456-460)."""
             enc_new = field.apply(params, auds, method="encode_audio")
             if lam:
-                enc_a = jnp.where(has_prev > 0,
-                                  lam * prev_enc + (1 - lam) * enc_new,
-                                  enc_new)
-            else:
-                enc_a = enc_new
+                return jnp.where(has_prev > 0,
+                                 lam * prev_enc + (1 - lam) * enc_new,
+                                 enc_new)
+            return enc_new
+
+        def render_frame(params, packed, tables, occ, pose, enc_a, eye,
+                         index, torso_params, torso_packed, fmt):
             rays = get_rays(pose[None], ds.intrinsics, ds.H, ds.W, N=-1)
             ray_o_origin = rays["rays_o"][0][0]
             rays_d = rays["rays_d"][0]
@@ -318,7 +320,7 @@ class InferenceSession:
                 buf = rgb_to_yuv420(img)
             else:
                 buf = (img * 255).astype(jnp.uint8).reshape(-1)
-            return buf, out["n_active"], out.get("n_stage2", 0), enc_a
+            return buf, out["n_active"], out.get("n_stage2", 0)
 
         def make_render(fmt: str):
             @jax.jit
@@ -328,9 +330,10 @@ class InferenceSession:
                 def body(carry, inp):
                     prev_enc, has_prev = carry
                     pose, auds, eye, idx, valid = inp
-                    buf, n_act, n_s2, enc_a = render_one(
-                        params, packed, tables, occ, pose, auds, prev_enc,
-                        has_prev, eye, idx, torso_params, torso_packed, fmt)
+                    enc_a = smooth_enc(auds, prev_enc, has_prev, params)
+                    buf, n_act, n_s2 = render_frame(
+                        params, packed, tables, occ, pose, enc_a, eye, idx,
+                        torso_params, torso_packed, fmt)
                     # padded tail slots (valid == 0) must NOT advance the
                     # carried smooth-lips EMA: the padding repeats the last
                     # real frame only to fill the static chunk shape, and
@@ -347,8 +350,86 @@ class InferenceSession:
 
             return render_chunk
 
+        def make_render_dp(fmt: str, n_dev: int):
+            """Frame-parallel chunk program (Config.infer_data_parallel):
+            the smooth-lips EMA chain — the only cross-frame dependency —
+            is precomputed by a serial scan over the (tiny) audio encoder,
+            then shard_map fans the chunk's frames over a 1-D mesh, each
+            device rendering chunk/N whole frames with zero collectives in
+            the render body. Bitwise-identical frames to the serial chunk
+            program (tests/test_serving.py)."""
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh("dp", jax.devices()[:n_dev])
+
+            @jax.jit
+            def render_chunk(params, packed, tables, occ, poses, auds_c,
+                             prev_enc, has_prev, eyes_c, idxs_c, valid_c,
+                             torso_params, torso_packed):
+                # serial (but negligible) part: encode + EMA for all frames
+                def ema_body(carry, inp):
+                    prev_enc, has_prev = carry
+                    auds, valid = inp
+                    enc_a = smooth_enc(auds, prev_enc, has_prev, params)
+                    carry_enc = jnp.where(valid > 0, enc_a, prev_enc)
+                    carry_has = jnp.maximum(has_prev, valid)
+                    return (carry_enc, carry_has), enc_a
+
+                (enc_final, _), enc_all = jax.lax.scan(
+                    ema_body, (prev_enc, has_prev), (auds_c, valid_c))
+
+                # parallel part: every device renders chunk/N whole frames
+                def shard_fn(params, packed, tables, occ, torso_params,
+                             torso_packed, poses_s, enc_s, eyes_s, idxs_s):
+                    def body(carry, inp):
+                        pose, enc_a, eye, idx = inp
+                        buf, n_act, n_s2 = render_frame(
+                            params, packed, tables, occ, pose, enc_a, eye,
+                            idx, torso_params, torso_packed, fmt)
+                        return carry, (buf, n_act, n_s2)
+
+                    _, outs = jax.lax.scan(
+                        body, 0, (poses_s, enc_s, eyes_s, idxs_s))
+                    return outs
+
+                rep = (P(),) * 6
+                bufs, n_acts, n_s2s = shard_map(
+                    shard_fn, mesh=mesh,
+                    in_specs=rep + (P("dp"), P("dp"), P("dp"), P("dp")),
+                    out_specs=(P("dp"), P("dp"), P("dp")),
+                    check_rep=False,
+                )(params, packed, tables, occ, torso_params, torso_packed,
+                  poses, enc_all, eyes_c, idxs_c)
+                return bufs, n_acts, jnp.max(n_s2s), enc_final
+
+            return render_chunk
+
         self._render_cache = {}
-        self._make_render = make_render
+        n_dp = int(getattr(cfg, "infer_data_parallel", 0) or 0)
+        if n_dp >= 2:
+            n_dp = min(n_dp, jax.device_count())
+        if n_dp >= 2:
+            # the frame-invariant model state must live ON the mesh
+            # (replicated): arrays committed to device 0 alone are
+            # incompatible with the shard_map program
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import make_mesh
+
+            rep = NamedSharding(make_mesh("dp", jax.devices()[:n_dp]), P())
+            (self.infer_params, self.packed, self.tables, self.occ,
+             self.torso_params, self.torso_packed) = jax.device_put(
+                (self.infer_params, self.packed, self.tables, self.occ,
+                 self.torso_params, self.torso_packed), rep)
+            self._make_render = lambda fmt: make_render_dp(fmt, n_dp)
+            # the chunk must split evenly over the mesh
+            self._chunk_multiple = n_dp
+        else:
+            self._make_render = make_render
+            self._chunk_multiple = 1
 
     def _get_render(self, fmt: str):
         if fmt not in self._render_cache:
@@ -457,6 +538,8 @@ class InferenceSession:
         render = self._get_render(fmt)
 
         C = max(1, cfg.infer_chunk)
+        mult = getattr(self, "_chunk_multiple", 1)
+        C = ((C + mult - 1) // mult) * mult  # frame-parallel: even split
         prev_enc = (self.enc_a_smooth if self.enc_a_smooth is not None
                     else jnp.zeros((1, 32)))  # audio_dim after AudioNet
         has_prev = jnp.float32(0.0 if self.enc_a_smooth is None else 1.0)

@@ -409,6 +409,41 @@ def test_session_frames_invariant_to_chunk_size(session_workspace):
             np.testing.assert_array_equal(got_b[i], base_b[i])
 
 
+def test_session_frame_parallel_matches_serial(session_workspace):
+    """infer_data_parallel=4 (frame-parallel chunks over a 4-device mesh,
+    shard_map) must stream BIT-IDENTICAL frames to the serial chunk
+    program: the smooth-lips EMA chain is precomputed serially before the
+    fan-out, so parallelism never reorders or re-times the only
+    cross-frame dependency. Also checks the chunk is rounded up to a
+    mesh multiple (infer_chunk=3 -> 4)."""
+    import jax
+
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+
+    assert jax.device_count() >= 4  # conftest forces the 8-CPU platform
+    data, ws = session_workspace
+    rng = np.random.default_rng(9)
+    feats = rng.standard_normal((6, 16, 29)).astype(np.float32)
+
+    def run_frames(**kw):
+        cfg = Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                     infer_samples=8, infer_window_candidates=24,
+                     budget_frac=1.0, smooth_lips=True, **kw)
+        s = InferenceSession(cfg)
+        s.load_model(data, ws)
+        n = s.set_audio_features(feats)
+        got = {}
+        s.run(max_frames=n, on_frame=lambda i, buf: got.__setitem__(i, buf))
+        return got
+
+    base = run_frames(infer_chunk=3)
+    par = run_frames(infer_chunk=3, infer_data_parallel=4)
+    assert sorted(par) == sorted(base) == list(range(6))
+    for i in range(6):
+        np.testing.assert_array_equal(par[i], base[i])
+
+
 def test_session_multicascade_falls_back_to_full_marcher(tmp_path, capsys):
     """bound > 1 (cascade > 1) must serve through the exhaustive marcher
     with an explicit notice instead of tripping the compact-path assertion
