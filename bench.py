@@ -96,6 +96,14 @@ def main():
                          "3x3-neighborhood march (exact for any "
                          "direction); negative = dilated single-column "
                          "mask with group=|n| (-2 is the fast -2 dB mode)")
+    ap.add_argument("--march-variant", default="wslice",
+                    choices=["wslice", "nb_first", "zband", "zband4"],
+                    help="group-2 block-march select variant (all "
+                         "sample-exact, tests/test_march2.py): wslice = "
+                         "word-pair pre-reduce + flat 50-way select; "
+                         "zband = 7-cell z-band funnel shift + 25-way "
+                         "single-word select; zband4 = 4 bands packed "
+                         "per word + 7-way select (least select math)")
     ap.add_argument("--fused", type=int, default=1, choices=[0, 1, 2],
                     help="field-MLP evaluation: 1 = folded-weight XLA "
                          "decomposition (default, measured fastest), 2 = "
@@ -218,7 +226,8 @@ def main():
                 apply_packed, params, settings, occ, rays_o[0], rays_d,
                 res, res, enc_a, c, eye, frame_bg, budget=budget,
                 window_candidates=args.k2 or None, tables=tables,
-                march_group=args.march_group, **staged)
+                march_group=args.march_group,
+                march_variant=args.march_variant, **staged)
         elif args.path == "compact":
             out = render_rays_compact(apply_packed, params, settings, occ,
                                       rays_o, rays_d, enc_a, c, eye, frame_bg,

@@ -186,6 +186,17 @@ class Config:
     # to the single pass when the stage-2 budget suffices. 0 disables.
     infer_stage_split: int = 8
     infer_stage2_frac: float = 0.375  # stage-2 ray budget / stage-1 budget
+    # stage-1 SAMPLE compaction: evaluate only the march-masked points of
+    # the first stage, in sample_frac * budget * stage_split slots (0 =
+    # off, evaluate the full budget x stage_split lattice). The ray budget
+    # necessarily over-allocates (overflow slack + rays whose windows hold
+    # < stage_split occupied cells): on the bench head only 37.6% of the
+    # 786k stage-1 point slots carry a marched sample, so the triplane
+    # gather + MLP volume shrinks ~2x. EXACT while the masked points fit
+    # the slots; an overflowing frame triggers the same adaptive rebuild
+    # as the ray budget (serving/session.py run()). Stage 2 is already
+    # ~92% dense after survivor compaction — not worth compacting.
+    infer_sample_frac: float = 0.0
     # block-path march mode: 2 = block-shared EXACT 5x5-neighborhood
     # bitmask march (one row fetch per 2x2 block per candidate group — 4x
     # fewer march gather rows; sample-identical to per-candidate exact
@@ -196,6 +207,13 @@ class Config:
     # quality_check variant F attributed the entire serving gap to it);
     # -3 measured slower than -2 (odd-factor repeat).
     infer_march_group: int = 2
+    # group-2 block-march select variant (all sample-exact — they differ
+    # only in VPU select cost, tests/test_march2.py): "wslice" = word-pair
+    # pre-reduce + flat 50-way per-candidate select; "zband" = 7-cell
+    # z-band funnel shift per neighbor + 25-way single-word select;
+    # "zband4" = 4 z-bands packed per uint32 + 7-way select (~1/5 the
+    # select math). Default decided by full-frame bench A/B (PERF.md).
+    infer_march_variant: str = "wslice"
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;
     # chunking divides it (the reference batches 32 frames per wave,

@@ -571,6 +571,15 @@ def march_rays_window_bitmask_nb_block(
         50-way select per candidate — ~60% of the nb_first select math.
       "nb_first": select the neighbor column (25 -> W32 words), then the
         z word (W32 -> 1).
+      "zband": extend the pre-reduce one step — funnel-shift each
+        neighbor's word pair down to the 7-cell z-band [gz-3, gz+3] that
+        can contain any of the group's candidates (amortised over the
+        block's 8 candidates), so the per-candidate select is 25-way over
+        SINGLE words + a bit shift — ~half the wslice select math.
+      "zband4": additionally pack 4 neighbors' 7-bit bands per uint32
+        (25 fields -> 7 words), so the per-candidate select is 7-way +
+        one shift by off + 7*(nb&3) — ~1/5 of the wslice select math.
+        Same exact column test; the candidates' bits are untouched.
 
     Exactness envelope (per axis, in grid cells): each candidate's t lies
     within dt of the block fetch point t0_block + (2g+1)*dt because every
@@ -646,7 +655,46 @@ def march_rays_window_bitmask_nb_block(
 
     word = czb >> 5
     bit = (czb & 31).astype(jnp.uint32)
-    if variant == "wslice":
+    if variant in ("zband", "zband4"):
+        # stage 0a (amortised like wslice): the 2 words that can contain
+        # any of the group's candidates
+        base = jnp.maximum(gz - 3, 0)                       # [Bb, G]
+        w0 = jnp.clip(base >> 5, 0, W32 - 1)
+        wm = ((w0[:, None, :, None, None, None, None]
+               + jnp.arange(2, dtype=jnp.int32)[:, None])
+              == jnp.arange(W32, dtype=jnp.int32))
+        rows2 = jnp.sum(
+            jnp.where(wm, rows[..., :, None, :], jnp.uint32(0)),
+            axis=-1, dtype=jnp.uint32)                      # [Bb,1,G,1,25,2]
+        # stage 0b: funnel-shift each neighbor's word pair down to the
+        # 7-bit band starting at `base` — all candidate z's lie in
+        # [base, base+6] (group z-span ~2.1 cells + rounding), so ONE word
+        # per neighbor answers every candidate
+        s = (base & 31).astype(jnp.uint32)[:, None, :, None, None]
+        lo, hi = rows2[..., 0], rows2[..., 1]
+        fields = jnp.where(
+            s > 0, (lo >> s) | (hi << (jnp.uint32(32) - s)), lo)
+        fields = fields & jnp.uint32(0x7F)                  # [Bb,1,G,1,25]
+        off = jnp.clip(czb - base[:, None, :, None], 0, 6).astype(jnp.uint32)
+        if variant == "zband4":
+            # stage 0c: pack 4 neighbors' bands per word (4*7 = 28 bits)
+            f4 = fields.reshape(Bb, 1, G, 1, 25)
+            f4 = jnp.pad(f4, [(0, 0)] * 4 + [(0, (-f4.shape[-1]) % 4)])
+            f4 = f4.reshape(Bb, 1, G, 1, -1, 4)
+            sh = (jnp.arange(4, dtype=jnp.uint32) * 7)
+            packed7 = jnp.sum(f4 << sh, axis=-1,
+                              dtype=jnp.uint32)             # [Bb,1,G,1,7]
+            nmask = ((nb >> 2)[..., None]
+                     == jnp.arange(packed7.shape[-1], dtype=jnp.int32))
+            wsel = jnp.sum(jnp.where(nmask, packed7, jnp.uint32(0)),
+                           axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
+            off = off + jnp.uint32(7) * (nb & 3).astype(jnp.uint32)
+        else:
+            nmask = nb[..., None] == jnp.arange(25, dtype=jnp.int32)
+            wsel = jnp.sum(jnp.where(nmask, fields, jnp.uint32(0)),
+                           axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
+        bit = off
+    elif variant == "wslice":
         # stage 0 (amortised over the block's 8 candidates): per (block,
         # group) keep only the 2 z-words that can contain any candidate —
         # the group's z span is |dt|*|dz| + angular <= ~2.1 cells, so all

@@ -462,6 +462,7 @@ def render_rays_compact_blocks(
     stage2_budget: int = 0,
     march_group: int = 2,
     sample_budget: int = 0,
+    march_variant: str = "wslice",
 ) -> Dict[str, Any]:
     """Serving fast path with 2x2-pixel-block window analysis/compaction.
 
@@ -547,7 +548,8 @@ def render_rays_compact_blocks(
     elif march_group == 2:
         m = march_rays_window_bitmask_nb_block(
             ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
-            tables.col_nb5mask, settings.bound, settings.dt, K2, S)
+            tables.col_nb5mask, settings.bound, settings.dt, K2, S,
+            variant=march_variant)
     elif march_group > 0:
         m = march_rays_window_bitmask_nb(
             ro, rd, t_start, t_end, slot_valid, tables.col_nbmask,

@@ -129,8 +129,8 @@ class InferenceSession:
                     density_grid_torso=occ_t.density_grid_torso,
                     mean_density_torso=occ_t.mean_density_torso)
         self._overflow_warned = self._s2_warned = False
-        self._pending_budget = None
-        self._budget_override = None
+        self._pending_budget = self._pending_sample = None
+        self._budget_override = self._sample_override = None
         self._compile_render()
         self._built = True
 
@@ -175,6 +175,17 @@ class InferenceSession:
         stage2_budget = max(1024, int(budget * cfg.infer_stage2_frac)
                             // 1024 * 1024)
         self.stage2_budget = stage2_budget
+        # stage-1 sample compaction (Config.infer_sample_frac): slots for
+        # the march-masked points only; cap at the full lattice (at which
+        # point compaction is a no-op but still exact)
+        sp_cap = budget * max(1, stage_split)
+        sample_budget = 0
+        if cfg.infer_sample_frac > 0 and stage_split > 0:
+            sample_budget = getattr(self, "_sample_override", None) or max(
+                gran, int(sp_cap * cfg.infer_sample_frac) // gran * gran)
+            sample_budget = min(sample_budget, sp_cap)
+        self.sample_budget = sample_budget
+        self._sample_cap = sp_cap
         bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
         # multi-cascade scenes (bound > 1) fall back to the exhaustive
         # marcher with an explicit notice — the window/bitmask fast path
@@ -296,7 +307,8 @@ class InferenceSession:
                     enc_a, c, eye, frame_bg, budget=budget,
                     window_candidates=k2, tables=tables,
                     stage_split=stage_split, stage2_budget=stage2_budget,
-                    march_group=march_group)
+                    march_group=march_group, sample_budget=sample_budget,
+                    march_variant=cfg.infer_march_variant)
             elif use_compact:
                 out = render_rays_compact(
                     apply_packed, params, isettings, occ,
@@ -304,7 +316,8 @@ class InferenceSession:
                     enc_a, c, eye,
                     frame_bg, budget=budget, window_candidates=k2,
                     tables=tables, minimal=True,
-                    stage_split=stage_split, stage2_budget=stage2_budget)
+                    stage_split=stage_split, stage2_budget=stage2_budget,
+                    sample_budget=sample_budget)
             else:
                 from ..render import render_rays
 
@@ -320,7 +333,8 @@ class InferenceSession:
                 buf = rgb_to_yuv420(img)
             else:
                 buf = (img * 255).astype(jnp.uint8).reshape(-1)
-            return buf, out["n_active"], out.get("n_stage2", 0)
+            return (buf, out["n_active"], out.get("n_stage2", 0),
+                    out.get("n_spts", 0))
 
         def make_render(fmt: str):
             @jax.jit
@@ -331,7 +345,7 @@ class InferenceSession:
                     prev_enc, has_prev = carry
                     pose, auds, eye, idx, valid = inp
                     enc_a = smooth_enc(auds, prev_enc, has_prev, params)
-                    buf, n_act, n_s2 = render_frame(
+                    buf, n_act, n_s2, n_sp = render_frame(
                         params, packed, tables, occ, pose, enc_a, eye, idx,
                         torso_params, torso_packed, fmt)
                     # padded tail slots (valid == 0) must NOT advance the
@@ -341,12 +355,13 @@ class InferenceSession:
                     # on the chunk size (round-2 review, weak item 6)
                     carry_enc = jnp.where(valid > 0, enc_a, prev_enc)
                     carry_has = jnp.maximum(has_prev, valid)
-                    return (carry_enc, carry_has), (buf, n_act, n_s2)
+                    return (carry_enc, carry_has), (buf, n_act, n_s2, n_sp)
 
-                (enc_final, _), (bufs, n_acts, n_s2s) = jax.lax.scan(
+                (enc_final, _), (bufs, n_acts, n_s2s, n_sps) = jax.lax.scan(
                     body, (prev_enc, has_prev),
                     (poses, auds_c, eyes_c, idxs_c, valid_c))
-                return bufs, n_acts, jnp.max(n_s2s), enc_final
+                return (bufs, n_acts, jnp.max(n_s2s), jnp.max(n_sps),
+                        enc_final)
 
             return render_chunk
 
@@ -386,24 +401,25 @@ class InferenceSession:
                              torso_packed, poses_s, enc_s, eyes_s, idxs_s):
                     def body(carry, inp):
                         pose, enc_a, eye, idx = inp
-                        buf, n_act, n_s2 = render_frame(
+                        buf, n_act, n_s2, n_sp = render_frame(
                             params, packed, tables, occ, pose, enc_a, eye,
                             idx, torso_params, torso_packed, fmt)
-                        return carry, (buf, n_act, n_s2)
+                        return carry, (buf, n_act, n_s2, n_sp)
 
                     _, outs = jax.lax.scan(
                         body, 0, (poses_s, enc_s, eyes_s, idxs_s))
                     return outs
 
                 rep = (P(),) * 6
-                bufs, n_acts, n_s2s = shard_map(
+                bufs, n_acts, n_s2s, n_sps = shard_map(
                     shard_fn, mesh=mesh,
                     in_specs=rep + (P("dp"), P("dp"), P("dp"), P("dp")),
-                    out_specs=(P("dp"), P("dp"), P("dp")),
+                    out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
                     check_rep=False,
                 )(params, packed, tables, occ, torso_params, torso_packed,
                   poses, enc_all, eyes_c, idxs_c)
-                return bufs, n_acts, jnp.max(n_s2s), enc_final
+                return (bufs, n_acts, jnp.max(n_s2s), jnp.max(n_sps),
+                        enc_final)
 
             return render_chunk
 
@@ -480,7 +496,7 @@ class InferenceSession:
         queue: deque = deque()
 
         def consume():
-            base, count, bufs_dev, acts_dev, s2_dev = queue.popleft()
+            base, count, bufs_dev, acts_dev, s2_dev, sp_dev = queue.popleft()
             bufs = np.asarray(bufs_dev)
             acts = np.asarray(acts_dev)
             if (not self._s2_warned
@@ -490,6 +506,22 @@ class InferenceSession:
                       f"overflow rays truncate at the split (raise "
                       f"infer_stage2_frac)")
                 self._s2_warned = True
+            if self.sample_budget and int(sp_dev) > self.sample_budget:
+                # stage-1 sample-compaction overflow: marched points beyond
+                # the slots were skipped (rendered as empty space) — rebuild
+                # with ~1.25x the observed demand, like the ray budget below
+                gran_s = self._budget_gran
+                want_s = min(self._sample_cap,
+                             max(gran_s,
+                                 -(-int(int(sp_dev) * 1.25) // gran_s)
+                                 * gran_s))
+                if want_s > self.sample_budget:
+                    print(f"[WARN] chunk at frame {base}: {int(sp_dev)} "
+                          f"marched stage-1 points exceed the sample "
+                          f"budget {self.sample_budget}; rebuilding with "
+                          f"{want_s} at the next chunk boundary")
+                    self._pending_sample = max(self._pending_sample or 0,
+                                               want_s)
             max_act = int(acts[:count].max()) if count else 0
             gran = self._budget_gran
             frame_cap = max(gran, ds.H * ds.W // gran * gran)
@@ -553,18 +585,22 @@ class InferenceSession:
             return ds.poses[fi], ds.audio_window(i), eye, fi
 
         for base in range(0, n, C):
-            if self._pending_budget:
-                if self._pending_budget > self.budget:
-                    # adaptive-budget rebuild at the chunk boundary: drain
-                    # the queued chunks (their program is being replaced),
-                    # then recompile with the larger budget — once per
-                    # budget value, persistent-cache-backed
+            if self._pending_budget or self._pending_sample:
+                if ((self._pending_budget or 0) > self.budget
+                        or (self._pending_sample or 0) > self.sample_budget):
+                    # adaptive rebuild at the chunk boundary: drain the
+                    # queued chunks (their program is being replaced), then
+                    # recompile with the larger budget(s) — once per value,
+                    # persistent-cache-backed
                     while queue:
                         consume()
-                    self._budget_override = self._pending_budget
+                    if (self._pending_budget or 0) > self.budget:
+                        self._budget_override = self._pending_budget
+                    if (self._pending_sample or 0) > self.sample_budget:
+                        self._sample_override = self._pending_sample
                     self._compile_render()
                     render = self._get_render(fmt)
-                self._pending_budget = None
+                self._pending_budget = self._pending_sample = None
             count = min(C, n - base)
             # pad the tail chunk by repeating its last frame; padded slots
             # carry valid=0 so they render (static chunk shape) but do not
@@ -581,14 +617,14 @@ class InferenceSession:
                 valid_c = jnp.asarray([1.0 if j < count else 0.0
                                        for j in range(C)], jnp.float32)
             with ph("dispatch"):
-                bufs, n_acts, n_s2, prev_enc = render(
+                bufs, n_acts, n_s2, n_sp, prev_enc = render(
                     self.infer_params, self.packed, self.tables, self.occ,
                     poses, auds_c, prev_enc, has_prev, eyes_c, idxs_c,
                     valid_c, self.torso_params, self.torso_packed)
                 has_prev = jnp.float32(1.0)
                 if hasattr(bufs, "copy_to_host_async"):
                     bufs.copy_to_host_async()
-            queue.append((base, count, bufs, n_acts, n_s2))
+            queue.append((base, count, bufs, n_acts, n_s2, n_sp))
             if len(queue) >= 2:
                 with ph("fetch+sink"):
                     consume()

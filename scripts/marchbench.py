@@ -122,6 +122,16 @@ def main():
             ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
             tables.col_nb5mask, bound, dt, K2, S, variant="nb_first")
 
+    def f_nb5_zb(t_start, *a):
+        return march_rays_window_bitmask_nb_block(
+            ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
+            tables.col_nb5mask, bound, dt, K2, S, variant="zband")
+
+    def f_nb5_zb4(t_start, *a):
+        return march_rays_window_bitmask_nb_block(
+            ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
+            tables.col_nb5mask, bound, dt, K2, S, variant="zband4")
+
     # raw fetches only (gather cost floor of each scheme)
     gk = jnp.arange(G, dtype=jnp.float32) * 2 + 0.5
 
@@ -152,6 +162,8 @@ def main():
             ("march nb per-ray", f_nb, (t_start,)),
             ("march nb5 block wslice", f_nb5_ws, (t_start,)),
             ("march nb5 block nb_first", f_nb5_nf, (t_start,)),
+            ("march nb5 block zband", f_nb5_zb, (t_start,)),
+            ("march nb5 block zband4", f_nb5_zb4, (t_start,)),
     ):
         chain_time(f, a, args.iters, name)
 

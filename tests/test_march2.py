@@ -4,6 +4,7 @@ marcher wherever rays are active, and drop only to background elsewhere."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lzzx_nerf_tpu.ops import march_rays_uniform, near_far_from_aabb
 from lzzx_nerf_tpu.ops.march2 import (build_inference_tables,
@@ -495,12 +496,14 @@ def _block_march_inputs(occ, H=32, W=32, z=-2.5, fov_scale=0.6):
     return ro, rd, t_start, t_end, slot_valid, t0_blk, dc
 
 
-def test_nb_block_march_exact_camera_blocks():
+@pytest.mark.parametrize("variant", ["wslice", "nb_first", "zband",
+                                     "zband4"])
+def test_nb_block_march_exact_camera_blocks(variant):
     """The block-shared 5x5-neighborhood marcher must reproduce the
     per-candidate EXACT marcher sample-for-sample on real pinhole-camera
     2x2 blocks (the production geometry it serves) — the VERDICT-r2 item
-    1b proof obligation. Checked across camera distances and fields of
-    view (|d_xy| up to ~0.45 incl. the corner blocks)."""
+    1b proof obligation, for EVERY select variant (they differ only in
+    VPU cost, never in the tested bit)."""
     from lzzx_nerf_tpu.ops.march2 import (
         column_bitmasks_neighborhood5, march_rays_window_bitmask_nb_block)
 
@@ -512,7 +515,8 @@ def test_nb_block_march_exact_camera_blocks():
             occ, z=z, fov_scale=fs)
         v2 = march_rays_window(ro, rd, t0, t1, sv, occ, BOUND, DT, K2, S)
         v5 = march_rays_window_bitmask_nb_block(
-            ro, rd, t0, t1, sv, t0_blk, dc, nb5, BOUND, DT, K2, S)
+            ro, rd, t0, t1, sv, t0_blk, dc, nb5, BOUND, DT, K2, S,
+            variant=variant)
         np.testing.assert_array_equal(np.asarray(v2.mask),
                                       np.asarray(v5.mask))
         np.testing.assert_allclose(np.asarray(v2.ts), np.asarray(v5.ts),
@@ -521,7 +525,9 @@ def test_nb_block_march_exact_camera_blocks():
                                    atol=1e-5)
 
 
-def test_nb_block_march_exact_random_scenes():
+@pytest.mark.parametrize("variant", ["wslice", "nb_first", "zband",
+                                     "zband4"])
+def test_nb_block_march_exact_random_scenes(variant):
     """Same exactness over randomized occupancy (scattered blobs), where
     windows fragment and many blocks deactivate."""
     from lzzx_nerf_tpu.ops.march2 import (
@@ -541,7 +547,8 @@ def test_nb_block_march_exact_random_scenes():
     K2, S = 48, 16
     v2 = march_rays_window(ro, rd, t0, t1, sv, occ, BOUND, DT, K2, S)
     v5 = march_rays_window_bitmask_nb_block(
-        ro, rd, t0, t1, sv, t0_blk, dc, nb5, BOUND, DT, K2, S)
+        ro, rd, t0, t1, sv, t0_blk, dc, nb5, BOUND, DT, K2, S,
+        variant=variant)
     np.testing.assert_array_equal(np.asarray(v2.mask), np.asarray(v5.mask))
     np.testing.assert_allclose(np.asarray(v2.ts), np.asarray(v5.ts),
                                atol=1e-5)

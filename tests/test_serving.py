@@ -509,6 +509,57 @@ def test_session_adaptive_budget_rebuild(session_workspace, capsys):
                for i in range(2))
 
 
+def test_session_sample_compaction_exact_and_adaptive(session_workspace,
+                                                      capsys):
+    """Config.infer_sample_frac compacts the stage-1 field eval to the
+    march-masked points. At a budget that holds every masked point the
+    streamed frames must be IDENTICAL to the uncompacted session; a budget
+    that overflows must warn once, rebuild at the next chunk boundary
+    (like the adaptive ray budget), and stream every frame — with the
+    post-rebuild frames matching the uncompacted session."""
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+
+    data, ws = session_workspace
+    rng = np.random.default_rng(11)
+    feats = rng.standard_normal((6, 16, 29)).astype(np.float32)
+
+    def run(sample_frac):
+        cfg = Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                     infer_samples=8, infer_window_candidates=24,
+                     infer_chunk=2, budget_frac=1.0,
+                     infer_sample_frac=sample_frac)
+        s = InferenceSession(cfg)
+        s.load_model(data, ws)
+        n = s.set_audio_features(feats)
+        got = {}
+        s.run(max_frames=n, on_frame=lambda i, buf: got.__setitem__(i, buf))
+        return s, got
+
+    s_off, base = run(0.0)
+    assert s_off.sample_budget == 0
+    # frac=1.0 -> the full point lattice: compaction is a pure
+    # permutation+scatter and must not change a pixel
+    s_full, full = run(1.0)
+    assert s_full.sample_budget == s_full._sample_cap
+    capsys.readouterr()
+    for i in range(6):
+        np.testing.assert_array_equal(full[i], base[i])
+
+    # a deliberately tiny sample budget (toy grid is fully occupied ->
+    # nearly all stage-1 slots are masked on) must overflow and rebuild
+    s_tiny, tiny = run(0.05)
+    out = capsys.readouterr().out
+    assert "sample budget" in out and "rebuilding" in out
+    assert sorted(tiny) == list(range(6))        # no frames dropped
+    assert s_tiny.sample_budget > 0
+    # frames after the rebuild (chunk 2+: frames 4..5) carry every masked
+    # point again — identical to the uncompacted session
+    np.testing.assert_array_equal(tiny[5], base[5])
+    # at least one pre-rebuild frame was visibly degraded
+    assert any(not np.array_equal(tiny[i], base[i]) for i in range(2))
+
+
 ffmpeg_required = pytest.mark.skipif(
     __import__("shutil").which("ffmpeg") is None
     or __import__("shutil").which("ffprobe") is None,
