@@ -196,6 +196,11 @@ class Config:
     # the slots; an overflowing frame triggers the same adaptive rebuild
     # as the ray budget (serving/session.py run()). Stage 2 is already
     # ~92% dense after survivor compaction — not worth compacting.
+    # MEASURED NEGATIVE (PERF.md round 3): 21.6 vs 32.9 FPS at 512² —
+    # the compaction's cumsum/scatter barrier breaks XLA's fusion of the
+    # march mask into the lookup/interp consumers; sample-level
+    # compaction doesn't pay on this platform (ray-level does). Kept
+    # opt-in + parity-tested.
     infer_sample_frac: float = 0.0
     # block-path march mode: 2 = block-shared EXACT 5x5-neighborhood
     # bitmask march (one row fetch per 2x2 block per candidate group — 4x
@@ -212,7 +217,10 @@ class Config:
     # pre-reduce + flat 50-way per-candidate select; "zband" = 7-cell
     # z-band funnel shift per neighbor + 25-way single-word select;
     # "zband4" = 4 z-bands packed per uint32 + 7-way select (~1/5 the
-    # select math). Default decided by full-frame bench A/B (PERF.md).
+    # select math). Full-frame bench A/B (PERF.md round 3): wslice 32.89
+    # / zband 30.37 / zband4 28.00 FPS — the amortized pre-reduce stages
+    # cost more than the narrower per-candidate select saves; wslice
+    # stays the default.
     infer_march_variant: str = "wslice"
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;

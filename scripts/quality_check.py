@@ -57,6 +57,15 @@ def main():
                     help="npz path: dump trained params + occupancy for "
                          "offline probes (scripts/marchdiag.py)")
     ap.add_argument("--log-every", type=int, default=500)
+    ap.add_argument("--sample-frac", type=float, default=0.5,
+                    help="stage-1 sample-compaction budget fraction for "
+                         "variant J (0 disables J). Compaction is bit-exact "
+                         "while the masked points fit the slots; J verifies "
+                         "that end-to-end on the trained oracle")
+    ap.add_argument("--march-variant", default="zband4",
+                    choices=["wslice", "nb_first", "zband", "zband4"],
+                    help="block-march select variant for J (the candidate "
+                         "production point; B/C keep wslice)")
     args = ap.parse_args()
 
     import jax
@@ -281,9 +290,29 @@ def main():
             window_candidates=K2, tables=tables, march_group=3,
             **staged)["image"]
 
+    sample_budget = (max(1024, int(budget * 8 * args.sample_frac)
+                         // 1024 * 1024) if args.sample_frac > 0 else 0)
+
+    @jax.jit
+    def render_J(params, occ, tables, pose, enc_a, eye, bg):
+        # C at the CANDIDATE PRODUCTION POINT: stage-1 sample compaction
+        # (--sample-frac slots; bit-exact while the masked points fit) and
+        # the --march-variant select (sample-exact by construction,
+        # tests/test_march2.py) — the end-to-end check that both hold on a
+        # trained density crust
+        rays = get_rays(pose[None], ds.intrinsics, res, res, N=-1)
+        c = params["params"]["individual_codes"][0]
+        return render_rays_compact_blocks(
+            ap16, params, isettings, occ, rays["rays_o"][0][0],
+            rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
+            window_candidates=K2, tables=tables,
+            sample_budget=sample_budget,
+            march_variant=args.march_variant, **staged)["image"]
+
     scores = {"A_parity_S16": [], "B_serving_S8": [], "C_serving_block": [],
               "D_block_f32tab": [], "E_no_staging": [], "F_exact_march": [],
-              "G_folded_apply": [], "H_wide_window": [], "I_block_lattice": []}
+              "G_folded_apply": [], "H_wide_window": [], "I_block_lattice": [],
+              "J_sample_compact": []}
     for fi in range(0, ds.num_frames, 3):
         b = ds.frame(fi)
         pose = jnp.asarray(b["pose"])
@@ -310,6 +339,9 @@ def main():
             psnr(render_F(params, occ, tables, pose, enc_a, eye, bg), gt))
         scores["I_block_lattice"].append(
             psnr(render_I(params, occ, tables, pose, enc_a, eye, bg), gt))
+        if sample_budget:
+            scores["J_sample_compact"].append(
+                psnr(render_J(params, occ, tables, pose, enc_a, eye, bg), gt))
 
     a = float(np.mean(scores["A_parity_S16"]))
     bsepts = float(np.mean(scores["B_serving_S8"]))
@@ -338,6 +370,10 @@ def main():
     ipts = float(np.mean(scores["I_block_lattice"]))
     print(f"  I = C with the block-lattice 3x3 march      : {ipts:6.2f} dB "
           f"(delta {ipts - a:+.2f})")
+    if scores["J_sample_compact"]:
+        jpts = float(np.mean(scores["J_sample_compact"]))
+        print(f"  J = C + sample compaction ({args.march_variant:>7s} march)"
+              f" : {jpts:6.2f} dB (delta {jpts - a:+.2f})")
 
 
 if __name__ == "__main__":
