@@ -25,10 +25,32 @@ def build_config(argv=None):
                     help="equals --fp16 --exp_eye (reference train.py:143-145)")
     # drop-in compatibility: the reference's --cuda_ray selects its CUDA
     # marcher over the pure-pytorch fallback (train.py:34); here the
-    # TPU marcher IS the only path, so the flag is accepted and ignored
-    # the reference declares it store_true, so the bare form must parse too
-    ap.add_argument("--cuda_ray", type=int, choices=[0, 1], default=None,
-                    nargs="?", const=1,
+    # TPU marcher IS the only path, so the flag is accepted and ignored.
+    # The reference declares it store_true, so it must never consume a
+    # following token ("--cuda_ray data/obama" has to parse) — normalize
+    # the "--cuda_ray 0/1" and "--cuda_ray=0/1" spellings by hand instead
+    # of nargs="?", which greedily swallows the next positional.
+    if argv is None:
+        import sys
+        argv = sys.argv[1:]
+    norm, i = [], 0
+    argv = list(argv)
+    while i < len(argv):
+        tok = argv[i]
+        if tok == "--cuda_ray" and i + 1 < len(argv) \
+                and argv[i + 1] in ("0", "1"):
+            if argv[i + 1] == "1":
+                norm.append("--cuda_ray")
+            i += 2
+        elif tok in ("--cuda_ray=0", "--cuda_ray=1"):
+            if tok.endswith("=1"):
+                norm.append("--cuda_ray")
+            i += 1
+        else:
+            norm.append(tok)
+            i += 1
+    argv = norm
+    ap.add_argument("--cuda_ray", action="store_true",
                     help="accepted for reference CLI compatibility; the "
                          "TPU ray marcher is always used")
     defaults = Config()
@@ -518,44 +540,19 @@ def run_test(cfg) -> None:
 
     tables = jax.jit(
         lambda o: build_inference_tables(o, settings.bound))(occ.occ)
+    # adaptive K2 + block-march envelope step-down, shared with serving
+    # (ops.march2.resolve_march_plan) so --test and session.py always
+    # choose the same marcher for a given geometry
     k2 = cfg.infer_window_candidates
-    if not k2 and use_compact:
-        # adaptive K2 from the trained occupancy + camera obliquity
-        # (Config.infer_window_candidates)
-        from .ops.march2 import window_candidates_for_scene
-        from .utils.rays import min_corner_dz
-
-        k2 = window_candidates_for_scene(
-            np.asarray(tables.z_lo), np.asarray(tables.z_hi), isettings.dt,
-            min_dz=min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
-        trainer.log(f"[INFO] adaptive window candidates: K2={k2}")
-    k2 = k2 or None
     march_group = cfg.infer_march_group
-    if march_group in (2, 3) and use_compact:
-        # block march envelope checks (see serving/session.py): step down
-        # block-lattice 3x3 -> block-shared 5x5 -> per-ray
-        import math as _math
+    if use_compact:
+        from .ops.march2 import resolve_march_plan
 
-        from .ops.march2 import nb_block3_drift_cells, nb_block_drift_cells
-        from .utils.rays import min_corner_dz
-
-        t_max = float(np.linalg.norm(
-            np.asarray(ds.poses)[:, :3, 3], axis=1).max()) \
-            + _math.sqrt(3.0) * settings.bound
-        geo = (isettings.dt, settings.bound, settings.grid_size,
-               min(ds.intrinsics[0], ds.intrinsics[1]), t_max,
-               min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
-        if march_group == 3 and nb_block3_drift_cells(*geo) > 1.0:
-            trainer.log(f"[INFO] block-lattice march drift "
-                        f"{nb_block3_drift_cells(*geo):.2f} cells exceeds "
-                        "the ±1 envelope — using the ±2 block-shared march")
-            march_group = 2
-        if march_group == 2 and nb_block_drift_cells(*geo) > 2.0:
-            trainer.log(f"[INFO] block-shared march drift "
-                        f"{nb_block_drift_cells(*geo):.2f} cells exceeds "
-                        "the ±2 envelope — using the per-ray exact "
-                        "neighborhood march")
-            march_group = 1
+        k2, march_group = resolve_march_plan(
+            isettings, tables.z_lo, tables.z_hi, ds.poses, ds.intrinsics,
+            ds.H, ds.W, k2_override=k2, march_group=march_group,
+            log=trainer.log)
+    k2 = k2 or None
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
 
     @jax.jit

@@ -925,6 +925,51 @@ def nb_block3_drift_cells(dt: float, bound: float, grid_size: int,
     return half_step_drift + angular
 
 
+def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
+                       H: int, W: int, k2_override: int = 0,
+                       march_group: int = 1, log=print):
+    """Derive the serving march plan for one model + camera geometry:
+    the adaptive window-candidate count K2 (window_candidates_for_scene,
+    unless k2_override is nonzero) and the block-march group after
+    stepping down 3 -> 2 -> per-ray whenever this geometry exceeds the
+    variant's exactness drift envelope (nb_block3_drift_cells <= 1,
+    nb_block_drift_cells <= 2). Shared by serving/session.py and
+    cli.run_test so both paths choose the same marcher; pass
+    march_group=1 to skip the envelope checks (non-block callers)."""
+    import numpy as np
+
+    from ..utils.rays import min_corner_dz
+
+    dz = min_corner_dz(poses, intrinsics, H, W)
+    k2 = k2_override
+    if not k2:
+        k2 = window_candidates_for_scene(
+            np.asarray(z_lo), np.asarray(z_hi), settings.dt, min_dz=dz)
+        log(f"[INFO] adaptive window candidates: K2={k2} "
+            f"(grid {settings.grid_size}, dt {settings.dt:.4f})")
+    if march_group in (2, 3):
+        t_max = float(np.linalg.norm(
+            np.asarray(poses)[:, :3, 3], axis=1).max()) \
+            + math.sqrt(3.0) * settings.bound
+        geo = (settings.dt, settings.bound, settings.grid_size,
+               min(intrinsics[0], intrinsics[1]), t_max, dz)
+        if march_group == 3:
+            drift3 = nb_block3_drift_cells(*geo)
+            if drift3 > 1.0:
+                log(f"[INFO] block-lattice march drift {drift3:.2f} cells "
+                    "exceeds the ±1 envelope for this camera/grid — using "
+                    "the ±2 block-shared march")
+                march_group = 2
+        if march_group == 2:
+            drift = nb_block_drift_cells(*geo)
+            if drift > 2.0:
+                log(f"[INFO] block-shared march drift {drift:.2f} cells "
+                    "exceeds the ±2 envelope for this camera/grid — using "
+                    "the per-ray exact neighborhood march")
+                march_group = 1
+    return k2, march_group
+
+
 def window_candidates_for_scene(z_lo, z_hi, dt: float, min_dz: float = 0.8,
                                 pad_steps: float = 3.0,
                                 margin: int = 6) -> int:
@@ -941,6 +986,17 @@ def window_candidates_for_scene(z_lo, z_hi, dt: float, min_dz: float = 0.8,
     --grid 128). The reference's alive-ray marcher never truncates
     (renderer.py:503-548) — parity demands the window be fully covered.
 
+    Sizing bound: ray_windows' multi-probe envelope is the t-union of the
+    FULL slab crossings of every probed nonempty column — for a grazing
+    ray those intervals need not overlap, so the window can exceed any
+    single column's slab. Every probed slab lies inside the global
+    occupied z-band [min z_lo, max z_hi], so the envelope is bounded by
+    the ray's crossing of that band: (zmax − zmin)/|dz|. Sizing from the
+    longest single-column slab (the round-3 first cut) under-covered
+    exactly the tilted-head geometry whose far-side slab is disjoint in t
+    from the near-side one — the same silent truncation the fixed K2=40
+    produced, just at a rarer obliquity.
+
     min_dz: smallest |world-z| ray-direction component the cameras
     produce (utils.rays.min_corner_dz computes it from the poses);
     windows stretch by 1/|dz|. Rays below the min_axis_frac fallback
@@ -951,8 +1007,9 @@ def window_candidates_for_scene(z_lo, z_hi, dt: float, min_dz: float = 0.8,
     zl = np.asarray(z_lo)
     zh = np.asarray(z_hi)
     valid = zh > zl
-    max_slab = float((zh - zl)[valid].max()) if valid.any() else 0.0
-    k2 = (int(np.ceil(max_slab / (dt * max(min_dz, 0.3))))
+    band = (float(zh[valid].max() - zl[valid].min())
+            if valid.any() else 0.0)
+    k2 = (int(np.ceil(band / (dt * max(min_dz, 0.3))))
           + int(2 * pad_steps) + margin)
     k2 = max(k2, 16)
     return k2 + (k2 % 2)

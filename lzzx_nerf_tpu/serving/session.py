@@ -158,19 +158,6 @@ class InferenceSession:
         isettings = dataclasses.replace(
             self.settings,
             max_steps=cfg.infer_samples or self.settings.max_steps)
-        k2 = cfg.infer_window_candidates
-        if not k2:
-            # adaptive K2 from the trained occupancy + this model's camera
-            # obliquity (see Config.infer_window_candidates)
-            from ..ops.march2 import window_candidates_for_scene
-            from ..utils.rays import min_corner_dz
-
-            k2 = window_candidates_for_scene(
-                np.asarray(self.tables.z_lo), np.asarray(self.tables.z_hi),
-                isettings.dt,
-                min_dz=min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
-            print(f"[INFO] adaptive window candidates: K2={k2} "
-                  f"(grid {isettings.grid_size}, dt {isettings.dt:.4f})")
         stage_split = cfg.infer_stage_split
         stage2_budget = max(1024, int(budget * cfg.infer_stage2_frac)
                             // 1024 * 1024)
@@ -199,40 +186,16 @@ class InferenceSession:
                   "sample-identical; the fast path needs cascade == 1")
         use_blocks = (use_compact and cfg.infer_block == 2 and ds.H % 2 == 0
                       and ds.W % 2 == 0 and budget % 4 == 0)
-        march_group = cfg.infer_march_group
-        if use_blocks and march_group in (2, 3):
-            # the block marchers are exact only within their drift
-            # envelopes (±1 cells for the block-lattice 3x3 variant, ±2
-            # for the per-ray-lattice 5x5 one); verify for THIS model's
-            # camera/grid geometry and step down 3 -> 2 -> per-ray
-            import math as _math
+        # adaptive K2 + block-march envelope step-down, shared with
+        # cli.run_test (ops.march2.resolve_march_plan) so serving and
+        # --test always choose the same marcher for a given geometry
+        from ..ops.march2 import resolve_march_plan
 
-            from ..ops.march2 import (nb_block3_drift_cells,
-                                      nb_block_drift_cells)
-            from ..utils.rays import min_corner_dz
-
-            t_max = float(np.linalg.norm(
-                np.asarray(ds.poses)[:, :3, 3], axis=1).max()) \
-                + _math.sqrt(3.0) * self.settings.bound
-            geo = (self.settings.dt, self.settings.bound,
-                   self.settings.grid_size,
-                   min(ds.intrinsics[0], ds.intrinsics[1]), t_max,
-                   min_corner_dz(ds.poses, ds.intrinsics, ds.H, ds.W))
-            if march_group == 3:
-                drift3 = nb_block3_drift_cells(*geo)
-                if drift3 > 1.0:
-                    print(f"[INFO] block-lattice march drift {drift3:.2f} "
-                          "cells exceeds the ±1 envelope for this "
-                          "camera/grid — using the ±2 block-shared march")
-                    march_group = 2
-            if march_group == 2:
-                drift = nb_block_drift_cells(*geo)
-                if drift > 2.0:
-                    print(f"[INFO] block-shared march drift {drift:.2f} "
-                          "cells exceeds the ±2 envelope for this "
-                          "camera/grid — using the per-ray exact "
-                          "neighborhood march")
-                    march_group = 1
+        k2, march_group = resolve_march_plan(
+            isettings, self.tables.z_lo, self.tables.z_hi,
+            ds.poses, ds.intrinsics, ds.H, ds.W,
+            k2_override=cfg.infer_window_candidates,
+            march_group=cfg.infer_march_group if use_blocks else 1)
         field = self.field
         torso = self.torso
         if torso is not None:
@@ -544,7 +507,13 @@ class InferenceSession:
                           f"exceed budget {self.budget}; rebuilding the "
                           f"render program with budget {want} at the next "
                           f"chunk boundary")
-                    self._pending_budget = want
+                    # max(): a later, smaller overflow must not shrink an
+                    # already-pending rebuild target (mirrors the sample
+                    # path above) — otherwise the first rebuild can come up
+                    # short and force a second recompile plus another
+                    # background-clipped chunk
+                    self._pending_budget = max(self._pending_budget or 0,
+                                               want)
             for j in range(count):
                 if not self._overflow_warned and int(acts[j]) > self.budget:
                     if self.budget >= frame_cap:

@@ -169,8 +169,8 @@ def main():
                args.iters, "E staged eval+composite")
 
     # ---- F: scatter back + yuv420 pack
-    img_c, wsum_c, _ = jax.jit(phase_staged)(m.xyzs, m.deltas, m.ts, m.mask,
-                                             rd)
+    img_c, wsum_c, _, _ = jax.jit(phase_staged)(m.xyzs, m.deltas, m.ts,
+                                                m.mask, rd)
 
     def phase_scatter(image_c, wsum_c, bg):
         tgt = jnp.where(slot_valid_b, ray_idx, NB)

@@ -816,6 +816,74 @@ def test_adaptive_k2_covers_two_crust_scene():
     assert lost > 0
 
 
+def test_adaptive_k2_covers_disjoint_slab_scene():
+    """Round-3 review regression: ray_windows' multi-probe envelope is the
+    t-union of the FULL slab crossings of every probed column — for a
+    tilted geometry whose near-side and far-side crusts live in different
+    (x, y) columns, the two crossings are disjoint in t and the window
+    exceeds ANY single column's slab. K2 sized from the longest single
+    slab (the first round-3 cut) silently truncated exactly these
+    windows; it must be sized from the global occupied z-band instead."""
+    from lzzx_nerf_tpu.ops.march2 import window_candidates_for_scene
+
+    occ_np = np.zeros((GRID, GRID, GRID), bool)
+    occ_np[4:8, 8:24, 2:4] = True      # front crust, low z, left columns
+    occ_np[24:28, 8:24, 28:30] = True  # back crust, high z, right columns
+    occ = jnp.asarray(occ_np)[None]
+
+    # rays through the centers of both crusts (disjoint column sets)
+    a = np.array([-0.625, 0.0, -0.8125], np.float32)
+    b = np.array([0.625, 0.0, 0.8125], np.float32)
+    dirs = b[None] - a[None] + np.array(
+        [[0, dy, 0] for dy in (-0.2, -0.1, 0.0, 0.1, 0.2)], np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = jnp.asarray(a[None] - 2.0 * dirs)
+    d = jnp.asarray(dirs)
+    aabb = jnp.asarray([-1, -1, -1, 1, 1, 1], jnp.float32)
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.05)
+    v1 = march_rays_uniform(o, d, nears, fars, occ, BOUND, DT, 64, 8)
+    assert (np.asarray(v1.xyzs)[np.asarray(v1.mask)][:, 2] > 0.5).any(), \
+        "scene must produce back-crust samples"
+
+    z_lo, z_hi = column_intervals(occ, BOUND)
+    win = ray_windows(o, d, nears, fars, z_lo, z_hi, BOUND, DT)
+    cs = compact_rays(win.active, 8)
+    ro = jnp.take(o, cs.ray_idx, axis=0)
+    rd = jnp.take(d, cs.ray_idx, axis=0)
+    t0 = jnp.take(win.t_start, cs.ray_idx)
+    t1 = jnp.take(win.t_end, cs.ray_idx)
+
+    min_dz = float(np.abs(dirs[:, 2]).min())
+    k2 = window_candidates_for_scene(z_lo, z_hi, DT, min_dz=min_dz)
+    # the old single-slab sizing demonstrably under-covers this scene
+    zl, zh = np.asarray(z_lo), np.asarray(z_hi)
+    valid = zh > zl
+    max_slab = float((zh - zl)[valid].max())
+    k2_old = max(16, int(np.ceil(max_slab / (DT * min_dz))) + 12)
+    k2_old += k2_old % 2
+    assert k2 > k2_old
+
+    v2 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, BOUND, DT,
+                           k2, 8)
+    v1m, v2m = np.asarray(v1.mask), np.asarray(v2.mask)
+    v1t, v2t = np.asarray(v1.ts), np.asarray(v2.ts)
+    for slot in np.where(np.asarray(cs.slot_valid))[0]:
+        ray = int(np.asarray(cs.ray_idx)[slot])
+        n1, n2 = int(v1m[ray].sum()), int(v2m[slot].sum())
+        assert n1 == n2, f"ray {ray}: {n1} vs {n2}"
+        if n1:
+            np.testing.assert_allclose(v2t[slot, :n1], v1t[ray, :n1],
+                                       atol=2e-4)
+
+    # and the old sizing loses the back crust on at least one ray
+    v3 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, BOUND, DT,
+                           k2_old, 8)
+    lost = sum(int(v1m[int(np.asarray(cs.ray_idx)[s])].sum())
+               - int(np.asarray(v3.mask)[s].sum())
+               for s in np.where(np.asarray(cs.slot_valid))[0])
+    assert lost > 0
+
+
 def test_min_corner_dz_portrait_camera():
     from lzzx_nerf_tpu.utils.rays import min_corner_dz
 
