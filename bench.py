@@ -96,14 +96,18 @@ def main():
                          "3x3-neighborhood march (exact for any "
                          "direction); negative = dilated single-column "
                          "mask with group=|n| (-2 is the fast -2 dB mode)")
-    ap.add_argument("--march-variant", default="wslice",
-                    choices=["wslice", "nb_first", "zband", "zband4"],
+    ap.add_argument("--march-variant", default="quad",
+                    choices=["wslice", "nb_first", "zband", "zband4",
+                             "quad"],
                     help="group-2 block-march select variant (all "
                          "sample-exact, tests/test_march2.py): wslice = "
                          "word-pair pre-reduce + flat 50-way select; "
                          "zband = 7-cell z-band funnel shift + 25-way "
                          "single-word select; zband4 = 4 bands packed "
-                         "per word + 7-way select (least select math)")
+                         "per word + 7-way select (least select math); "
+                         "quad = directional quadrant-anchored fetch "
+                         "(signed 4x4 window, 32-way select, no added "
+                         "pre-reduce)")
     ap.add_argument("--fused", type=int, default=1, choices=[0, 1, 2],
                     help="field-MLP evaluation: 1 = folded-weight XLA "
                          "decomposition (default, measured fastest), 2 = "

@@ -545,13 +545,14 @@ def run_test(cfg) -> None:
     # choose the same marcher for a given geometry
     k2 = cfg.infer_window_candidates
     march_group = cfg.infer_march_group
+    march_variant = cfg.infer_march_variant
     if use_compact:
         from .ops.march2 import resolve_march_plan
 
-        k2, march_group = resolve_march_plan(
+        k2, march_group, march_variant = resolve_march_plan(
             isettings, tables.z_lo, tables.z_hi, ds.poses, ds.intrinsics,
             ds.H, ds.W, k2_override=k2, march_group=march_group,
-            log=trainer.log)
+            march_variant=march_variant, log=trainer.log)
     k2 = k2 or None
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
 
@@ -613,7 +614,8 @@ def run_test(cfg) -> None:
                 apply_packed, params, isettings, occ, ray_o_origin,
                 rays_d, ds.H, ds.W, enc_a, c, eye, bg,
                 budget=budget, window_candidates=k2, tables=tables,
-                march_group=march_group, **staged)
+                march_group=march_group, march_variant=march_variant,
+                **staged)
         else:
             out = render_rays_compact(
                 apply_packed, params, isettings, occ,

@@ -56,6 +56,10 @@ class InferenceTables(NamedTuple):
     col_nb5mask: jnp.ndarray  # [H*H, 25*H//32] uint32, exact 5x5-neighborhood
                               # z-bitstrings (column_bitmasks_neighborhood5),
                               # for the block-shared fetch marcher
+    col_quadmask: jnp.ndarray  # [4*H*H, 16*H//32] uint32, exact signed 4x4
+                               # quadrant neighborhoods
+                               # (column_bitmasks_quadrant), for the
+                               # directional block marcher
 
 
 class CompactSet(NamedTuple):
@@ -270,6 +274,35 @@ def column_bitmasks_neighborhood5(occ: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=-1).reshape(H * H, 25 * (H // 32))
 
 
+def column_bitmasks_quadrant(occ: jnp.ndarray) -> jnp.ndarray:
+    """occ [CAS, H, H, H] -> [4*H*H, 16*(H//32)] uint32: for each direction
+    quadrant q = 2*(dx<0) + (dy<0) and each (x, y) cell, the EXACT
+    z-bitstrings of the SIGNED 4x4 window {-1, 0, +1, +2}*sign per axis,
+    field order ix*4 + iy with per-axis offset sign*(i-1) (out-of-grid
+    columns 0).
+
+    The directional block marcher (march_rays_window_bitmask_nb_block_quad)
+    anchors its fetch half a step after the group's first block-lattice
+    candidate, so the fetch-to-candidate xy drift is one-sided along the
+    ray's travel direction — 16 columns cover what the symmetric ±2
+    envelope needs 25 for, cutting the per-candidate select from 50-way
+    to 32-way. Rows are 64 uint32 at H=128 (full-rate gather width);
+    table 16.8 MB."""
+    H = occ.shape[1]
+    assert H % 32 == 0, "grid size must be a multiple of 32 for bit-packing"
+    words = _pack_z_words(occ[0].astype(jnp.float32))  # [H, H, W32]
+    padded = jnp.pad(words, ((2, 2), (2, 2), (0, 0)))
+    quads = []
+    for sx in (1, -1):
+        for sy in (1, -1):
+            blocks = [padded[2 + sx * (ix - 1):2 + sx * (ix - 1) + H,
+                             2 + sy * (iy - 1):2 + sy * (iy - 1) + H]
+                      for ix in range(4) for iy in range(4)]
+            quads.append(
+                jnp.concatenate(blocks, axis=-1).reshape(H * H, -1))
+    return jnp.concatenate(quads, axis=0)
+
+
 def build_inference_tables(occ: jnp.ndarray, bound: float,
                            dilate_intervals: int = 2,
                            dilate_mask: int = 1) -> InferenceTables:
@@ -278,7 +311,8 @@ def build_inference_tables(occ: jnp.ndarray, bound: float,
     return InferenceTables(z_lo=z_lo, z_hi=z_hi,
                            col_bitmask=column_bitmasks(occ, dilate_mask),
                            col_nbmask=column_bitmasks_neighborhood(occ),
-                           col_nb5mask=column_bitmasks_neighborhood5(occ))
+                           col_nb5mask=column_bitmasks_neighborhood5(occ),
+                           col_quadmask=column_bitmasks_quadrant(occ))
 
 
 def compact_rays(active: jnp.ndarray, budget: int) -> CompactSet:
@@ -742,6 +776,142 @@ def march_rays_window_bitmask_nb_block(
     return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
 
 
+def march_rays_window_bitmask_nb_block_quad(
+    rays_o: jnp.ndarray,       # [4*Bb, 3] block-major (4 rays per 2x2 block)
+    rays_d: jnp.ndarray,       # [4*Bb, 3]
+    t_start: jnp.ndarray,      # [4*Bb] per-ray snapped window start
+    t_end: jnp.ndarray,        # [4*Bb]
+    slot_valid: jnp.ndarray,   # [4*Bb]
+    t0_block: jnp.ndarray,     # [Bb] block window start (fetch-lattice
+                               # anchor; t_start_r in [t0_block-eps,
+                               # t0_block+dt))
+    d_center: jnp.ndarray,     # [Bb, 3] unit block-centre direction
+    col_quadmask: jnp.ndarray,  # [4*H*H, 16*(H//32)] from
+                               # column_bitmasks_quadrant
+    bound: float,
+    dt: float,
+    num_cand: int,             # K2
+    max_samples: int,          # S
+    select: str = "topk",
+) -> MarchResult:
+    """Directional (quadrant-anchored) block-shared EXACT bitmask march.
+
+    Same contract as march_rays_window_bitmask_nb_block(variant="wslice")
+    — one row fetch per (2x2-pixel block, 2-candidate group), exact
+    per-candidate column tests — but the fetch anchor sits HALF a lattice
+    step after the group's first block-lattice candidate (2g + 0.5 instead
+    of the midpoint 2g + 1), which makes the fetch-to-candidate t-drift
+    one-sided: t_cand - t_fetch in [-0.5*dt - eps, +1.5*dt). The xy drift
+    therefore points along the ray's travel direction, and a SIGNED
+    per-axis window {-1, 0, +1, +2}*sign(d_xy) covers it — the fetched row
+    holds 16 columns instead of the symmetric envelope's 25, and the
+    per-candidate select is 32-way instead of 50-way (the march phase's
+    dominant VPU cost, PERF.md round-3 phase budget).
+
+    Exactness envelope (per axis, grid cells — nb_blockq_drift_cells):
+    forward 1.5*step*|d_xy| + angular <= 2 and backward 0.5*step*|d_xy| +
+    angular <= 1, where step = dt*H/(2*bound) cells and angular is the
+    intra-block direction offset integrated over the ray length.
+    Production 512²/grid-128 portrait cameras sit near (1.7, 0.8);
+    resolve_march_plan falls back to the ±2 block march when the
+    envelope fails. Rays whose |d_x| (or |d_y|) is below the block
+    centre's sign resolution drift at most ±angular <= 1 cell, which the
+    {-1, 0} slots of EITHER sign's window cover."""
+    B = rays_o.shape[0]
+    Bb = B // 4
+    assert B % 4 == 0
+    W16 = col_quadmask.shape[1]
+    W32 = W16 // 16
+    H = W32 * 32
+    group = 2
+    step_cells = dt * H / (2.0 * bound)
+    if step_cells > 2.0 + 1e-6:
+        raise ValueError(
+            f"quad-block march: {step_cells:.2f} cells per lattice step "
+            f"exceeds the directional envelope (dt={dt:.4f}, bound={bound});"
+            " use march_rays_window_bitmask_nb for this geometry")
+    if max_samples > num_cand:
+        raise ValueError(
+            f"max_samples ({max_samples}) cannot exceed window candidates "
+            f"({num_cand})")
+    G = (num_cand + group - 1) // group
+    Kp = G * group
+
+    # ---- one fetch per (block, group), anchored HALF a step after the
+    # group's first block-lattice candidate (see docstring)
+    o_blk = rays_o.reshape(Bb, 4, 3).mean(axis=1)          # == shared origin
+    gk = jnp.arange(G, dtype=jnp.float32) * group + 0.5
+    t_g = t0_block[:, None] + gk[None] * dt                # [Bb, G]
+    pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
+    pg = jnp.clip(pg, -bound, bound)
+    gx = jnp.clip((pg[..., 0] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    gy = jnp.clip((pg[..., 1] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)
+    gz = jnp.clip((pg[..., 2] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
+        jnp.int32)                                         # [Bb, G]
+    # per-block direction quadrant selects the signed-window table slice
+    sx = jnp.where(d_center[:, 0] < 0, -1, 1).astype(jnp.int32)   # [Bb]
+    sy = jnp.where(d_center[:, 1] < 0, -1, 1).astype(jnp.int32)
+    q = ((sx < 0).astype(jnp.int32) * 2
+         + (sy < 0).astype(jnp.int32))                     # [Bb]
+    rows = jnp.take(col_quadmask,
+                    (q[:, None] * (H * H) + gx * H + gy).reshape(-1),
+                    axis=0).reshape(Bb, 1, G, 1, 16, W32)  # ray/slot bcast
+
+    # ---- per-candidate exact cells on each ray's OWN lattice
+    kg = (jnp.arange(G, dtype=jnp.float32)[:, None] * group
+          + jnp.arange(group, dtype=jnp.float32)[None, :])  # [G, group]
+    t_cand = t_start[:, None, None] + kg[None] * dt         # [B, G, group]
+    pos = (rays_o[:, None, None, :]
+           + t_cand[..., None] * rays_d[:, None, None, :])
+    pos = jnp.clip(pos, -bound, bound)
+    gp = jnp.clip(0.5 * (pos / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
+    cx, cy, cz = gp[..., 0], gp[..., 1], gp[..., 2]        # [B, G, group]
+    cxb = cx.reshape(Bb, 4, G, group)
+    cyb = cy.reshape(Bb, 4, G, group)
+    czb = cz.reshape(Bb, 4, G, group)
+    # signed offset -> canonical window index i = sign*(c - g) + 1 in 0..3
+    ix = jnp.clip(sx[:, None, None, None] * (cxb - gx[:, None, :, None])
+                  + 1, 0, 3)
+    iy = jnp.clip(sy[:, None, None, None] * (cyb - gy[:, None, :, None])
+                  + 1, 0, 3)
+    nb16 = ix * 4 + iy                                     # [Bb, 4, G, group]
+
+    word = czb >> 5
+    bit = (czb & 31).astype(jnp.uint32)
+    # wslice pre-reduce (amortised over the block's 8 candidates): the
+    # group's z drift spans [-1.3, +3] cells around gz, so all candidate
+    # words lie in {w0, w0+1} with w0 = (gz-3)>>5 (7 cells < 32 cross at
+    # most one word boundary)
+    w0 = jnp.clip(jnp.maximum(gz - 3, 0) >> 5, 0, W32 - 1)     # [Bb, G]
+    wm = ((w0[:, None, :, None, None, None, None]
+           + jnp.arange(2, dtype=jnp.int32)[:, None])
+          == jnp.arange(W32, dtype=jnp.int32))
+    rows2 = jnp.sum(
+        jnp.where(wm, rows[..., :, None, :], jnp.uint32(0)),
+        axis=-1, dtype=jnp.uint32)                         # [Bb,1,G,1,16,2]
+    widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
+    j2 = nb16 * 2 + widx                                   # [Bb, 4, G, group]
+    fmask = (j2[..., None]
+             == jnp.arange(32, dtype=jnp.int32))           # [Bb,4,G,g,32]
+    wsel = jnp.sum(
+        jnp.where(fmask, rows2.reshape(Bb, 1, G, 1, 32), jnp.uint32(0)),
+        axis=-1, dtype=jnp.uint32)                         # [Bb, 4, G, group]
+    occ = (((wsel >> bit) & jnp.uint32(1)) > 0).reshape(B, Kp)[:, :num_cand]
+
+    t_cand = t_cand.reshape(B, Kp)[:, :num_cand]
+    valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
+    sel_k, mask = _first_s_select(valid, num_cand, max_samples, select)
+
+    t_sel = t_start[:, None] + sel_k * dt
+    xyzs = jnp.clip(
+        rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :],
+        -bound, bound)
+    deltas = jnp.where(mask, dt, 0.0)
+    return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
+
+
 def march_rays_window_bitmask_nb_block3(
     rays_o: jnp.ndarray,       # [4*Bb, 3] block-major (4 rays per 2x2 block)
     rays_d: jnp.ndarray,       # [4*Bb, 3]
@@ -909,6 +1079,22 @@ def nb_block_drift_cells(dt: float, bound: float, grid_size: int,
     return step_drift + angular
 
 
+def nb_blockq_drift_cells(dt: float, bound: float, grid_size: int,
+                          focal: float, t_max: float,
+                          min_dz: float) -> Tuple[float, float]:
+    """(forward, backward) worst-case per-axis cell drift for the
+    quadrant-anchored block march (march_rays_window_bitmask_nb_block_quad):
+    the half-step fetch anchor makes the lattice-phase drift one-sided —
+    1.5 steps forward, 0.5 back — plus the symmetric intra-block angular
+    offset on both sides. The march is EXACT while forward <= 2 AND
+    backward <= 1 (the signed {-1, 0, +1, +2} window)."""
+    cells_per_world = grid_size / (2.0 * bound)
+    max_dxy = math.sqrt(max(0.0, 1.0 - min_dz * min_dz))
+    step = dt * cells_per_world * max(max_dxy, 1e-3)
+    angular = t_max * (1.0 / max(focal, 1e-6)) * cells_per_world
+    return 1.5 * step + angular, 0.5 * step + angular
+
+
 def nb_block3_drift_cells(dt: float, bound: float, grid_size: int,
                           focal: float, t_max: float,
                           min_dz: float) -> float:
@@ -927,15 +1113,18 @@ def nb_block3_drift_cells(dt: float, bound: float, grid_size: int,
 
 def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
                        H: int, W: int, k2_override: int = 0,
-                       march_group: int = 1, log=print):
+                       march_group: int = 1, march_variant: str = "wslice",
+                       log=print):
     """Derive the serving march plan for one model + camera geometry:
     the adaptive window-candidate count K2 (window_candidates_for_scene,
-    unless k2_override is nonzero) and the block-march group after
-    stepping down 3 -> 2 -> per-ray whenever this geometry exceeds the
-    variant's exactness drift envelope (nb_block3_drift_cells <= 1,
-    nb_block_drift_cells <= 2). Shared by serving/session.py and
-    cli.run_test so both paths choose the same marcher; pass
-    march_group=1 to skip the envelope checks (non-block callers)."""
+    unless k2_override is nonzero), and the block-march group/variant
+    after stepping down whenever this geometry exceeds the variant's
+    exactness drift envelope (3 -> 2 -> per-ray via nb_block3_drift_cells
+    <= 1 / nb_block_drift_cells <= 2; variant "quad" -> "wslice" via
+    nb_blockq_drift_cells (forward <= 2, backward <= 1)). Shared by
+    serving/session.py and cli.run_test so both paths choose the same
+    marcher; pass march_group=1 to skip the envelope checks (non-block
+    callers). Returns (k2, march_group, march_variant)."""
     import numpy as np
 
     from ..utils.rays import min_corner_dz
@@ -960,6 +1149,13 @@ def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
                     "exceeds the ±1 envelope for this camera/grid — using "
                     "the ±2 block-shared march")
                 march_group = 2
+        if march_group == 2 and march_variant == "quad":
+            fwd, back = nb_blockq_drift_cells(*geo)
+            if fwd > 2.0 or back > 1.0:
+                log(f"[INFO] quadrant march drift ({fwd:.2f} fwd, "
+                    f"{back:.2f} back) exceeds the signed window for this "
+                    "camera/grid — using the ±2 block-shared march")
+                march_variant = "wslice"
         if march_group == 2:
             drift = nb_block_drift_cells(*geo)
             if drift > 2.0:
@@ -967,7 +1163,7 @@ def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
                     "exceeds the ±2 envelope for this camera/grid — using "
                     "the per-ray exact neighborhood march")
                 march_group = 1
-    return k2, march_group
+    return k2, march_group, march_variant
 
 
 def window_candidates_for_scene(z_lo, z_hi, dt: float, min_dz: float = 0.8,

@@ -545,6 +545,15 @@ def render_rays_compact_blocks(
         m = march_rays_window_bitmask_nb_block3(
             ro, rd, nears_r, t_end, slot_valid, t0_blk, dc,
             tables.col_nbmask, settings.bound, settings.dt, K2, S)
+    elif march_group == 2 and march_variant == "quad":
+        # directional quadrant-anchored fetch: 32-way select vs wslice's
+        # 50-way at the same row count (march2.py docstring; envelope
+        # gated by resolve_march_plan via nb_blockq_drift_cells)
+        from ..ops.march2 import march_rays_window_bitmask_nb_block_quad
+
+        m = march_rays_window_bitmask_nb_block_quad(
+            ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
+            tables.col_quadmask, settings.bound, settings.dt, K2, S)
     elif march_group == 2:
         m = march_rays_window_bitmask_nb_block(
             ro, rd, t_start, t_end, slot_valid, t0_blk, dc,

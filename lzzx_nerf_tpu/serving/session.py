@@ -191,11 +191,12 @@ class InferenceSession:
         # --test always choose the same marcher for a given geometry
         from ..ops.march2 import resolve_march_plan
 
-        k2, march_group = resolve_march_plan(
+        k2, march_group, march_variant = resolve_march_plan(
             isettings, self.tables.z_lo, self.tables.z_hi,
             ds.poses, ds.intrinsics, ds.H, ds.W,
             k2_override=cfg.infer_window_candidates,
-            march_group=cfg.infer_march_group if use_blocks else 1)
+            march_group=cfg.infer_march_group if use_blocks else 1,
+            march_variant=cfg.infer_march_variant)
         field = self.field
         torso = self.torso
         if torso is not None:
@@ -271,7 +272,7 @@ class InferenceSession:
                     window_candidates=k2, tables=tables,
                     stage_split=stage_split, stage2_budget=stage2_budget,
                     march_group=march_group, sample_budget=sample_budget,
-                    march_variant=cfg.infer_march_variant)
+                    march_variant=march_variant)
             elif use_compact:
                 out = render_rays_compact(
                     apply_packed, params, isettings, occ,

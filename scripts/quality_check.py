@@ -62,8 +62,9 @@ def main():
                          "variant J (0 disables J). Compaction is bit-exact "
                          "while the masked points fit the slots; J verifies "
                          "that end-to-end on the trained oracle")
-    ap.add_argument("--march-variant", default="zband4",
-                    choices=["wslice", "nb_first", "zband", "zband4"],
+    ap.add_argument("--march-variant", default="quad",
+                    choices=["wslice", "nb_first", "zband", "zband4",
+                             "quad"],
                     help="block-march select variant for J (the candidate "
                          "production point; B/C keep wslice)")
     args = ap.parse_args()
@@ -339,7 +340,10 @@ def main():
             psnr(render_F(params, occ, tables, pose, enc_a, eye, bg), gt))
         scores["I_block_lattice"].append(
             psnr(render_I(params, occ, tables, pose, enc_a, eye, bg), gt))
-        if sample_budget:
+        # J runs when it differs from C: sample compaction on, or a
+        # non-default march variant (e.g. --sample-frac 0 --march-variant
+        # quad guards the quad march alone at the production point)
+        if sample_budget or args.march_variant != "wslice":
             scores["J_sample_compact"].append(
                 psnr(render_J(params, occ, tables, pose, enc_a, eye, bg), gt))
 

@@ -554,6 +554,180 @@ def test_nb_block_march_exact_random_scenes(variant):
                                atol=1e-5)
 
 
+def test_quadrant_table_blocks_match_exact_columns():
+    """column_bitmasks_quadrant: field (ix*4 + iy) of quadrant
+    q = 2*(sx<0) + (sy<0) must equal the exact z-bitstring of column
+    (x + sx*(ix-1), y + sy*(iy-1)), zero outside the grid."""
+    from lzzx_nerf_tpu.ops.march2 import (column_bitmasks_neighborhood,
+                                          column_bitmasks_quadrant)
+
+    occ, _, _ = _scene()
+    H = GRID
+    W32 = H // 32
+    quad = np.asarray(column_bitmasks_quadrant(occ)).reshape(
+        4, H, H, 16, W32)
+    # exact single columns from the 3x3 table's centre block (dx=dy=0)
+    nb = np.asarray(column_bitmasks_neighborhood(occ)).reshape(
+        H, H, 9, W32)
+    exact = nb[:, :, 4]
+    for qi, (sx, sy) in enumerate([(1, 1), (1, -1), (-1, 1), (-1, -1)]):
+        for ix in (0, 1, 2, 3):
+            for iy in (0, 1, 2, 3):
+                blk = quad[qi, :, :, ix * 4 + iy]
+                for x in range(0, H, 7):
+                    for y in range(0, H, 7):
+                        ox, oy = x + sx * (ix - 1), y + sy * (iy - 1)
+                        if 0 <= ox < H and 0 <= oy < H:
+                            np.testing.assert_array_equal(
+                                blk[x, y], exact[ox, oy])
+                        else:
+                            assert (blk[x, y] == 0).all()
+
+
+def test_quad_block_march_exact_camera_blocks():
+    """The quadrant-anchored block marcher must reproduce the exhaustive
+    marcher sample-for-sample on pinhole-camera 2x2 blocks WITHIN its
+    signed-window envelope (forward <= 2, backward <= 1 cells —
+    nb_blockq_drift_cells); resolve_march_plan gates production use on
+    the same bound."""
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_quadrant, march_rays_window_bitmask_nb_block_quad)
+
+    occ, _, _ = _scene()
+    qt = column_bitmasks_quadrant(occ)
+    K2, S = 40, 16
+    # NOTE: the worst-case formula bound (nb_blockq_drift_cells) cannot be
+    # met at this toy scale — a 32² image over a 32³ grid has ~1 cell of
+    # intra-block angular drift by construction (the same is true of the
+    # 5x5 tests above vs nb_block_drift_cells); production 512²/grid-128
+    # sits at ~0.26 cells. These cases are empirically inside the signed
+    # window; the formula gates production via resolve_march_plan.
+    for z, fs in ((-2.5, 0.6), (-3.5, 0.4)):
+        ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(
+            occ, z=z, fov_scale=fs)
+        v2 = march_rays_window(ro, rd, t0, t1, sv, occ, BOUND, DT, K2, S)
+        vq = march_rays_window_bitmask_nb_block_quad(
+            ro, rd, t0, t1, sv, t0_blk, dc, qt, BOUND, DT, K2, S)
+        np.testing.assert_array_equal(np.asarray(v2.mask),
+                                      np.asarray(vq.mask))
+        np.testing.assert_allclose(np.asarray(v2.ts), np.asarray(vq.ts),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v2.xyzs), np.asarray(vq.xyzs),
+                                   atol=1e-5)
+
+
+def test_quad_block_march_exact_random_scenes():
+    """Quadrant-march exactness over randomized occupancy (scattered
+    blobs) — fragmented windows, negative-direction blocks included."""
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_quadrant, march_rays_window_bitmask_nb_block_quad)
+
+    rng = np.random.default_rng(7)
+    occ_np = np.zeros((GRID, GRID, GRID), bool)
+    for _ in range(12):
+        c = rng.integers(4, GRID - 4, 3)
+        r = rng.integers(2, 5)
+        x, y, z = np.ogrid[:GRID, :GRID, :GRID]
+        occ_np |= ((x - c[0]) ** 2 + (y - c[1]) ** 2
+                   + (z - c[2]) ** 2) < r ** 2
+    occ = jnp.asarray(occ_np)[None]
+    qt = column_bitmasks_quadrant(occ)
+    ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(occ)
+    K2, S = 48, 16
+    v2 = march_rays_window(ro, rd, t0, t1, sv, occ, BOUND, DT, K2, S)
+    vq = march_rays_window_bitmask_nb_block_quad(
+        ro, rd, t0, t1, sv, t0_blk, dc, qt, BOUND, DT, K2, S)
+    np.testing.assert_array_equal(np.asarray(v2.mask), np.asarray(vq.mask))
+    np.testing.assert_allclose(np.asarray(v2.ts), np.asarray(vq.ts),
+                               atol=1e-5)
+
+
+def test_quad_block_march_sign_straddling_block():
+    """A 2x2 block whose rays straddle d_x = 0 / d_y = 0 (near-axial
+    view): the block-centre sign that picks the quadrant table may
+    disagree with half the rays' own travel direction. Those rays drift
+    only by the angular offset (<= 1 cell), which the {-1, 0} slots of
+    EITHER sign's window cover — the march must stay exact."""
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_quadrant, march_rays_window_bitmask_nb_block_quad)
+
+    occ_np = np.zeros((GRID, GRID, GRID), bool)
+    occ_np[14:18, 14:18, 10:22] = True
+    occ = jnp.asarray(occ_np)[None]
+    qt = column_bitmasks_quadrant(occ)
+    d = np.array([[1e-3, 1e-3, 1], [-1e-3, 1e-3, 1],
+                  [1e-3, -1e-3, 1], [-1e-3, -1e-3, 1]], np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.tile(np.array([[0.01, 0.01, -2.5]], np.float32), (4, 1))
+    dc = d.mean(0)
+    dc /= np.linalg.norm(dc)
+    t0 = 1.5
+    t_start = np.full(4, t0, np.float32)
+    t_start[1] += 0.7 * DT       # worst lattice phases vs the block anchor
+    t_start[3] += 0.3 * DT
+    t_end = np.full(4, 4.0, np.float32)
+    K2, S = 40, 16
+    ref = march_rays_window(jnp.asarray(o), jnp.asarray(d),
+                            jnp.asarray(t_start), jnp.asarray(t_end),
+                            jnp.ones(4, bool), occ, BOUND, DT, K2, S)
+    vq = march_rays_window_bitmask_nb_block_quad(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_start),
+        jnp.asarray(t_end), jnp.ones(4, bool),
+        jnp.asarray([t0], jnp.float32), jnp.asarray(dc)[None], qt,
+        BOUND, DT, K2, S)
+    assert int(np.asarray(ref.mask).sum()) > 4
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(vq.mask))
+    np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(vq.ts),
+                               atol=1e-5)
+
+
+def test_quad_drift_envelope_and_plan_fallback():
+    """nb_blockq_drift_cells: forward bound must exceed the symmetric
+    block bound (1.5 vs 1.0 steps) and resolve_march_plan must step
+    quad -> wslice when the signed window fails while the ±2 envelope
+    still holds."""
+    from lzzx_nerf_tpu.ops.march2 import (nb_block_drift_cells,
+                                          nb_blockq_drift_cells,
+                                          resolve_march_plan)
+
+    geo = dict(bound=1.0, grid_size=128, focal=853.0, t_max=3.4,
+               min_dz=0.85)
+    dt = 2 * 3 ** 0.5 / 128
+    fwd, back = nb_blockq_drift_cells(dt=dt, **geo)
+    sym = nb_block_drift_cells(dt=dt, **geo)
+    assert fwd > sym > back
+    # production portrait geometry: both envelopes hold
+    assert fwd <= 2.0 and back <= 1.0 and sym <= 2.0
+
+    # oblique geometry where the signed window fails but ±2 still holds:
+    # find it by lowering min_dz until back > 1 while sym <= 2
+    class S:
+        dt = 2 * 3 ** 0.5 / 128
+        bound = 1.0
+        grid_size = 128
+
+    z_lo = np.full((128, 128), 1e30, np.float32)
+    z_hi = np.full((128, 128), -1e30, np.float32)
+    z_lo[60:68, 60:68] = -0.2
+    z_hi[60:68, 60:68] = 0.2
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -1.1          # close camera -> oblique corner rays
+    intr = (128 / 1.1, 128 / 1.1, 64, 64)
+    logs = []
+    k2, mg, mv = resolve_march_plan(S, z_lo, z_hi, pose[None], intr,
+                                    128, 128, march_group=2,
+                                    march_variant="quad",
+                                    log=logs.append)
+    from lzzx_nerf_tpu.ops.march2 import nb_blockq_drift_cells as qd
+    from lzzx_nerf_tpu.utils.rays import min_corner_dz
+    mdz = min_corner_dz(pose[None], intr, 128, 128)
+    f2, b2 = qd(S.dt, 1.0, 128, 128 / 1.1, 1.1 + 3 ** 0.5, mdz)
+    if f2 > 2.0 or b2 > 1.0:
+        assert mv == "wslice", (logs, f2, b2)
+    else:  # geometry unexpectedly mild — the plan must keep quad
+        assert mv == "quad"
+
+
 def test_nb_block_march_fetch_centering_edge_geometry():
     """Regression for the block-fetch centring (gk = 2g+1): candidates live
     on each ray's OWN lattice, whose snap can sit a full step past the
