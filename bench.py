@@ -161,18 +161,29 @@ def main():
     packed = jax.jit(
         lambda p: field.apply(p, method="bake_tables", dtype=tdtype))(params)
     tables = jax.jit(
-        lambda o: build_inference_tables(o, settings.bound))(occ.occ)
-    if not args.k2:
-        from lzzx_nerf_tpu.ops.march2 import window_candidates_for_scene
-        from lzzx_nerf_tpu.utils.rays import min_corner_dz
+        lambda o: build_inference_tables(o, settings.bound, variants=()))(
+            occ.occ)
+    # resolve K2 + block-march group/variant through the SAME envelope
+    # gate as serving/session.py and cli.run_test, so benched numbers
+    # always correspond to a sample-exact (production) configuration
+    from lzzx_nerf_tpu.ops.march2 import resolve_march_plan
 
-        args.k2 = window_candidates_for_scene(
-            np.asarray(tables.z_lo), np.asarray(tables.z_hi), settings.dt,
-            min_dz=min_corner_dz(
-                np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5],
-                          [0, 0, 0, 1]], np.float32),
-                (res / 0.6, res / 0.6, res / 2, res / 2), res, res))
-        print(f"# adaptive K2={args.k2}", file=sys.stderr)
+    blocks = args.path == "compact" and args.block == 2
+    args.k2, args.march_group, args.march_variant = resolve_march_plan(
+        settings, tables.z_lo, tables.z_hi, np.asarray(pose),
+        intr, res, res, k2_override=args.k2,
+        march_group=args.march_group if blocks else 1,
+        march_variant=args.march_variant,
+        log=lambda m: print(f"# {m}", file=sys.stderr))
+    print(f"# march plan: K2={args.k2} group={args.march_group} "
+          f"variant={args.march_variant}", file=sys.stderr)
+    from lzzx_nerf_tpu.ops.march2 import (ensure_variant_tables,
+                                          needed_variant_tables)
+
+    tables = ensure_variant_tables(
+        tables, occ.occ,
+        needed_variant_tables(args.march_group if blocks else 1,
+                              args.march_variant))
     torso_packed = torso_plan = None
     if args.torso:
         from lzzx_nerf_tpu.render import build_torso_plan

@@ -33,19 +33,32 @@ def build_config(argv=None):
     if argv is None:
         import sys
         argv = sys.argv[1:]
+    # argparse allows unambiguous prefix abbreviations, so "--cuda_r 1"
+    # must normalize too: a token is treated as --cuda_ray iff it is a
+    # prefix of it and of no other declared flag
+    _flags = {f"--{f.name}" for f in dataclasses.fields(Config)
+              if f.name != "path"} | {"--cuda_ray"}
+
+    def _is_cuda_ray(tok: str) -> bool:
+        base = tok.split("=", 1)[0]
+        if not base.startswith("--") or len(base) < 4:
+            return False
+        return [n for n in _flags if n.startswith(base)] == ["--cuda_ray"]
+
     norm, i = [], 0
     argv = list(argv)
     while i < len(argv):
         tok = argv[i]
-        if tok == "--cuda_ray" and i + 1 < len(argv) \
+        base, eq, val = tok.partition("=")
+        if _is_cuda_ray(tok) and eq and val in ("0", "1"):
+            if val == "1":
+                norm.append("--cuda_ray")
+            i += 1
+        elif _is_cuda_ray(tok) and not eq and i + 1 < len(argv) \
                 and argv[i + 1] in ("0", "1"):
             if argv[i + 1] == "1":
                 norm.append("--cuda_ray")
             i += 2
-        elif tok in ("--cuda_ray=0", "--cuda_ray=1"):
-            if tok.endswith("=1"):
-                norm.append("--cuda_ray")
-            i += 1
         else:
             norm.append(tok)
             i += 1
@@ -538,8 +551,11 @@ def run_test(cfg) -> None:
             infer_params)
     from .ops.march2 import build_inference_tables
 
+    # defer the block-variant tables until the march plan is resolved —
+    # only the one the plan uses gets materialized (march2.py docstring)
     tables = jax.jit(
-        lambda o: build_inference_tables(o, settings.bound))(occ.occ)
+        lambda o: build_inference_tables(o, settings.bound, variants=()))(
+            occ.occ)
     # adaptive K2 + block-march envelope step-down, shared with serving
     # (ops.march2.resolve_march_plan) so --test and session.py always
     # choose the same marcher for a given geometry
@@ -553,6 +569,11 @@ def run_test(cfg) -> None:
             isettings, tables.z_lo, tables.z_hi, ds.poses, ds.intrinsics,
             ds.H, ds.W, k2_override=k2, march_group=march_group,
             march_variant=march_variant, log=trainer.log)
+        from .ops.march2 import ensure_variant_tables, needed_variant_tables
+
+        tables = ensure_variant_tables(
+            tables, occ.occ, needed_variant_tables(march_group,
+                                                   march_variant))
     k2 = k2 or None
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
 

@@ -55,11 +55,13 @@ class InferenceTables(NamedTuple):
                               # z-bitstrings (column_bitmasks_neighborhood)
     col_nb5mask: jnp.ndarray  # [H*H, 25*H//32] uint32, exact 5x5-neighborhood
                               # z-bitstrings (column_bitmasks_neighborhood5),
-                              # for the block-shared fetch marcher
+                              # for the block-shared fetch marcher; None
+                              # unless "nb5" in build variants (6.6 MB @128)
     col_quadmask: jnp.ndarray  # [4*H*H, 16*H//32] uint32, exact signed 4x4
                                # quadrant neighborhoods
                                # (column_bitmasks_quadrant), for the
-                               # directional block marcher
+                               # directional block marcher; None unless
+                               # "quad" in build variants (16.8 MB @128)
 
 
 class CompactSet(NamedTuple):
@@ -305,14 +307,51 @@ def column_bitmasks_quadrant(occ: jnp.ndarray) -> jnp.ndarray:
 
 def build_inference_tables(occ: jnp.ndarray, bound: float,
                            dilate_intervals: int = 2,
-                           dilate_mask: int = 1) -> InferenceTables:
-    """All occupancy-derived lookup tables the compact render needs."""
+                           dilate_mask: int = 1,
+                           variants: Tuple[str, ...] = ("nb5", "quad"),
+                           ) -> InferenceTables:
+    """All occupancy-derived lookup tables the compact render needs.
+
+    `variants` selects which BLOCK-march tables to materialize — a session
+    uses at most one of them (needed_variant_tables), and the unused one
+    is 6.6-16.8 MB of dead device memory at grid 128. The default builds
+    both (diagnostic scripts A/B the variants); production callers build
+    with variants=() first, resolve the march plan from z_lo/z_hi, then
+    fill the one table the plan needs via ensure_variant_tables."""
     z_lo, z_hi = column_intervals(occ, bound, dilate=dilate_intervals)
-    return InferenceTables(z_lo=z_lo, z_hi=z_hi,
-                           col_bitmask=column_bitmasks(occ, dilate_mask),
-                           col_nbmask=column_bitmasks_neighborhood(occ),
-                           col_nb5mask=column_bitmasks_neighborhood5(occ),
-                           col_quadmask=column_bitmasks_quadrant(occ))
+    return InferenceTables(
+        z_lo=z_lo, z_hi=z_hi,
+        col_bitmask=column_bitmasks(occ, dilate_mask),
+        col_nbmask=column_bitmasks_neighborhood(occ),
+        col_nb5mask=(column_bitmasks_neighborhood5(occ)
+                     if "nb5" in variants else None),
+        col_quadmask=(column_bitmasks_quadrant(occ)
+                      if "quad" in variants else None))
+
+
+def needed_variant_tables(march_group: int,
+                          march_variant: str) -> Tuple[str, ...]:
+    """Which optional block tables a resolved march plan consumes: only
+    the group-2 block marchers use them (quad -> col_quadmask, every
+    other variant -> col_nb5mask); groups 1/3 and the fast modes march
+    from the always-built col_nbmask / col_bitmask."""
+    if march_group == 2:
+        return ("quad",) if march_variant == "quad" else ("nb5",)
+    return ()
+
+
+def ensure_variant_tables(tables: InferenceTables, occ: jnp.ndarray,
+                          need: Tuple[str, ...]) -> InferenceTables:
+    """Fill any missing block-march tables the resolved plan needs (one
+    extra jitted build per model load; base tables stay as-is)."""
+    import jax
+
+    upd = {}
+    if "nb5" in need and tables.col_nb5mask is None:
+        upd["col_nb5mask"] = jax.jit(column_bitmasks_neighborhood5)(occ)
+    if "quad" in need and tables.col_quadmask is None:
+        upd["col_quadmask"] = jax.jit(column_bitmasks_quadrant)(occ)
+    return tables._replace(**upd) if upd else tables
 
 
 def compact_rays(active: jnp.ndarray, budget: int) -> CompactSet:
@@ -583,8 +622,10 @@ def march_rays_window_bitmask_nb_block(
                                # anchor every ray's t_start derives from
                                # (t_start_r in [t0_block-eps, t0_block+dt))
     d_center: jnp.ndarray,     # [Bb, 3] unit block-centre direction
-    col_nb5mask: jnp.ndarray,  # [H*H, 25*(H//32)] from
-                               # column_bitmasks_neighborhood5
+    col_mask: jnp.ndarray,     # [H*H, 25*(H//32)] from
+                               # column_bitmasks_neighborhood5, or for
+                               # variant="quad" [4*H*H, 16*(H//32)] from
+                               # column_bitmasks_quadrant
     bound: float,
     dt: float,
     num_cand: int,             # K2
@@ -592,7 +633,7 @@ def march_rays_window_bitmask_nb_block(
     select: str = "topk",
     variant: str = "wslice",
 ) -> MarchResult:
-    """Block-shared EXACT bitmask march: ONE 5x5-neighborhood row fetch per
+    """Block-shared EXACT bitmask march: ONE neighborhood row fetch per
     (2x2-pixel block, 2-candidate group) serves all 8 of the block's
     candidates — 4x fewer march gather rows than the per-ray nb marcher at
     the same exact per-candidate column test (VERDICT r2 item 1b).
@@ -603,6 +644,22 @@ def march_rays_window_bitmask_nb_block(
         to the 2 words that can contain ANY of the group's candidates
         (z drift <= ~2 cells << 32: words (zf-3)>>5 and +1), then one flat
         50-way select per candidate — ~60% of the nb_first select math.
+      "quad": directional quadrant-anchored fetch. The anchor sits HALF a
+        lattice step after the group's first block-lattice candidate
+        (2g + 0.5 instead of the midpoint 2g + 1), which makes the
+        fetch-to-candidate t-drift one-sided: t_cand - t_fetch in
+        [-0.5*dt - eps, +1.5*dt). The xy drift therefore points along the
+        ray's travel direction, and a SIGNED per-axis window
+        {-1, 0, +1, +2}*sign(d_xy) covers it — the fetched row holds 16
+        columns instead of the symmetric envelope's 25, and the
+        per-candidate select is 32-way instead of 50-way (the march
+        phase's dominant VPU cost, PERF.md round-3 phase budget). Its
+        envelope is DIRECTIONAL (nb_blockq_drift_cells): forward
+        1.5*step*|d_xy| + angular <= 2 and backward 0.5*step*|d_xy| +
+        angular <= 1; resolve_march_plan steps quad -> wslice when it
+        fails. Rays whose |d_x| (or |d_y|) is below the block centre's
+        sign resolution drift at most ±angular <= 1 cell, which the
+        {-1, 0} slots of EITHER sign's window cover.
       "nb_first": select the neighbor column (25 -> W32 words), then the
         z word (W32 -> 1).
       "zband": extend the pre-reduce one step — funnel-shift each
@@ -629,8 +686,8 @@ def march_rays_window_bitmask_nb_block(
     B = rays_o.shape[0]
     Bb = B // 4
     assert B % 4 == 0
-    W25 = col_nb5mask.shape[1]
-    W32 = W25 // 25
+    NF = 16 if variant == "quad" else 25   # columns per fetched row
+    W32 = col_mask.shape[1] // NF
     H = W32 * 32
     group = 2
     # trace-time sanity on the lattice/grid relation (data-independent part
@@ -648,16 +705,20 @@ def march_rays_window_bitmask_nb_block(
     G = (num_cand + group - 1) // group
     Kp = G * group
 
-    # ---- one fetch per (block, group): 5x5-neighborhood row at the centre
-    # of the group's candidate SPAN. Candidates live on each ray's OWN
+    # ---- one fetch per (block, group): neighborhood row at the centre of
+    # the group's candidate SPAN. Candidates live on each ray's OWN
     # lattice (t_start in [t0_block - eps, t0_block + dt)), so group g's
     # t values cover [t0_block + 2g*dt, t0_block + (2g+2)*dt) — midpoint
     # gk = 2g+1, giving |t_cand - t_fetch| <= dt as the envelope assumes.
     # ((group-1)/2, the per-ray-lattice midpoint used by the non-block
     # marchers, would sit 0.5*dt early here and stretch the worst case to
     # 1.5*dt — under-covered by nb_block_drift_cells.)
+    # variant "quad" instead anchors HALF a step after the group's first
+    # block-lattice candidate (2g + 0.5) — one-sided drift, signed window
+    # (see docstring).
     o_blk = rays_o.reshape(Bb, 4, 3).mean(axis=1)          # == shared origin
-    gk = jnp.arange(G, dtype=jnp.float32) * group + group / 2.0
+    gk = jnp.arange(G, dtype=jnp.float32) * group + (
+        0.5 if variant == "quad" else group / 2.0)
     t_g = t0_block[:, None] + gk[None] * dt                # [Bb, G]
     pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
     pg = jnp.clip(pg, -bound, bound)
@@ -667,8 +728,17 @@ def march_rays_window_bitmask_nb_block(
         jnp.int32)
     gz = jnp.clip((pg[..., 2] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
         jnp.int32)                                         # [Bb, G]
-    rows = jnp.take(col_nb5mask, (gx * H + gy).reshape(-1),
-                    axis=0).reshape(Bb, 1, G, 1, 25, W32)  # ray/slot bcast
+    if variant == "quad":
+        # per-block direction quadrant selects the signed-window slice
+        sx = jnp.where(d_center[:, 0] < 0, -1, 1).astype(jnp.int32)  # [Bb]
+        sy = jnp.where(d_center[:, 1] < 0, -1, 1).astype(jnp.int32)
+        q = ((sx < 0).astype(jnp.int32) * 2
+             + (sy < 0).astype(jnp.int32))                 # [Bb]
+        idx = q[:, None] * (H * H) + gx * H + gy
+    else:
+        idx = gx * H + gy
+    rows = jnp.take(col_mask, idx.reshape(-1),
+                    axis=0).reshape(Bb, 1, G, 1, NF, W32)  # ray/slot bcast
 
     # ---- per-candidate exact cells on each ray's OWN lattice
     kg = (jnp.arange(G, dtype=jnp.float32)[:, None] * group
@@ -683,9 +753,18 @@ def march_rays_window_bitmask_nb_block(
     cxb = cx.reshape(Bb, 4, G, group)
     cyb = cy.reshape(Bb, 4, G, group)
     czb = cz.reshape(Bb, 4, G, group)
-    dx = jnp.clip(cxb - gx[:, None, :, None], -2, 2)
-    dy = jnp.clip(cyb - gy[:, None, :, None], -2, 2)
-    nb = (dx + 2) * 5 + (dy + 2)                           # [Bb, 4, G, group]
+    if variant == "quad":
+        # signed offset -> canonical window index i = sign*(c - g) + 1 in
+        # 0..3 (the {-1, 0, +1, +2}*sign window)
+        ix = jnp.clip(sx[:, None, None, None]
+                      * (cxb - gx[:, None, :, None]) + 1, 0, 3)
+        iy = jnp.clip(sy[:, None, None, None]
+                      * (cyb - gy[:, None, :, None]) + 1, 0, 3)
+        nb = ix * 4 + iy                                   # [Bb, 4, G, group]
+    else:
+        dx = jnp.clip(cxb - gx[:, None, :, None], -2, 2)
+        dy = jnp.clip(cyb - gy[:, None, :, None], -2, 2)
+        nb = (dx + 2) * 5 + (dy + 2)                       # [Bb, 4, G, group]
 
     word = czb >> 5
     bit = (czb & 31).astype(jnp.uint32)
@@ -728,12 +807,13 @@ def march_rays_window_bitmask_nb_block(
             wsel = jnp.sum(jnp.where(nmask, fields, jnp.uint32(0)),
                            axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
         bit = off
-    elif variant == "wslice":
+    elif variant in ("wslice", "quad"):
         # stage 0 (amortised over the block's 8 candidates): per (block,
         # group) keep only the 2 z-words that can contain any candidate —
-        # the group's z span is |dt|*|dz| + angular <= ~2.1 cells, so all
-        # candidate words lie in {w0, w0+1} with w0 = (zf-3)>>5 (7 cells
-        # < 32 can cross at most one word boundary)
+        # the group's z span is |dt|*|dz| + angular <= ~2.1 cells (quad:
+        # [-1.3, +3] around gz), so all candidate words lie in {w0, w0+1}
+        # with w0 = (zf-3)>>5 (7 cells < 32 can cross at most one word
+        # boundary)
         w0 = jnp.clip(jnp.maximum(gz - 3, 0) >> 5, 0, W32 - 1)  # [Bb, G]
         # wm [Bb,1,G,1,1,2,W32]: word-pair one-hot; rows2[..., n, i] =
         # rows[..., n, w0+i]
@@ -742,14 +822,16 @@ def march_rays_window_bitmask_nb_block(
               == jnp.arange(W32, dtype=jnp.int32))
         rows2 = jnp.sum(
             jnp.where(wm, rows[..., :, None, :], jnp.uint32(0)),
-            axis=-1, dtype=jnp.uint32)                     # [Bb,1,G,1,25,2]
-        # flat 50-way select: index = nb*2 + (word - w0), clipped into range
+            axis=-1, dtype=jnp.uint32)                     # [Bb,1,G,1,NF,2]
+        # flat 2*NF-way select (50 symmetric / 32 quad): index = nb*2 +
+        # (word - w0), clipped into range
         widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
         j2 = nb * 2 + widx                                 # [Bb, 4, G, group]
         fmask = (j2[..., None]
-                 == jnp.arange(50, dtype=jnp.int32))       # [Bb,4,G,g,50]
+                 == jnp.arange(2 * NF, dtype=jnp.int32))   # [Bb,4,G,g,2NF]
         wsel = jnp.sum(
-            jnp.where(fmask, rows2.reshape(Bb, 1, G, 1, 50), jnp.uint32(0)),
+            jnp.where(fmask, rows2.reshape(Bb, 1, G, 1, 2 * NF),
+                      jnp.uint32(0)),
             axis=-1, dtype=jnp.uint32)                     # [Bb, 4, G, group]
     elif variant == "nb_first":
         # neighbor column first (25 -> W32 words), then the z word
@@ -777,139 +859,29 @@ def march_rays_window_bitmask_nb_block(
 
 
 def march_rays_window_bitmask_nb_block_quad(
-    rays_o: jnp.ndarray,       # [4*Bb, 3] block-major (4 rays per 2x2 block)
-    rays_d: jnp.ndarray,       # [4*Bb, 3]
-    t_start: jnp.ndarray,      # [4*Bb] per-ray snapped window start
-    t_end: jnp.ndarray,        # [4*Bb]
-    slot_valid: jnp.ndarray,   # [4*Bb]
-    t0_block: jnp.ndarray,     # [Bb] block window start (fetch-lattice
-                               # anchor; t_start_r in [t0_block-eps,
-                               # t0_block+dt))
-    d_center: jnp.ndarray,     # [Bb, 3] unit block-centre direction
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_start: jnp.ndarray,
+    t_end: jnp.ndarray,
+    slot_valid: jnp.ndarray,
+    t0_block: jnp.ndarray,
+    d_center: jnp.ndarray,
     col_quadmask: jnp.ndarray,  # [4*H*H, 16*(H//32)] from
-                               # column_bitmasks_quadrant
+                                # column_bitmasks_quadrant
     bound: float,
     dt: float,
-    num_cand: int,             # K2
-    max_samples: int,          # S
+    num_cand: int,
+    max_samples: int,
     select: str = "topk",
 ) -> MarchResult:
-    """Directional (quadrant-anchored) block-shared EXACT bitmask march.
-
-    Same contract as march_rays_window_bitmask_nb_block(variant="wslice")
-    — one row fetch per (2x2-pixel block, 2-candidate group), exact
-    per-candidate column tests — but the fetch anchor sits HALF a lattice
-    step after the group's first block-lattice candidate (2g + 0.5 instead
-    of the midpoint 2g + 1), which makes the fetch-to-candidate t-drift
-    one-sided: t_cand - t_fetch in [-0.5*dt - eps, +1.5*dt). The xy drift
-    therefore points along the ray's travel direction, and a SIGNED
-    per-axis window {-1, 0, +1, +2}*sign(d_xy) covers it — the fetched row
-    holds 16 columns instead of the symmetric envelope's 25, and the
-    per-candidate select is 32-way instead of 50-way (the march phase's
-    dominant VPU cost, PERF.md round-3 phase budget).
-
-    Exactness envelope (per axis, grid cells — nb_blockq_drift_cells):
-    forward 1.5*step*|d_xy| + angular <= 2 and backward 0.5*step*|d_xy| +
-    angular <= 1, where step = dt*H/(2*bound) cells and angular is the
-    intra-block direction offset integrated over the ray length.
-    Production 512²/grid-128 portrait cameras sit near (1.7, 0.8);
-    resolve_march_plan falls back to the ±2 block march when the
-    envelope fails. Rays whose |d_x| (or |d_y|) is below the block
-    centre's sign resolution drift at most ±angular <= 1 cell, which the
-    {-1, 0} slots of EITHER sign's window cover."""
-    B = rays_o.shape[0]
-    Bb = B // 4
-    assert B % 4 == 0
-    W16 = col_quadmask.shape[1]
-    W32 = W16 // 16
-    H = W32 * 32
-    group = 2
-    step_cells = dt * H / (2.0 * bound)
-    if step_cells > 2.0 + 1e-6:
-        raise ValueError(
-            f"quad-block march: {step_cells:.2f} cells per lattice step "
-            f"exceeds the directional envelope (dt={dt:.4f}, bound={bound});"
-            " use march_rays_window_bitmask_nb for this geometry")
-    if max_samples > num_cand:
-        raise ValueError(
-            f"max_samples ({max_samples}) cannot exceed window candidates "
-            f"({num_cand})")
-    G = (num_cand + group - 1) // group
-    Kp = G * group
-
-    # ---- one fetch per (block, group), anchored HALF a step after the
-    # group's first block-lattice candidate (see docstring)
-    o_blk = rays_o.reshape(Bb, 4, 3).mean(axis=1)          # == shared origin
-    gk = jnp.arange(G, dtype=jnp.float32) * group + 0.5
-    t_g = t0_block[:, None] + gk[None] * dt                # [Bb, G]
-    pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
-    pg = jnp.clip(pg, -bound, bound)
-    gx = jnp.clip((pg[..., 0] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
-        jnp.int32)
-    gy = jnp.clip((pg[..., 1] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
-        jnp.int32)
-    gz = jnp.clip((pg[..., 2] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
-        jnp.int32)                                         # [Bb, G]
-    # per-block direction quadrant selects the signed-window table slice
-    sx = jnp.where(d_center[:, 0] < 0, -1, 1).astype(jnp.int32)   # [Bb]
-    sy = jnp.where(d_center[:, 1] < 0, -1, 1).astype(jnp.int32)
-    q = ((sx < 0).astype(jnp.int32) * 2
-         + (sy < 0).astype(jnp.int32))                     # [Bb]
-    rows = jnp.take(col_quadmask,
-                    (q[:, None] * (H * H) + gx * H + gy).reshape(-1),
-                    axis=0).reshape(Bb, 1, G, 1, 16, W32)  # ray/slot bcast
-
-    # ---- per-candidate exact cells on each ray's OWN lattice
-    kg = (jnp.arange(G, dtype=jnp.float32)[:, None] * group
-          + jnp.arange(group, dtype=jnp.float32)[None, :])  # [G, group]
-    t_cand = t_start[:, None, None] + kg[None] * dt         # [B, G, group]
-    pos = (rays_o[:, None, None, :]
-           + t_cand[..., None] * rays_d[:, None, None, :])
-    pos = jnp.clip(pos, -bound, bound)
-    gp = jnp.clip(0.5 * (pos / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
-    cx, cy, cz = gp[..., 0], gp[..., 1], gp[..., 2]        # [B, G, group]
-    cxb = cx.reshape(Bb, 4, G, group)
-    cyb = cy.reshape(Bb, 4, G, group)
-    czb = cz.reshape(Bb, 4, G, group)
-    # signed offset -> canonical window index i = sign*(c - g) + 1 in 0..3
-    ix = jnp.clip(sx[:, None, None, None] * (cxb - gx[:, None, :, None])
-                  + 1, 0, 3)
-    iy = jnp.clip(sy[:, None, None, None] * (cyb - gy[:, None, :, None])
-                  + 1, 0, 3)
-    nb16 = ix * 4 + iy                                     # [Bb, 4, G, group]
-
-    word = czb >> 5
-    bit = (czb & 31).astype(jnp.uint32)
-    # wslice pre-reduce (amortised over the block's 8 candidates): the
-    # group's z drift spans [-1.3, +3] cells around gz, so all candidate
-    # words lie in {w0, w0+1} with w0 = (gz-3)>>5 (7 cells < 32 cross at
-    # most one word boundary)
-    w0 = jnp.clip(jnp.maximum(gz - 3, 0) >> 5, 0, W32 - 1)     # [Bb, G]
-    wm = ((w0[:, None, :, None, None, None, None]
-           + jnp.arange(2, dtype=jnp.int32)[:, None])
-          == jnp.arange(W32, dtype=jnp.int32))
-    rows2 = jnp.sum(
-        jnp.where(wm, rows[..., :, None, :], jnp.uint32(0)),
-        axis=-1, dtype=jnp.uint32)                         # [Bb,1,G,1,16,2]
-    widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
-    j2 = nb16 * 2 + widx                                   # [Bb, 4, G, group]
-    fmask = (j2[..., None]
-             == jnp.arange(32, dtype=jnp.int32))           # [Bb,4,G,g,32]
-    wsel = jnp.sum(
-        jnp.where(fmask, rows2.reshape(Bb, 1, G, 1, 32), jnp.uint32(0)),
-        axis=-1, dtype=jnp.uint32)                         # [Bb, 4, G, group]
-    occ = (((wsel >> bit) & jnp.uint32(1)) > 0).reshape(B, Kp)[:, :num_cand]
-
-    t_cand = t_cand.reshape(B, Kp)[:, :num_cand]
-    valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
-    sel_k, mask = _first_s_select(valid, num_cand, max_samples, select)
-
-    t_sel = t_start[:, None] + sel_k * dt
-    xyzs = jnp.clip(
-        rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :],
-        -bound, bound)
-    deltas = jnp.where(mask, dt, 0.0)
-    return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
+    """Directional quadrant-anchored block-shared EXACT bitmask march —
+    named entry point for march_rays_window_bitmask_nb_block(
+    variant="quad"); see that docstring for the signed-window anchor and
+    the directional exactness envelope (nb_blockq_drift_cells)."""
+    return march_rays_window_bitmask_nb_block(
+        rays_o, rays_d, t_start, t_end, slot_valid, t0_block, d_center,
+        col_quadmask, bound, dt, num_cand, max_samples, select=select,
+        variant="quad")
 
 
 def march_rays_window_bitmask_nb_block3(

@@ -239,7 +239,9 @@ def render_rays_compact(
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, settings.min_near)
 
     if tables is None:
-        tables = build_inference_tables(state.occ, settings.bound)
+        # per-ray path: only the always-built nb/bitmask tables are used
+        tables = build_inference_tables(state.occ, settings.bound,
+                                        variants=())
     win = ray_windows(rays_o, rays_d, nears, fars, tables.z_lo, tables.z_hi,
                       settings.bound, settings.dt)
     cs = compact_rays(win.active, budget)
@@ -488,7 +490,11 @@ def render_rays_compact_blocks(
     aabb = jnp.asarray(settings.aabb, jnp.float32)
 
     if tables is None:
-        tables = build_inference_tables(state.occ, settings.bound)
+        from ..ops.march2 import needed_variant_tables
+
+        tables = build_inference_tables(
+            state.occ, settings.bound,
+            variants=needed_variant_tables(march_group, march_variant))
 
     # block view: [H/2, 2, W/2, 2, 3] -> [NB, 4(dy,dx), 3]
     d_blocks = rays_d.reshape(H // 2, 2, W // 2, 2, 3).transpose(
@@ -545,19 +551,16 @@ def render_rays_compact_blocks(
         m = march_rays_window_bitmask_nb_block3(
             ro, rd, nears_r, t_end, slot_valid, t0_blk, dc,
             tables.col_nbmask, settings.bound, settings.dt, K2, S)
-    elif march_group == 2 and march_variant == "quad":
-        # directional quadrant-anchored fetch: 32-way select vs wslice's
-        # 50-way at the same row count (march2.py docstring; envelope
-        # gated by resolve_march_plan via nb_blockq_drift_cells)
-        from ..ops.march2 import march_rays_window_bitmask_nb_block_quad
-
-        m = march_rays_window_bitmask_nb_block_quad(
-            ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
-            tables.col_quadmask, settings.bound, settings.dt, K2, S)
     elif march_group == 2:
+        # variant "quad": directional quadrant-anchored fetch, 32-way
+        # select vs wslice's 50-way at the same row count (march2.py
+        # docstring; envelope gated by resolve_march_plan via
+        # nb_blockq_drift_cells) — fetches from the signed-window table
+        tbl = (tables.col_quadmask if march_variant == "quad"
+               else tables.col_nb5mask)
         m = march_rays_window_bitmask_nb_block(
             ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
-            tables.col_nb5mask, settings.bound, settings.dt, K2, S,
+            tbl, settings.bound, settings.dt, K2, S,
             variant=march_variant)
     elif march_group > 0:
         m = march_rays_window_bitmask_nb(

@@ -91,12 +91,14 @@ class InferenceSession:
             lambda p: self.field.apply(p, method="bake_tables",
                                        dtype=tdtype))(self.infer_params)
         # the occupancy grid is equally static: derive the window + bitmask
-        # tables once instead of in-graph per frame
+        # tables once instead of in-graph per frame. The block-march
+        # variant tables (6.6/16.8 MB @128) are deferred: _compile_render
+        # fills only the one the resolved march plan uses
         from ..ops.march2 import build_inference_tables
 
         self.tables = jax.jit(
-            lambda o: build_inference_tables(o, self.settings.bound))(
-                self.occ.occ)
+            lambda o: build_inference_tables(o, self.settings.bound,
+                                             variants=()))(self.occ.occ)
         # torso stage: composite under the head every frame when the torso
         # workspace has a checkpoint (reference renderer.py:553-561)
         self.torso = self.torso_params = self.torso_packed = None
@@ -197,6 +199,11 @@ class InferenceSession:
             k2_override=cfg.infer_window_candidates,
             march_group=cfg.infer_march_group if use_blocks else 1,
             march_variant=cfg.infer_march_variant)
+        from ..ops.march2 import ensure_variant_tables, needed_variant_tables
+
+        self.tables = ensure_variant_tables(
+            self.tables, self.occ.occ,
+            needed_variant_tables(march_group, march_variant))
         field = self.field
         torso = self.torso
         if torso is not None:

@@ -722,10 +722,11 @@ def test_quad_drift_envelope_and_plan_fallback():
     from lzzx_nerf_tpu.utils.rays import min_corner_dz
     mdz = min_corner_dz(pose[None], intr, 128, 128)
     f2, b2 = qd(S.dt, 1.0, 128, 128 / 1.1, 1.1 + 3 ** 0.5, mdz)
-    if f2 > 2.0 or b2 > 1.0:
-        assert mv == "wslice", (logs, f2, b2)
-    else:  # geometry unexpectedly mild — the plan must keep quad
-        assert mv == "quad"
+    # pin the constructed geometry: it must actually exceed the signed
+    # window, or the fallback branch below silently loses coverage
+    assert f2 > 2.0 or b2 > 1.0, (
+        "test geometry no longer trips the quad gate — steepen it", f2, b2)
+    assert mv == "wslice", (logs, f2, b2)
 
 
 def test_nb_block_march_fetch_centering_edge_geometry():
