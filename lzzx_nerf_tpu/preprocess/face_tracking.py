@@ -19,8 +19,9 @@ assets include the texture basis + topology and is a no-op otherwise (the
 BFM itself is not redistributable and is gitignored in the reference too).
 
 Convention notes (kept bit-compatible with the reference):
-- euler2rot uses the tracker's transposed-sine convention (util.py:18-50) —
-  NOT the pytorch3d convention in utils/pose.py.
+- euler2rot reproduces the tracker's own convention (util.py:18-50:
+  standard R_x/R_y, transposed R_z) — NOT the pytorch3d convention in
+  utils/pose.py. Parity-tested against a transcription of the torch code.
 - projection: x' = -f*X/Z + cx, y' = f*Y/Z + cy (util.py:73-83).
 - contour landmarks 0..7 / 9..16 snap to the extreme-x candidate vertex of
   per-landmark contour sets (facemodel.py get_3dlandmarks).
@@ -42,20 +43,25 @@ import optax
 # ---------- geometry (util.py ports) ----------
 
 def euler2rot(euler: jnp.ndarray) -> jnp.ndarray:
-    """[B, 3] -> [B, 3, 3], tracker convention (util.py:18-50)."""
+    """[B, 3] -> [B, 3, 3], tracker convention (util.py:18-50).
+
+    Matches the reference factor-for-factor: its torch.cat(..., 2) builds
+    rot_x/rot_y as the STANDARD axis rotations and rot_z as the transposed
+    one — so the row-major stacks below reproduce it directly, with NO
+    per-factor transpose. (An earlier revision transposed each factor,
+    which equals reference(-pitch, -yaw, +roll): self-consistent for
+    videos tracked here, but it silently inverted the poses derived from
+    a reference-produced track_params.pt — guarded by
+    tests/test_face_tracking.py::test_euler2rot_matches_reference.)"""
     t, p, s = euler[:, 0], euler[:, 1], euler[:, 2]
     z = jnp.zeros_like(t)
     o = jnp.ones_like(t)
-    # rows as columns-of-cat(2) in the torch code == transposed stacking
     rot_x = jnp.stack([o, z, z, z, jnp.cos(t), -jnp.sin(t),
                        z, jnp.sin(t), jnp.cos(t)], -1).reshape(-1, 3, 3)
-    rot_x = rot_x.transpose(0, 2, 1)
     rot_y = jnp.stack([jnp.cos(p), z, jnp.sin(p), z, o, z,
                        -jnp.sin(p), z, jnp.cos(p)], -1).reshape(-1, 3, 3)
-    rot_y = rot_y.transpose(0, 2, 1)
     rot_z = jnp.stack([jnp.cos(s), jnp.sin(s), z, -jnp.sin(s), jnp.cos(s), z,
                        z, z, o], -1).reshape(-1, 3, 3)
-    rot_z = rot_z.transpose(0, 2, 1)
     return rot_x @ rot_y @ rot_z
 
 
@@ -413,25 +419,30 @@ def fit_light(model: Face3DMM, frames: jnp.ndarray, cxy, params: Dict,
 
 # ---------- fit stages (ajian_util.py ports) ----------
 
-def _adam_fit(model: Face3DMM, lms, cxy, params: Dict, trainable, iters: int,
-              lr: float, reg_id: float = 0.0, reg_exp: float = 0.0,
-              lap_w: float = 0.0, decay_at: Optional[int] = None,
-              photo_frames: Optional[jnp.ndarray] = None,
-              photo_scale: float = 0.25, photo_w: float = 0.0):
-    """Generic landmark-loss Adam loop; params: dict with id (shared [1,Did]),
-    exp/euler/trans per-frame. Only keys in `trainable` get gradients.
-    With photo_frames ([F, h, w, 3] downscaled video) and photo_w > 0 the
-    loss adds the point-splat photometric term (the fine stage's color loss,
-    ajian_util.py:255-488)."""
-    tx = optax.adam(lr)
-    opt_state = tx.init({k: params[k] for k in trainable})
-    F = lms.shape[0]
-    if photo_frames is not None and photo_w > 0:
-        ph = int(round(photo_frames.shape[1] / photo_scale))
-        pw = int(round(photo_frames.shape[2] / photo_scale))
+# jitted fit steps keyed by (model identity, loss configuration): a fresh
+# @jax.jit closure per _adam_fit call would recompile the IDENTICAL program
+# on every call — fit_focal invokes _adam_fit 18 times (9 focals x 2
+# stages) and fit_fine's checkpointing loop iters/save_every times, all at
+# the same shapes. One cached function object per config lets jit's own
+# cache reuse the compiled program (lms/photo_frames are arguments, so
+# shape changes retrace naturally).
+_FIT_STEP_CACHE: Dict = {}
 
-    def loss_fn(tp, frozen):
+
+def _fit_step_for(model: Face3DMM, cxy, lr: float, reg_id: float,
+                  reg_exp: float, lap_w: float, photo_scale: float,
+                  photo_w: float):
+    key = (id(model), tuple(float(v) for v in np.asarray(cxy).ravel()),
+           float(lr), float(reg_id), float(reg_exp), float(lap_w),
+           float(photo_scale), float(photo_w))
+    cached = _FIT_STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tx = optax.adam(lr)
+
+    def loss_fn(tp, frozen, lms, photo_frames):
         p = {**frozen, **tp}
+        F = lms.shape[0]
         idb = jnp.broadcast_to(p["id"], (F, p["id"].shape[-1]))
         geometry = model.landmarks_3d(idb, p["exp"], p["euler"], p["trans"],
                                       p["focal"], cxy)
@@ -448,6 +459,8 @@ def _adam_fit(model: Face3DMM, lms, cxy, params: Dict, trainable, iters: int,
                                      + lap_loss_1d(p["trans"])
                                      + lap_loss_1d(p["exp"]))
         if photo_frames is not None and photo_w > 0:
+            ph = int(round(photo_frames.shape[1] / photo_scale))
+            pw = int(round(photo_frames.shape[2] / photo_scale))
             img, wsum = render_photometric(model, p, cxy, ph, pw, photo_scale)
             cover = (wsum > 0.5).astype(jnp.float32)[..., None]
             photo = jnp.sum(((img - photo_frames) ** 2) * cover) / \
@@ -456,12 +469,33 @@ def _adam_fit(model: Face3DMM, lms, cxy, params: Dict, trainable, iters: int,
         return total, loss
 
     @jax.jit
-    def step(tp, frozen, opt_state, scale):
-        (_, lan), grads = jax.value_and_grad(loss_fn, has_aux=True)(tp, frozen)
+    def step(tp, frozen, opt_state, scale, lms, photo_frames):
+        (_, lan), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            tp, frozen, lms, photo_frames)
         updates, opt_state = tx.update(grads, opt_state)
         updates = jax.tree.map(lambda u: u * scale, updates)
         tp = optax.apply_updates(tp, updates)
         return tp, opt_state, lan
+
+    _FIT_STEP_CACHE[key] = (tx, step)
+    return tx, step
+
+
+def _adam_fit(model: Face3DMM, lms, cxy, params: Dict, trainable, iters: int,
+              lr: float, reg_id: float = 0.0, reg_exp: float = 0.0,
+              lap_w: float = 0.0, decay_at: Optional[int] = None,
+              photo_frames: Optional[jnp.ndarray] = None,
+              photo_scale: float = 0.25, photo_w: float = 0.0):
+    """Generic landmark-loss Adam loop; params: dict with id (shared [1,Did]),
+    exp/euler/trans per-frame. Only keys in `trainable` get gradients.
+    With photo_frames ([F, h, w, 3] downscaled video) and photo_w > 0 the
+    loss adds the point-splat photometric term (the fine stage's color loss,
+    ajian_util.py:255-488)."""
+    tx, step = _fit_step_for(model, cxy, lr, reg_id, reg_exp, lap_w,
+                             photo_scale, photo_w)
+    opt_state = tx.init({k: params[k] for k in trainable})
+    if not (photo_frames is not None and photo_w > 0):
+        photo_frames = None
 
     tp = {k: params[k] for k in trainable}
     frozen = {k: v for k, v in params.items() if k not in trainable}
@@ -470,7 +504,8 @@ def _adam_fit(model: Face3DMM, lms, cxy, params: Dict, trainable, iters: int,
     for i in range(iters):
         if decay_at and i and i % decay_at == 0:
             scale = scale * 0.2
-        tp, opt_state, lan = step(tp, frozen, opt_state, scale)
+        tp, opt_state, lan = step(tp, frozen, opt_state, scale, lms,
+                                  photo_frames)
     params.update(tp)
     return params, float(lan)
 
@@ -491,8 +526,10 @@ def fit_focal(model: Face3DMM, lms_sel: jnp.ndarray, cxy,
               pose_iters: int = 2000, idexp_iters: int = 2500
               ) -> Tuple[float, float]:
     """Focal-length grid search on a frame subset (ajian_util.py:28-92).
-    Returns (best_focal, best_landmark_loss)."""
-    best = (None, 1e5)
+    Returns (best_focal, best_landmark_loss). The best-so-far always wins
+    (inf sentinel): an absolute threshold here would return focal=None on
+    a high-resolution crop whose pixel-squared loss never dips below it."""
+    best = (None, float("inf"))
     F = lms_sel.shape[0]
     for focal in focal_range:
         p = _init_params(F, id_dim, exp_dim, float(focal))

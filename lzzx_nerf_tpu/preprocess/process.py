@@ -149,7 +149,7 @@ def extract_background(base_dir: str, ori_dir: str, every: int = 20,
 
 
 def _vertical_inpaint(image, gt_image, part_mask, head_part, L,
-                      push_down: int = 0, counts_limit=None):
+                      push_down: int = 0):
     """Shared vertical in-painting: from each column's topmost `part` pixel
     (whose upper neighbour is head), paint L pixels upward with 0.98^i
     darkening (process.py:196-262). Returns the painted mask."""

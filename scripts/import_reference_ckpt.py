@@ -107,12 +107,24 @@ def main():
                 f"[ERROR] checkpoint density grid has {dg.size} cells, not "
                 f"a [CAS, {H}^3] buffer — pass --grid_size to match the "
                 "original training run")
+        if dg.shape[0] != settings.cascade:
+            raise SystemExit(
+                f"[ERROR] checkpoint density grid has {dg.shape[0]} "
+                f"cascade(s) but --bound {args.bound} implies "
+                f"{settings.cascade} — pass --bound to match the original "
+                "run")
         dg = dem_morton(dg.reshape(dg.shape[0], -1), H)
         mean_density = float(ckpt.get("mean_density", dg.mean()))
         thresh = min(cfg.density_thresh, mean_density)
+        # untrained cells already carry -1 in the reference's own grid
+        # (its mark_untrained_grid ran at training time,
+        # renderer.py:633-697), so the threshold alone reproduces its
+        # occupancy. Intersecting with the fresh occ.occ here would zero
+        # EVERYTHING — init_occupancy_state starts occ all-False and only
+        # update_density_grid ever sets it.
         occ = occ._replace(
             density_grid=jnp.asarray(dg),
-            occ=jnp.asarray(dg > thresh) & occ.occ,
+            occ=jnp.asarray(dg > thresh),
             mean_density=jnp.asarray(mean_density, jnp.float32))
         print(f"[ok] density grid imported ({int(np.sum(dg > thresh))} "
               f"occupied cells, mean_density={mean_density:.3f})")
@@ -132,9 +144,10 @@ def main():
                           step=jnp.asarray(int(ckpt.get("global_step", 0)),
                                            jnp.int32))
     Trainer(args.workspace).save_checkpoint(state, occ)
-    # opt.txt: the serving session adopts architecture fields from it
+    # opt.txt: the serving session adopts architecture fields from the
+    # LAST LINE — one JSON document per line (session.py), so no indent
     with open(os.path.join(args.workspace, "opt.txt"), "a") as f:
-        f.write(cfg.to_json() + "\n")
+        f.write(cfg.to_json(indent=None) + "\n")
     print(f"[ok] head checkpoint written to {args.workspace}\n"
           f"     evaluate: python -m lzzx_nerf_tpu.cli {args.data} "
           f"--workspace {args.workspace} --encoder hash "

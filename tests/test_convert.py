@@ -359,6 +359,30 @@ def test_import_reference_ckpt_to_workspace(tmp_path):
         sys.argv = argv
     assert os.path.isdir(os.path.join(ws, "checkpoints"))
 
+    # the imported OCCUPANCY must be the thresholded reference grid —
+    # regression: `(dg > thresh) & occ.occ` zeroed every cell (occ.occ is
+    # all-False before any update_density_grid), so imports rendered only
+    # background. Adopt the architecture exactly as serving does: the LAST
+    # LINE of opt.txt parsed as one JSON doc (also pins indent=None there).
+    from lzzx_nerf_tpu.cli import _build_world
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.data.provider import NeRFDataset
+    from lzzx_nerf_tpu.train import TrainState, Trainer, build_optimizer
+
+    last = open(os.path.join(ws, "opt.txt")).read().strip().splitlines()[-1]
+    icfg = Config.from_json(last)
+    assert icfg.grid_size == GRID and icfg.encoder == "hash"
+    settings_i, occ_i, field_i, params_i = _build_world(
+        icfg.replace(path=data, workspace=ws), NeRFDataset(
+            icfg.replace(path=data, workspace=ws), type="train"))
+    st = TrainState.create(dict(params_i),
+                           build_optimizer(icfg.lr, icfg.lr_net, icfg.iters))
+    st, occ_i, ok = Trainer(ws).load_checkpoint(st, occ_i)
+    assert ok
+    exp = int((natural > 2.0).sum())  # thresh = min(10, mean_density=2.0)
+    assert exp > 0
+    assert int(np.asarray(occ_i.occ).sum()) == exp
+
     # the standard --test consumer renders from it (hash encoder adopted)
     cli.main([data, "--workspace", ws, "--encoder", "hash", "--asr_model",
               "deepspeech", "--test", "1", "--test_train", "1",

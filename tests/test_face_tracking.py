@@ -70,6 +70,34 @@ def test_euler2rot_orthonormal():
     np.testing.assert_allclose(R[0] @ R[0].T, np.eye(3), atol=1e-5)
 
 
+def test_euler2rot_matches_reference():
+    """Factor-for-factor parity with the reference tracker's euler2rot
+    (face_tracking/util.py:18-50: standard R_x(t) @ R_y(p) and a
+    TRANSPOSED R_z — torch.cat along dim 2 builds columns). Regression:
+    transposing every factor equals reference(-t, -p, +s), which inverted
+    the poses save_transforms derives from a reference track_params.pt."""
+    def ref_euler2rot(e):
+        t, p, s = e[:, 0], e[:, 1], e[:, 2]
+        ct, st = np.cos(t), np.sin(t)
+        cp, sp = np.cos(p), np.sin(p)
+        cs, ss = np.cos(s), np.sin(s)
+        z = np.zeros_like(t)
+        o = np.ones_like(t)
+        rx = np.stack([o, z, z, z, ct, -st, z, st, ct], -1).reshape(-1, 3, 3)
+        ry = np.stack([cp, z, sp, z, o, z, -sp, z, cp], -1).reshape(-1, 3, 3)
+        rz = np.stack([cs, ss, z, -ss, cs, z, z, z, o], -1).reshape(-1, 3, 3)
+        return rx @ ry @ rz
+
+    rng = np.random.default_rng(7)
+    e = rng.uniform(-1.0, 1.0, (16, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(euler2rot(jnp.asarray(e))),
+                               ref_euler2rot(e), atol=1e-5)
+    # and specifically NOT the all-factors-transposed variant
+    oblique = np.array([[0.3, -0.2, 0.5]], np.float32)
+    assert not np.allclose(np.asarray(euler2rot(jnp.asarray(oblique))),
+                           ref_euler2rot(-oblique), atol=1e-3)
+
+
 def test_coarse_fit_recovers_pose():
     model = _synthetic_model()
     F = 6
