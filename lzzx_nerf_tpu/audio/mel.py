@@ -116,6 +116,13 @@ def wav_to_mel_chunks(wav: np.ndarray, sr: int = 16000,
     mel = melspectrogram(wav, p)
     if np.isnan(mel).any():
         raise ValueError("mel contains NaN — add epsilon noise to the wav")
+    if mel.shape[1] < p.mel_step_size:
+        # sub-90 ms wav: the T-mel_step_size tail slice below would go
+        # negative and yield ragged [num_mels, T] chunks — right-pad with
+        # the quietest frame so every chunk keeps the contract shape
+        pad = np.tile(mel.min(axis=1, keepdims=True),
+                      (1, p.mel_step_size - mel.shape[1]))
+        mel = np.concatenate([mel, pad], axis=1)
     chunks = []
     mult = 80.0 / p.fps
     half = p.mel_step_size // 2

@@ -13,6 +13,7 @@
 
 #include <atomic>
 #include <cerrno>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -20,6 +21,8 @@
 #include <thread>
 #include <vector>
 
+#include <fcntl.h>
+#include <poll.h>
 #include <unistd.h>
 
 namespace {
@@ -33,6 +36,8 @@ struct Pump {
   uint64_t head = 0;            // next slot to fill (producer)
   uint64_t tail = 0;            // next slot to drain (consumer)
   bool stopping = false;
+  std::atomic<bool> abort_flag{false};  // close(): give up on a stalled sink
+  std::atomic<bool> done{false};        // writer_loop exited
   std::atomic<long> written{0};
   std::atomic<int> error{0};    // errno of the first failed write
   std::mutex m;
@@ -42,28 +47,57 @@ struct Pump {
 };
 
 void writer_loop(Pump* p) {
+  // Non-blocking writes + poll: a blocking ::write into a full pipe (a
+  // stalled encoder) would pin this thread with no abort path — fp_close's
+  // join would then hang the whole process. O_NONBLOCK is a property of
+  // OUR file description (the pipe's write end); the child's read end is
+  // a different description and is unaffected.
+  int fl = fcntl(p->fd, F_GETFL, 0);
+  if (fl >= 0) fcntl(p->fd, F_SETFL, fl | O_NONBLOCK);
   for (;;) {
     uint64_t t;
     {
       std::unique_lock<std::mutex> lk(p->m);
       p->nonempty.wait(lk, [p] { return p->stopping || p->head != p->tail; });
-      if (p->head == p->tail) return;  // stopping and drained
+      if (p->head == p->tail) {  // stopping and drained
+        p->done.store(true);
+        return;
+      }
       t = p->tail;
     }
     const uint8_t* src = p->ring.data() + (t % p->capacity) * p->frame_bytes;
     size_t off = 0;
+    int err = 0;
     while (off < p->frame_bytes) {
-      ssize_t n = ::write(p->fd, src + off, p->frame_bytes - off);
-      if (n <= 0) {
-        if (n < 0 && (errno == EINTR)) continue;
-        p->error.store(errno ? errno : EIO);
-        std::lock_guard<std::mutex> lk(p->m);
-        p->stopping = true;
-        p->tail = p->head;  // drop queue; nothing more can be written
-        p->nonfull.notify_all();
-        return;
+      if (p->abort_flag.load()) {
+        err = EPIPE;  // close() gave up on a stalled sink
+        break;
       }
-      off += static_cast<size_t>(n);
+      ssize_t n = ::write(p->fd, src + off, p->frame_bytes - off);
+      if (n > 0) {
+        off += static_cast<size_t>(n);
+        continue;
+      }
+      if (n < 0 && errno == EINTR) continue;
+      if (n < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+        struct pollfd pf;
+        pf.fd = p->fd;
+        pf.events = POLLOUT;
+        pf.revents = 0;
+        ::poll(&pf, 1, 100);  // bounded wait, then re-check abort_flag
+        continue;
+      }
+      err = errno ? errno : EIO;
+      break;
+    }
+    if (err) {
+      p->error.store(err);
+      std::lock_guard<std::mutex> lk(p->m);
+      p->stopping = true;
+      p->tail = p->head;  // drop queue; nothing more can be written
+      p->nonfull.notify_all();
+      p->done.store(true);
+      return;
     }
     {
       std::lock_guard<std::mutex> lk(p->m);
@@ -115,7 +149,11 @@ long fp_pending(void* h) {
 int fp_error(void* h) { return static_cast<Pump*>(h)->error.load(); }
 
 // Drain remaining frames, stop the worker, return frames written
-// (negated errno if the sink failed).
+// (negated errno if the sink failed). Drain patience is PROGRESS-based:
+// as long as the sink keeps accepting frames the queue flushes fully, but
+// 5 s with no frame written (encoder wedged, RTMP zero-window) aborts so
+// close() is always bounded — the old unconditional join could hang the
+// serving process forever.
 long fp_close(void* h) {
   Pump* p = static_cast<Pump*>(h);
   {
@@ -124,6 +162,19 @@ long fp_close(void* h) {
     p->nonempty.notify_all();
     p->nonfull.notify_all();
   }
+  long last = p->written.load();
+  int idle_ms = 0;
+  while (!p->done.load() && idle_ms < 5000) {
+    std::this_thread::sleep_for(std::chrono::milliseconds(50));
+    long w = p->written.load();
+    if (w != last) {
+      last = w;
+      idle_ms = 0;
+    } else {
+      idle_ms += 50;
+    }
+  }
+  if (!p->done.load()) p->abort_flag.store(true);
   if (p->worker.joinable()) p->worker.join();
   long out = p->error.load() ? -static_cast<long>(p->error.load())
                              : p->written.load();

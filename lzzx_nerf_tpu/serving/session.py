@@ -543,7 +543,18 @@ class InferenceSession:
         # encoder wants 4:2:0 anyway); rgb24 for raw/callback consumers
         fmt = getattr(sink, "pix_fmt", "rgb24")
         if fmt == "yuv420p" and (ds.H % 2 or ds.W % 2):
+            # 4:2:0 needs even dimensions. The SINK must follow too: it
+            # declared yuv420p to ffmpeg and sizes frames at H*W*3/2 — a
+            # one-sided fallback pushes H*W*3 rgb24 bytes into a pipe
+            # expecting half that (FramePump rejects; bare ffmpeg scrambles)
             fmt = "rgb24"
+            if hasattr(sink, "pix_fmt"):
+                if getattr(sink, "proc", None) is not None:
+                    raise RuntimeError(
+                        f"sink already opened as yuv420p but frame size "
+                        f"{ds.W}x{ds.H} is odd — construct the sink with "
+                        "pix_fmt='rgb24'")
+                sink.pix_fmt = "rgb24"
         render = self._get_render(fmt)
 
         C = max(1, cfg.infer_chunk)

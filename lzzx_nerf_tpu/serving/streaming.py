@@ -78,6 +78,8 @@ class _FfmpegSink(FrameSink):
         self.pix_fmt = pix_fmt
         self.proc: Optional[subprocess.Popen] = None
         self.count = 0
+        self._closed = False
+        self.closed_ok = False   # set by close(): clean ffmpeg exit
 
     @property
     def frame_bytes(self) -> int:
@@ -87,15 +89,21 @@ class _FfmpegSink(FrameSink):
     def _output_args(self):
         raise NotImplementedError
 
-    def open(self) -> None:
-        if shutil.which("ffmpeg") is None:
-            raise RuntimeError("ffmpeg not found on PATH")
-        cmd = [
+    def _stdin_args(self) -> list:
+        """rawvideo-over-stdin argv prefix — the ONE place the stdin
+        contract lives (overlay's command() reuses it; an override drift
+        here already shipped a pump regression once)."""
+        return [
             "ffmpeg", "-y", "-loglevel", "error",
             "-f", "rawvideo", "-pix_fmt", self.pix_fmt,
             "-s", f"{self.width}x{self.height}", "-r", str(self.fps),
             "-i", "-",
-        ] + self._output_args()
+        ]
+
+    def open(self) -> None:
+        if shutil.which("ffmpeg") is None:
+            raise RuntimeError("ffmpeg not found on PATH")
+        cmd = self._stdin_args() + self._output_args()
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
         self._attach_pump()
 
@@ -113,6 +121,10 @@ class _FfmpegSink(FrameSink):
 
     def push(self, rgb24: bytes) -> None:
         if self.proc is None:
+            if self._closed:
+                # a lazy re-open here would relaunch ffmpeg with -y and
+                # clobber the just-finalized output with a 1-frame file
+                raise RuntimeError("push() on a closed sink")
             self.open()
         if self.pump is not None:
             self.pump.push(rgb24)
@@ -121,15 +133,18 @@ class _FfmpegSink(FrameSink):
         self.count += 1
 
     def close(self) -> None:
+        self._closed = True
         if self.proc is not None:
             try:
                 if self.pump is not None:
                     self.pump.close()
                     self.pump = None
                 self.proc.stdin.close()
-                self.proc.wait(timeout=30)
+                self.closed_ok = self.proc.wait(timeout=30) == 0
             except Exception:
+                self.closed_ok = False
                 self.proc.kill()
+                self.proc.wait()   # reap — kill() alone leaves a zombie
             self.proc = None
 
 
@@ -167,8 +182,10 @@ class FfmpegHlsSink(_FfmpegSink):
 
     def close(self) -> None:
         super().close()
-        if os.path.exists(self.playlist):
-            # sentinel the reference frontend greps (TrainerUtil.py:810-817)
+        # sentinel the reference frontend greps (TrainerUtil.py:810-817) —
+        # only on a CLEAN encoder exit: a killed ffmpeg leaves an 'event'
+        # playlist without EXT-X-ENDLIST that players stall on forever
+        if self.closed_ok and os.path.exists(self.playlist):
             print(f"##M3U8##SUCCESS:{self.playlist}")
 
 
@@ -224,8 +241,11 @@ class FfmpegOverlaySink(_FfmpegSink):
         x, y = self.crop_xy
         n_out = int(bool(self.rtmp_url)) + int(bool(self.local_mp4))
         split = (f",split={n_out}[out1][out2]" if n_out == 2 else "[out1]")
-        # [1:v] = looped source video (base), [0:v] = rendered crop (top)
-        fc = f"[1:v][0:v]overlay={x}:{y}{split}"
+        # [1:v] = looped source video (base), [0:v] = rendered crop (top).
+        # shortest=1: end the composite when the CROP stream (stdin) ends —
+        # the base is -stream_loop -1 and never EOFs, so without it close()
+        # would stall 30 s and then kill ffmpeg mid-write (no moov atom)
+        fc = f"[1:v][0:v]overlay={x}:{y}:shortest=1{split}"
         args = ["-filter_complex", fc]
         amap = ["-map", "2:a:0", "-c:a", "aac"] if self.audio_path else []
         tag = 1
@@ -245,12 +265,7 @@ class FfmpegOverlaySink(_FfmpegSink):
         """The full ffmpeg argv (exposed for tests; open() runs exactly
         this). stdin format follows self.pix_fmt — the session renders
         frames in whatever the sink declares."""
-        return [
-            "ffmpeg", "-y", "-loglevel", "error",
-            "-f", "rawvideo", "-pix_fmt", self.pix_fmt,
-            "-s", f"{self.width}x{self.height}", "-r", str(self.fps),
-            "-i", "-",
-        ] + self._input_args() + self._output_args()
+        return self._stdin_args() + self._input_args() + self._output_args()
 
     def open(self) -> None:
         if shutil.which("ffmpeg") is None:
@@ -287,6 +302,7 @@ class WaitVideoLoop:
                     self.proc.wait(timeout=5)
                 except Exception:
                     self.proc.kill()
+                    self.proc.wait()   # reap the killed process
                 self.proc = None
 
 
@@ -354,9 +370,15 @@ def load_face_restorer(upscale: int = 1, model_path: Optional[str] = None):
     restorer = GFPGANer(model_path=model_path, upscale=upscale)
 
     def restore(frame):
-        _, _, out = restorer.enhance(frame[..., ::-1], has_aligned=False,
-                                     only_center_face=True, paste_back=True)
-        return out[..., ::-1]
+        import numpy as np
+
+        # cv2 inside GFPGAN rejects negative-stride/read-only views (the
+        # incoming frame is an np.frombuffer view) — materialize the BGR
+        # copy before and after
+        _, _, out = restorer.enhance(
+            np.ascontiguousarray(frame[..., ::-1]), has_aligned=False,
+            only_center_face=True, paste_back=True)
+        return np.ascontiguousarray(out[..., ::-1])
 
     return restore
 
@@ -369,13 +391,13 @@ def make_sink(kind: str, width: int, height: int, fps: int = 25,
     composites the rendered crop onto the source video like the reference
     (ConsumeMQByWebRTC.py:87-133); plain full-frame sinks otherwise."""
     if kind in ("rtmp", "mp4") and model_dir:
-        import json as _json
-        import os as _os
+        import json
 
-        crop_cfg = _os.path.join(model_dir, "video_crop_parameter.json")
-        ready = _os.path.join(model_dir, "readySourceVideo.mp4")
-        if _os.path.exists(crop_cfg) and _os.path.exists(ready):
-            param = _json.load(open(crop_cfg))
+        crop_cfg = os.path.join(model_dir, "video_crop_parameter.json")
+        ready = os.path.join(model_dir, "readySourceVideo.mp4")
+        if os.path.exists(crop_cfg) and os.path.exists(ready):
+            with open(crop_cfg) as f:
+                param = json.load(f)
             return FfmpegOverlaySink(
                 width, height, fps, ready_video=ready,
                 crop_xy=(int(param.get("x", 0)), int(param.get("y", 0))),

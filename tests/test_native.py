@@ -95,3 +95,42 @@ def test_pump_use_after_close_raises(tmp_path):
     assert pump.pending() == 0
     assert pump.close() == 0  # idempotent
     os.close(fd)
+
+
+def test_pump_close_bounded_when_consumer_stalls():
+    """fp_close must return even when the consumer NEVER reads (stalled
+    encoder / RTMP zero-window): the writer uses non-blocking writes +
+    poll and close() aborts after ~5 s without progress. Regression: a
+    blocking ::write pinned the worker, join() never returned, and the
+    serving process wedged permanently."""
+    import threading
+    import time
+
+    r, w = os.pipe()
+    pump = FramePump(w, FRAME, capacity=2)
+
+    filled = threading.Event()
+
+    def producer():
+        # fill pipe buffer + ring; pushes beyond that block on backpressure
+        for i in range(64):
+            try:
+                pump.push(bytes([i % 251]) * FRAME)
+            except (BrokenPipeError, OSError):
+                break
+            if i == 2:
+                filled.set()
+        filled.set()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    assert filled.wait(timeout=10)
+    time.sleep(0.3)  # let the writer wedge against the full pipe
+    start = time.monotonic()
+    # must NOT hang (progress-based 5 s abort) and must REPORT the give-up
+    with pytest.raises(BrokenPipeError):
+        pump.close()
+    elapsed = time.monotonic() - start
+    assert elapsed < 20, f"close() took {elapsed:.1f}s — unbounded drain"
+    os.close(w)
+    os.close(r)

@@ -93,6 +93,19 @@ def test_mel_chunks_at_25fps():
     assert mel.min() >= -4.0 and mel.max() <= 4.0
 
 
+def test_mel_chunks_short_wav_keeps_contract_shape():
+    """A sub-90 ms wav yields fewer mel frames than mel_step_size; every
+    chunk must still be [num_mels, mel_step_size] (right-padded), not a
+    ragged tail slice."""
+    from lzzx_nerf_tpu.audio.mel import MelParams
+
+    wav = np.random.default_rng(1).standard_normal(800).astype(np.float32)
+    chunks = wav_to_mel_chunks(wav, SAMPLE_RATE)
+    assert len(chunks) >= 1
+    for c in chunks:
+        assert c.shape == (80, MelParams().mel_step_size)
+
+
 def test_overlay_sink_command(tmp_path):
     """The crop-overlay composite must mirror the reference's stream graph
     (ConsumeMQByWebRTC.py:87-133): source video as base, rendered crop
@@ -105,6 +118,9 @@ def test_overlay_sink_command(tmp_path):
     cmd = s.command()
     fc = cmd[cmd.index("-filter_complex") + 1]
     assert "[1:v][0:v]overlay=120:80" in fc     # source base, render on top
+    # the base input is -stream_loop -1 and never EOFs: the composite must
+    # end with the crop stream, or close() stalls and kills ffmpeg mid-write
+    assert ":shortest=1" in fc
     assert "split=2" in fc
     assert "rtmp://h/live/x" in cmd and "out.mp4" in cmd
     assert cmd.count("-map") == 4               # 2 video outs + 2 audio maps
