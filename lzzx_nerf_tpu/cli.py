@@ -141,7 +141,7 @@ def run_train(cfg) -> None:
 
     from .data.provider import NeRFDataset
     from .models import TorsoField
-    from .render import update_density_grid, update_torso_grid
+    from .render import make_density_grid_update
     from .train import (TrainState, Trainer, build_optimizer, make_eval_step,
                         make_train_step)
     from .train.trainer import make_torso_train_step
@@ -255,8 +255,7 @@ def run_train(cfg) -> None:
         field, settings, H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
         ind_dim=cfg.ind_dim, exp_eye=cfg.exp_eye, use_ema=cfg.use_ema))
 
-    def density_fn(pts, ea, eye):
-        return field.apply(state.params, pts, ea, eye, method="density").sigma
+    grid_refresh = make_density_grid_update(field, settings)
 
     rng = jax.random.PRNGKey(cfg.seed)
     t_start = time.time()
@@ -311,12 +310,12 @@ def run_train(cfg) -> None:
             if device_frames is None:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if it % cfg.update_extra_interval == 0:
-                enc_a = field.apply(state.params, batch["auds"],
-                                    method="encode_audio")
-                rng, sub = jax.random.split(rng)
-                occ = update_density_grid(density_fn, settings, occ, enc_a,
-                                          batch.get("eye"), sub)
-            rng, sub = jax.random.split(rng)
+                # one jitted program; rng is the constant base key (folded
+                # with the step inside) — the old eager refresh dispatched
+                # dozens of ops at ~10 ms each over the remote link and
+                # dominated wall-clock (render/grid_update.py rationale)
+                occ = grid_refresh(state.params, occ, batch["auds"],
+                                   batch.get("eye"), rng, state.step)
             if lips_step_fn is not None and it % 2 == 1:
                 fn = lips_step_fn
             elif (compact_step_fn is not None
@@ -324,7 +323,7 @@ def run_train(cfg) -> None:
                 fn = compact_step_fn
             else:
                 fn = step_fn
-            state, metrics = fn(state, occ, batch, sub)
+            state, metrics = fn(state, occ, batch, rng)
             it += 1
             if it % 100 == 0:
                 loss_v, mse_v = float(metrics["loss"]), float(metrics["mse"])
@@ -373,7 +372,7 @@ def run_train_torso(cfg, ds, settings, occ, trainer) -> None:
     import jax.numpy as jnp
 
     from .models import TorsoField
-    from .render import update_torso_grid
+    from .render import make_torso_grid_update
     from .train import TrainState, build_optimizer
     from .train.trainer import make_torso_train_step
 
@@ -390,9 +389,8 @@ def run_train_torso(cfg, ds, settings, occ, trainer) -> None:
         torso, settings, tx, H=ds.H, W=ds.W, num_rays=cfg.num_rays,
         iters=cfg.iters, ind_dim_torso=cfg.ind_dim_torso))
 
-    def alpha_fn(xys, pose, c):
-        a, _, _ = torso.apply(state.params, xys, pose, c)
-        return a[:, 0]
+    grid_refresh = make_torso_grid_update(torso, settings,
+                                          cfg.ind_dim_torso)
 
     rng = jax.random.PRNGKey(cfg.seed)
     it = int(state.step)
@@ -403,13 +401,9 @@ def run_train_torso(cfg, ds, settings, occ, trainer) -> None:
                 break
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             if it % cfg.update_extra_interval == 0:
-                rng, sub = jax.random.split(rng)
-                c = (state.params["params"]["individual_codes_torso"][0]
-                     if cfg.ind_dim_torso > 0 else None)
-                occ = update_torso_grid(alpha_fn, settings, occ,
-                                        batch["pose"], c, sub)
-            rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, occ, batch, sub)
+                occ = grid_refresh(state.params, occ, batch["pose"],
+                                   rng, state.step)
+            state, metrics = step_fn(state, occ, batch, rng)
             it += 1
             if it % 100 == 0:
                 trainer.log(f"[torso] step {it}: "

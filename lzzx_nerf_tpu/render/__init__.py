@@ -6,4 +6,5 @@ from .renderer import (TorsoPlan, build_torso_plan, render_rays,
                        render_rays_train_compact, run_torso,
                        run_torso_compact)
 from .grid_update import (update_density_grid, update_torso_grid,
+                          make_density_grid_update, make_torso_grid_update,
                           mark_untrained_grid, probe_field_grid)

@@ -108,6 +108,57 @@ def update_torso_grid(
     )
 
 
+def make_density_grid_update(field, settings: RenderSettings,
+                             decay: float = 0.95):
+    """ONE jitted XLA program for the whole every-16-step head refresh:
+    audio encode + full-grid density query (2M points at grid 128) +
+    dilation + EMA-max + re-threshold.
+
+    Calling update_density_grid directly with a python density_fn executes
+    the refresh EAGERLY — the field apply inside dispatches dozens of
+    unfused ops at ~10 ms each over a remote-dispatch link, ~0.3 s per
+    refresh = ~20 ms/step amortized at interval 16 (scripts/trainbench.py
+    round-3 A/B: 5.64 -> 6.37 it/s from jitting the refresh + folding the
+    per-step rng split into the step).
+
+    Returned fn: refresh(params, occ_state, auds, eye, rng, step) -> occ.
+    `rng` can be a constant base key — it is folded with `step` inside the
+    program, so callers pay zero per-call eager ops."""
+
+    def refresh(params, state: OccupancyState, auds, eye, rng, step):
+        rng = jax.random.fold_in(rng, step)
+        enc_a = field.apply(params, auds, method="encode_audio")
+
+        def density_fn(pts, ea, ey):
+            return field.apply(params, pts, ea, ey, method="density").sigma
+
+        return update_density_grid(density_fn, settings, state, enc_a, eye,
+                                   rng, decay=decay)
+
+    return jax.jit(refresh)
+
+
+def make_torso_grid_update(torso, settings: RenderSettings,
+                           ind_dim_torso: int, decay: float = 0.95):
+    """Jitted torso-grid refresh (same eager-dispatch rationale as
+    make_density_grid_update): refresh(params, occ_state, pose, rng, step)
+    -> occ."""
+
+    def refresh(params, state: OccupancyState, pose, rng, step):
+        rng = jax.random.fold_in(rng, step)
+        c = (params["params"]["individual_codes_torso"][0]
+             if ind_dim_torso > 0 else None)
+
+        def alpha_fn(xys, pose_, cc):
+            a, _, _ = torso.apply(params, xys, pose_, cc)
+            return a[:, 0]
+
+        return update_torso_grid(alpha_fn, settings, state, pose, c, rng,
+                                 decay=decay)
+
+    return jax.jit(refresh)
+
+
 def probe_field_grid(
     probe_fn,
     settings: RenderSettings,

@@ -89,6 +89,11 @@ def make_train_step(
     [2] + static lips_pad (static shapes: the rect crop is lips_pad^2).
     """
     def step_fn(state: TrainState, occ: OccupancyState, batch, rng):
+        # fold the step count in HERE so callers can pass one constant base
+        # key for the whole run — a per-step eager jax.random.split outside
+        # the jit costs a ~10 ms dispatch round-trip on a remote-dispatch
+        # link (scripts/trainbench.py round-3 eager-overhead A/B)
+        rng = jax.random.fold_in(rng, state.step)
         rng_rays, rng_noise, rng_reg = jax.random.split(rng, 3)
         step_factor = jnp.minimum(state.step.astype(jnp.float32) / iters, 1.0)
 
@@ -367,6 +372,7 @@ def make_torso_train_step(
     bg_coords_full = get_bg_coords(H, W)[0]
 
     def step_fn(state: TrainState, occ: OccupancyState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)   # constant base key ok
         inds = jax.random.randint(rng, (num_rays,), 0, H * W)
         bg_coords = bg_coords_full[inds]
         gt = batch["bg_torso_color"].reshape(-1, 3)[inds]

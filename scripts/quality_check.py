@@ -87,8 +87,7 @@ def main():
     from lzzx_nerf_tpu.ops.march2 import build_inference_tables
     from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
                                       render_rays, render_rays_compact,
-                                      render_rays_compact_blocks,
-                                      update_density_grid)
+                                      render_rays_compact_blocks)
     from lzzx_nerf_tpu.train import TrainState, build_optimizer, make_train_step
 
     res, grid = args.res, args.grid
@@ -119,8 +118,9 @@ def main():
                                            train_budget=3072, **common))
     warmup = args.warmup
 
-    def density_fn(pts, ea, eye):
-        return field.apply(state.params, pts, ea, eye, method="density").sigma
+    from lzzx_nerf_tpu.render import make_density_grid_update
+
+    grid_refresh = make_density_grid_update(field, settings)
 
     rng = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -132,14 +132,10 @@ def main():
     for it in range(args.steps):
         batch = frames_dev[it % ds.num_frames]
         if it % 16 == 0:
-            enc_a = field.apply(state.params, batch["auds"],
-                                method="encode_audio")
-            rng, sub = jax.random.split(rng)
-            occ = update_density_grid(density_fn, settings, occ, enc_a,
-                                      batch.get("eye"), sub)
-        rng, sub = jax.random.split(rng)
+            occ = grid_refresh(state.params, occ, batch["auds"],
+                               batch.get("eye"), rng, state.step)
         step = step_full if it < warmup else step_compact
-        state, metrics = step(state, occ, batch, sub)
+        state, metrics = step(state, occ, batch, rng)
         if it % args.log_every == 0:
             print(f"step {it}: loss={float(metrics['loss']):.5f} "
                   f"({it / max(time.time() - t0, 1e-9):.1f} it/s)",

@@ -59,8 +59,7 @@ def main():
     from lzzx_nerf_tpu.data import SyntheticTalkingHead
     from lzzx_nerf_tpu.models import NeRFField
     from lzzx_nerf_tpu.ops.march import marching_dt, num_candidates
-    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
-                                      update_density_grid)
+    from lzzx_nerf_tpu.render import RenderSettings, init_occupancy_state
     from lzzx_nerf_tpu.train import (TrainState, build_optimizer,
                                      make_train_step)
 
@@ -99,8 +98,9 @@ def main():
         num_rays=args.num_rays, iters=100_000, ind_dim=4,
         ema_interval=1000, train_budget=budget, data_sharding=dp_sharding))
 
-    def density_fn(pts, ea, eye):
-        return field.apply(state.params, pts, ea, eye, method="density").sigma
+    from lzzx_nerf_tpu.render import make_density_grid_update
+
+    grid_refresh = make_density_grid_update(field, settings)
 
     rng = jax.random.PRNGKey(0)
     frames_dev = [jax.device_put({k: jnp.asarray(v)
@@ -108,16 +108,14 @@ def main():
                   for i in range(ds.num_frames)]
 
     def run(n, state, occ, rng):
+        # no per-step eager ops: the step folds its own rng from state.step
+        # and the refresh is one jitted program (render/grid_update.py)
         for it in range(n):
             batch = frames_dev[it % ds.num_frames]
             if it % 16 == 0:
-                enc_a = field.apply(state.params, batch["auds"],
-                                    method="encode_audio")
-                rng, sub = jax.random.split(rng)
-                occ = update_density_grid(density_fn, settings, occ, enc_a,
-                                          batch.get("eye"), sub)
-            rng, sub = jax.random.split(rng)
-            state, metrics = step(state, occ, batch, sub)
+                occ = grid_refresh(state.params, occ, batch["auds"],
+                                   batch.get("eye"), rng, state.step)
+            state, metrics = step(state, occ, batch, rng)
         return state, occ, rng, metrics
 
     # compile + warm
