@@ -218,9 +218,14 @@ def run_train(cfg) -> None:
     # compact renderer over the mesh axis — no cross-shard collectives)
     compact_step_fn = None
     if train_budget > 0:
+        stage2 = (max(1024, int(train_budget * cfg.train_stage2_frac)
+                      // 1024 * 1024)
+                  if cfg.train_stage_split > 0 else 0)
         compact_step_fn = jax.jit(make_train_step(
             field, settings, tx, finetune_lips=False,
-            train_budget=train_budget, **common))
+            train_budget=train_budget,
+            train_stage_split=cfg.train_stage_split,
+            train_stage2_budget=stage2, **common))
     # lips finetune alternates the lips-crop LPIPS step with the normal step
     # every other iteration (reference flip_finetune_lips,
     # TrainerUtil.py:70,311-313)
@@ -343,6 +348,20 @@ def run_train(cfg) -> None:
                             f"{n_act} > budget {train_budget}; overflow rays "
                             f"are dropped from the loss (unbiased but noisy)"
                             f" — consider raising --train_budget_frac")
+                if "n_stage2" in metrics:
+                    n_s2 = int(metrics["n_stage2"])
+                    trainer.scalar("train/n_stage2", n_s2, it)
+                    s2_budget = max(1024, int(train_budget
+                                              * cfg.train_stage2_frac)
+                                    // 1024 * 1024)
+                    if n_s2 > s2_budget:
+                        trainer.log(
+                            f"[WARN] staged-eval survivor overflow: "
+                            f"n_stage2 {n_s2} > {s2_budget}; overflowing "
+                            f"rays truncate at sample "
+                            f"{cfg.train_stage_split} (biased) — raise "
+                            f"--train_stage2_frac or set "
+                            f"--train_stage_split 0")
         trainer.save_checkpoint(state, occ)
         if epoch % eval_interval == 0 and (not distributed
                                            or is_coordinator()):

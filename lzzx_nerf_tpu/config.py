@@ -156,6 +156,28 @@ class Config:
     # oracle: 39.4 vs 41.7 dB). After refinement n_active fits the budget
     # and the compact step is gradient-identical to the full one.
     train_compact_warmup: int = 1000
+    # staged early-termination field eval in the compact step: samples
+    # [0, split) for every slotted ray, [split, S) only for rays still
+    # transmissive at the split, compacted into train_stage2_frac * budget
+    # slots. GRADIENT-EXACT whenever the survivors fit (a post-termination
+    # sample contributes zero value AND zero gradient, composite.py:61-71;
+    # _staged_train_eval_composite docstring) — it skips that sample's
+    # gathers, MLPs and its share of the table-gradient scatter-add
+    # backward (~70 of the step's 153 ms, scripts/trainphase.py round 3).
+    # MEASURED NEGATIVE RESULT, default OFF: despite 19-37% fewer field
+    # samples the step is SLOWER — trainbench A/B at num_rays 65536:
+    # 6.55 it/s single-pass vs 5.96 (split 8 / frac .625), 6.42 (split 8 /
+    # frac .34, n_stage2 15969/16384), 6.27 (split 4 / frac .5) — the
+    # mid-graph compaction barrier (cumsum + gather before the stage-2
+    # eval, transposed scatter in backward) breaks XLA's fusion of the
+    # eval chain, the same platform lesson as serving's stage-1 sample
+    # compaction (PERF.md: 21.6 vs 32.9 FPS). Ray-level compaction pays
+    # only BEFORE the eval chain starts (train_budget_frac); kept
+    # parity-tested (tests/test_train.py::test_staged_train_step_matches_
+    # compact) and opt-in for re-evaluation if the field ever widens.
+    # n_stage2 reports survivor demand; overflow truncates at the split.
+    train_stage_split: int = 0
+    train_stage2_frac: float = 0.34
     mesh_shape: Tuple[int, ...] = (1,)       # data-parallel mesh over rays
     mesh_axis_names: Tuple[str, ...] = ("data",)
     data_parallel: int = 0    # >0: train over an N-device 'data' mesh

@@ -330,6 +330,107 @@ def render_rays_compact(
     }
 
 
+def _staged_train_eval_composite(
+    field_apply, params, settings, m, rd, enc_a, ind_code, eye,
+    B: int, S: int, stage_split: int, stage2_budget: int,
+    compute_uncertainty: bool,
+):
+    """Early-termination field eval for TRAINING: evaluate samples
+    [0, split) for all B rays, then [split, S) only for rays whose
+    transmittance after the split is still >= T_thresh — compacted into
+    `stage2_budget` slots. The training twin of _staged_eval_composite,
+    keeping the full composite outputs (image/depth/weights/amb/unc) the
+    loss stack consumes.
+
+    GRADIENT-EXACT, not just value-exact, whenever every survivor gets a
+    stage-2 slot: in the single-pass composite a sample with T_i < T_thresh
+    contributes zero to every output (weights and the ambient `processed`
+    mask both carry the (T >= thresh) factor, ops/composite.py:61-71), and
+    because T is monotone non-increasing its failure also zeroes every
+    LATER sample — so d(loss)/d(field outputs at unprocessed samples) == 0
+    identically, and skipping their field eval (gathers + MLPs + the
+    table scatter-add backward, the step's dominant cost) changes no
+    gradient. Rays beyond the stage-2 budget truncate at the split
+    (reported via n_stage2; the cli warns on persistent overflow like the
+    ray budget). The reference evaluates every marched sample in training
+    (renderer.py:289) — its alive-ray early exit exists only at inference;
+    this recovers the same economics for the training step."""
+    S1, S2 = stage_split, S - stage_split
+    tt = settings.T_thresh
+
+    def field_eval(pts, dirs_rep):
+        out = field_apply(params, pts, dirs_rep, enc_a, ind_code, eye,
+                          compute_uncertainty=compute_uncertainty)
+        return out
+
+    # ---- stage 1: all rays, first S1 samples
+    out1 = field_eval(m.xyzs[:, :S1].reshape(B * S1, 3),
+                      jnp.repeat(rd, S1, axis=0))
+    sig1 = (out1.sigma * settings.density_scale).reshape(B, S1)
+    rgb1 = out1.color.reshape(B, S1, 3)
+    amb_aud1 = jnp.abs(out1.ambient_aud).reshape(B, S1)
+    amb_eye1 = jnp.abs(out1.ambient_eye).reshape(B, S1)
+    unc1 = out1.uncertainty.reshape(B, S1)
+
+    mask1 = m.mask[:, :S1]
+    mask1f = mask1.astype(sig1.dtype)
+    alpha1 = (1.0 - jnp.exp(-sig1 * m.deltas[:, :S1])) * mask1f
+    one_minus1 = 1.0 - alpha1
+    T1 = jnp.concatenate(
+        [jnp.ones_like(alpha1[:, :1]),
+         jnp.cumprod(one_minus1, axis=-1)[:, :-1]], axis=-1)
+    proc1 = ((T1 >= tt) & mask1).astype(sig1.dtype)
+    w1 = alpha1 * T1 * proc1
+    image = jnp.einsum("ns,nsc->nc", w1, rgb1)
+    depth = jnp.sum(w1 * m.ts[:, :S1], axis=-1)
+    wsum = jnp.sum(w1, axis=-1)
+    amb_aud_sum = jnp.sum(amb_aud1 * proc1, axis=-1)
+    amb_eye_sum = jnp.sum(amb_eye1 * proc1, axis=-1)
+    unc_sum = jnp.sum(w1 * unc1, axis=-1)
+    T_end = jnp.cumprod(one_minus1, axis=-1)[:, -1]              # [B]
+
+    # ---- stage 2: survivors only
+    surv = (T_end >= tt) & m.mask[:, S1:].any(axis=-1)
+    cs2 = compact_rays(surv, stage2_budget)
+    idx2 = cs2.ray_idx
+    rd2 = jnp.take(rd, idx2, axis=0)
+    T0 = jnp.take(T_end, idx2) * cs2.slot_valid
+    xyz2 = jnp.take(m.xyzs[:, S1:], idx2, axis=0)                # [B2, S2, 3]
+    delta2 = jnp.take(m.deltas[:, S1:], idx2, axis=0)
+    ts2 = jnp.take(m.ts[:, S1:], idx2, axis=0)
+    mask2 = jnp.take(m.mask[:, S1:], idx2, axis=0) & cs2.slot_valid[:, None]
+
+    out2 = field_eval(xyz2.reshape(stage2_budget * S2, 3),
+                      jnp.repeat(rd2, S2, axis=0))
+    sig2 = (out2.sigma * settings.density_scale).reshape(stage2_budget, S2)
+    rgb2 = out2.color.reshape(stage2_budget, S2, 3)
+    amb_aud2 = jnp.abs(out2.ambient_aud).reshape(stage2_budget, S2)
+    amb_eye2 = jnp.abs(out2.ambient_eye).reshape(stage2_budget, S2)
+    unc2 = out2.uncertainty.reshape(stage2_budget, S2)
+
+    mask2f = mask2.astype(sig2.dtype)
+    alpha2 = (1.0 - jnp.exp(-sig2 * delta2)) * mask2f
+    one_minus2 = 1.0 - alpha2
+    T2 = T0[:, None] * jnp.concatenate(
+        [jnp.ones_like(alpha2[:, :1]),
+         jnp.cumprod(one_minus2, axis=-1)[:, :-1]], axis=-1)
+    proc2 = ((T2 >= tt) & mask2).astype(sig2.dtype)
+    w2 = alpha2 * T2 * proc2
+
+    tgt = jnp.where(cs2.slot_valid, idx2, B)
+    image = image.at[tgt].add(jnp.einsum("ns,nsc->nc", w2, rgb2),
+                              mode="drop")
+    depth = depth.at[tgt].add(jnp.sum(w2 * ts2, axis=-1), mode="drop")
+    wsum = wsum.at[tgt].add(jnp.sum(w2, axis=-1), mode="drop")
+    amb_aud_sum = amb_aud_sum.at[tgt].add(
+        jnp.sum(amb_aud2 * proc2, axis=-1), mode="drop")
+    amb_eye_sum = amb_eye_sum.at[tgt].add(
+        jnp.sum(amb_eye2 * proc2, axis=-1), mode="drop")
+    unc_sum = unc_sum.at[tgt].add(jnp.sum(w2 * unc2, axis=-1), mode="drop")
+    return (image, depth, wsum, amb_aud_sum, amb_eye_sum, unc_sum,
+            cs2.n_active)
+
+
 def render_rays_train_compact(
     field_apply,
     params,
@@ -345,6 +446,8 @@ def render_rays_train_compact(
     noise: Optional[jnp.ndarray] = None,
     compute_uncertainty: bool = True,
     window_candidates: Optional[int] = None,
+    stage_split: int = 0,
+    stage2_budget: int = 0,
 ) -> Dict[str, Any]:
     """Training-path ray compaction: EXACT render_rays(training=True) for
     every contributing ray, at a fraction of the work.
@@ -363,6 +466,14 @@ def render_rays_train_compact(
     loss weight 0, and the surviving active rays are upweighted to keep
     the loss unbiased (`ray_weight`); `n_active` reports the demand. Not
     for data-sharded batches: the compaction cumsum is global.
+
+    stage_split > 0: two-stage early-termination field eval — samples
+    [0, split) for all slotted rays, [split, S) only for rays still
+    transmissive at the split, compacted into `stage2_budget` slots
+    (_staged_train_eval_composite — gradient-exact whenever the survivors
+    fit; n_stage2 reports the demand). Cuts the post-split field eval and
+    its table-gradient scatter (the step's dominant cost, PERF.md) for
+    the ~half of slotted rays that saturate early.
     """
     N = rays_o.shape[0]
     S = settings.max_steps
@@ -409,20 +520,33 @@ def render_rays_train_compact(
 
     pts = m.xyzs.reshape(budget * S, 3)
     dirs = jnp.repeat(rd, S, axis=0)
-    out = field_apply(params, pts, dirs, enc_a, ind_code, eye,
-                      compute_uncertainty=compute_uncertainty)
-    sigmas = (out.sigma * settings.density_scale).reshape(budget, S)
-    rgbs = out.color.reshape(budget, S, 3)
-    amb_aud = jnp.abs(out.ambient_aud).reshape(budget, S)
-    amb_eye = jnp.abs(out.ambient_eye).reshape(budget, S)
-    unc = out.uncertainty.reshape(budget, S)
+    n_stage2 = None
+    if stage_split and 0 < stage_split < S:
+        b2 = stage2_budget or max(1024, budget // 2 // 1024 * 1024)
+        (img_c, depth_raw, wsum_c, amb_aud_c, amb_eye_c, unc_c,
+         n_stage2) = _staged_train_eval_composite(
+            field_apply, params, settings, m, rd, enc_a, ind_code, eye,
+            budget, S, stage_split, b2,
+            compute_uncertainty=compute_uncertainty)
+    else:
+        out = field_apply(params, pts, dirs, enc_a, ind_code, eye,
+                          compute_uncertainty=compute_uncertainty)
+        sigmas = (out.sigma * settings.density_scale).reshape(budget, S)
+        rgbs = out.color.reshape(budget, S, 3)
+        amb_aud = jnp.abs(out.ambient_aud).reshape(budget, S)
+        amb_eye = jnp.abs(out.ambient_eye).reshape(budget, S)
+        unc = out.uncertainty.reshape(budget, S)
 
-    comp = composite_rays(sigmas, rgbs, amb_aud, amb_eye, unc,
-                          m.deltas, m.ts, m.mask, T_thresh=settings.T_thresh)
+        comp = composite_rays(sigmas, rgbs, amb_aud, amb_eye, unc,
+                              m.deltas, m.ts, m.mask,
+                              T_thresh=settings.T_thresh)
+        img_c, depth_raw, wsum_c = comp.image, comp.depth, comp.weights_sum
+        amb_aud_c, amb_eye_c, unc_c = (comp.amb_aud_sum, comp.amb_eye_sum,
+                                       comp.uncertainty_sum)
 
-    image_c = comp.image + (1.0 - comp.weights_sum)[:, None] * bg_c
+    image_c = img_c + (1.0 - wsum_c)[:, None] * bg_c
     image_c = jnp.clip(image_c, 0.0, 1.0)
-    depth_c = jnp.clip(comp.depth - nears_c, 0.0) / jnp.maximum(
+    depth_c = jnp.clip(depth_raw - nears_c, 0.0) / jnp.maximum(
         fars_c - nears_c, 1e-6)
 
     tgt = jnp.where(cs.slot_valid, cs.ray_idx, N)
@@ -431,17 +555,20 @@ def render_rays_train_compact(
     def scat(vals):
         return jnp.zeros((N,), vals.dtype).at[tgt].set(vals, mode="drop")
 
-    return {
+    res = {
         "image": image,
         "depth": scat(depth_c),
-        "weights_sum": scat(comp.weights_sum),
-        "ambient_aud": scat(comp.amb_aud_sum),
-        "ambient_eye": scat(comp.amb_eye_sum),
-        "uncertainty": scat(comp.uncertainty_sum),
+        "weights_sum": scat(wsum_c),
+        "ambient_aud": scat(amb_aud_c),
+        "ambient_eye": scat(amb_eye_c),
+        "uncertainty": scat(unc_c),
         "rays": (pts, dirs, m.mask.reshape(-1)),
         "ray_weight": ray_weight,
         "n_active": cs.n_active,
     }
+    if n_stage2 is not None:
+        res["n_stage2"] = n_stage2
+    return res
 
 
 def render_rays_compact_blocks(

@@ -80,6 +80,8 @@ def make_train_step(
     train_camera: bool = False,
     data_sharding=None,
     train_budget: int = 0,
+    train_stage_split: int = 0,
+    train_stage2_budget: int = 0,
 ):
     """Returns jit-able step(state, occ, batch, rng) -> (state, metrics).
 
@@ -184,11 +186,16 @@ def make_train_step(
                 sh2 = NamedSharding(mesh, PartitionSpec(axis))
                 wsc2 = jax.lax.with_sharding_constraint
 
+                b2_local = (max(1024, train_stage2_budget // n_sh)
+                            if train_stage2_budget else 0)
+
                 def shard_render(ro_s, rd_s, bg_s, noise_s):
                     return render_rays_train_compact(
                         field.apply, params, settings, occ, ro_s, rd_s,
                         enc_a, c, eye, bg_s, budget=b_local, noise=noise_s,
-                        compute_uncertainty=unc_loss)
+                        compute_uncertainty=unc_loss,
+                        stage_split=train_stage_split,
+                        stage2_budget=b2_local)
 
                 res_sh = jax.vmap(shard_render)(
                     ro.reshape(n_sh, -1, 3), rd.reshape(n_sh, -1, 3),
@@ -202,7 +209,7 @@ def make_train_step(
                         pts_s, dirs_s, mask_s = v
                         res[k] = (pts_s.reshape(-1, 3), dirs_s.reshape(-1, 3),
                                   mask_s.reshape(-1))
-                    elif k == "n_active":
+                    elif k in ("n_active", "n_stage2"):
                         res[k] = jnp.sum(v)
                     elif v.ndim >= 2 and v.shape[1] == n_rays // n_sh:
                         res[k] = wsc2(v.reshape(n_rays, *v.shape[2:]), sh2)
@@ -213,7 +220,9 @@ def make_train_step(
                 res = render_rays_train_compact(
                     field.apply, params, settings, occ, ro, rd, enc_a, c,
                     eye, bg, budget=train_budget, noise=noise,
-                    compute_uncertainty=unc_loss)
+                    compute_uncertainty=unc_loss,
+                    stage_split=train_stage_split,
+                    stage2_budget=train_stage2_budget)
                 ray_weight = res["ray_weight"]
             else:
                 res = render_rays(field.apply, params, settings, occ,
@@ -278,6 +287,11 @@ def make_train_step(
                 # budget demand vs capacity (overflowed rays are excluded
                 # from the loss; persistent overflow → raise train_budget)
                 aux["n_active"] = res["n_active"]
+            if "n_stage2" in res:
+                # staged-eval survivor demand: overflow truncates those
+                # rays' composites at the split (biased, unlike the ray
+                # budget's reweighting) — raise train_stage2_frac
+                aux["n_stage2"] = res["n_stage2"]
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -33,6 +33,18 @@ def main():
                     help="training-ray compaction budget as a fraction of "
                          "num_rays (render_rays_train_compact); 0 = the "
                          "full static path")
+    ap.add_argument("--stage-split", type=int, default=0,
+                    help="staged early-termination eval split "
+                         "(Config.train_stage_split); 0 = single-pass "
+                         "(the default: the staged step measured SLOWER "
+                         "at every split/budget tried — Config comment)")
+    ap.add_argument("--stage2-frac", type=float, default=0.34,
+                    help="stage-2 survivor budget as a fraction of the ray "
+                         "budget (Config.train_stage2_frac)")
+    ap.add_argument("--fp32", action="store_true",
+                    help="fp32 MLP compute (the production default is bf16 "
+                         "compute with fp32 params/compositing — Config.fp16, "
+                         "cli.py:122 — matching the reference's fp16 AMP)")
     ap.add_argument("--data_parallel", type=int, default=0,
                     help="shard the ray batch over an N-device 'data' mesh "
                          "(the compact step runs per-shard, trainer.py). "
@@ -74,7 +86,8 @@ def main():
     occ = init_occupancy_state(settings)
     occ = occ._replace(occ=jnp.ones_like(occ.occ))
 
-    field = NeRFField(audio_in_dim=ds.audio_dim, ind_num=64)
+    field = NeRFField(audio_in_dim=ds.audio_dim, ind_num=64,
+                      dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
     b0 = ds.frame(0)
     params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
                         jnp.ones((4, 3)) / 3 ** 0.5, jnp.asarray(b0["auds"]),
@@ -93,10 +106,14 @@ def main():
         assert len(devs) == args.data_parallel, (
             f"need {args.data_parallel} devices, have {len(jax.devices())}")
         dp_sharding = data_sharding(make_mesh("data", devs))
+    stage2 = (max(1024, int(budget * args.stage2_frac) // 1024 * 1024)
+              if args.stage_split > 0 and budget > 0 else 0)
     step = jax.jit(make_train_step(
         field, settings, tx, H=res, W=res, intrinsics=ds.intrinsics,
         num_rays=args.num_rays, iters=100_000, ind_dim=4,
-        ema_interval=1000, train_budget=budget, data_sharding=dp_sharding))
+        ema_interval=1000, train_budget=budget, data_sharding=dp_sharding,
+        train_stage_split=args.stage_split if budget > 0 else 0,
+        train_stage2_budget=stage2))
 
     from lzzx_nerf_tpu.render import make_density_grid_update
 
@@ -128,6 +145,8 @@ def main():
     its = args.steps / dt_s
     n_act = (f", n_active={int(metrics['n_active'])}/{budget}"
              if "n_active" in metrics else "")
+    if "n_stage2" in metrics:
+        n_act += f", n_stage2={int(metrics['n_stage2'])}/{stage2}"
     dp = f", dp={args.data_parallel}" if args.data_parallel else ""
     print(f"train step{dp}: {its:.2f} it/s at num_rays={args.num_rays}, "
           f"grid={grid}, S=16, budget={budget}, {n_params/1e6:.2f}M params "

@@ -153,11 +153,11 @@ def main():
 
         jfn = jax.jit(fn)
         carry = jfn(jnp.float32(0), params)
-        carry.block_until_ready()
+        float(carry)  # block_until_ready lies on axon (PERF.md) — fetch
         t0 = time.perf_counter()
         for _ in range(args.steps):
             carry = jfn(carry, params)
-        carry.block_until_ready()
+        float(carry)  # the chain forces every step before this value exists
         return (time.perf_counter() - t0) / args.steps * 1e3
 
     def render_core(p):
@@ -193,9 +193,36 @@ def main():
         return jnp.sum(m.deltas) * 1e-6 + jnp.sum(p0) * 0
 
     add("C_render_fwd", lambda: chained(render_core))
+    # NOTE: keeping only one net's grad lets XLA DCE every other backward
+    # path (measured 61.5 ms ≈ fwd + 4 — an undermeasurement kept as the
+    # "MLP-only backward" bound); C_grad_all keeps every leaf alive
     add("C_render_grad", lambda: chained(
         lambda p: jax.grad(lambda q: render_core(q))(p)["params"]
         ["sigma_net"]["net_0"]["kernel"].sum()))
+
+    def grad_all(p):
+        g = jax.grad(lambda q: render_core(q))(p)
+        return sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
+    add("C_grad_all", lambda: chained(grad_all))
+
+    def grad_no_tables():
+        # stop gradients at the baked packed tables: isolates the
+        # scatter-add + bake-VJP cost of the encoder backward
+        from lzzx_nerf_tpu.ops import packed_triplane as pt
+
+        orig = pt.bake_packed
+
+        def stopped(levels, spec, dtype=jnp.float32):
+            return jax.lax.stop_gradient(orig(levels, spec, dtype=dtype))
+
+        pt.bake_packed = stopped
+        try:
+            return chained(grad_all)
+        finally:
+            pt.bake_packed = orig
+
+    add("C_grad_no_tables", grad_no_tables)
     add("C_march", lambda: chained(march_core))
 
     only = [s for s in args.only.split(",") if s]

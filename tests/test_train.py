@@ -280,6 +280,51 @@ def test_compact_train_step_matches_full(world):
                                    rtol=5e-4, atol=5e-5)
 
 
+def test_staged_train_step_matches_compact(world):
+    """Staged early-termination eval (train_stage_split): gradient-exact vs
+    the single-pass compact step whenever the stage-2 budget holds every
+    survivor — a sample with T < T_thresh contributes zero value AND zero
+    gradient in the single-pass composite (composite.py:61-71), so skipping
+    its field eval changes nothing. Stage-2 budget == ray budget here, so
+    overflow is impossible and the parity must be float-exact."""
+    ds, settings, state0, field, params = world
+    r = jnp.linspace(-1, 1, GRID)
+    X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+    occ = state0._replace(occ=(jnp.sqrt(X**2 + Y**2 + Z**2) < 0.45)[None])
+
+    tx = build_optimizer(iters=100)
+    state = TrainState.create(params, tx)
+    common = dict(H=ds.H, W=ds.W, intrinsics=ds.intrinsics, num_rays=1024,
+                  iters=100, ind_dim=4, ema_interval=50, train_budget=1024)
+    step_comp = jax.jit(make_train_step(field, settings, tx, **common))
+    step_staged = jax.jit(make_train_step(
+        field, settings, tx, train_stage_split=settings.max_steps // 2,
+        train_stage2_budget=1024, **common))
+
+    b = {k: jnp.asarray(v) for k, v in ds.frame(0).items()}
+    rng = jax.random.PRNGKey(3)
+    sc, mc = step_comp(state, occ, b, rng)
+    ss, ms = step_staged(state, occ, b, rng)
+
+    assert int(ms["n_stage2"]) <= 1024
+    np.testing.assert_allclose(float(ms["loss"]), float(mc["loss"]),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(float(ms["mse"]), float(mc["mse"]),
+                               rtol=2e-5, atol=1e-7)
+    for a, c in zip(jax.tree.leaves(sc.params), jax.tree.leaves(ss.params)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+    # survivor overflow: a 256-slot stage-2 budget must still run and
+    # report the demand through n_stage2 (truncation, not a crash)
+    step_tiny = jax.jit(make_train_step(
+        field, settings, tx, train_stage_split=settings.max_steps // 2,
+        train_stage2_budget=256, **common))
+    st, mt = step_tiny(state, occ, b, rng)
+    assert np.isfinite(float(mt["loss"]))
+    assert int(mt["n_stage2"]) == int(ms["n_stage2"])
+
+
 def test_compact_train_step_data_parallel_matches_single_device(world):
     """Per-shard compaction (round-2 review item 3): the compact step under
     an 8-device data mesh (budget/8 slots per shard, per-shard reweighting)
