@@ -520,6 +520,8 @@ def march_rays_window_bitmask_nb(
     num_cand: int,             # K2
     max_samples: int,          # S
     select: str = "topk",
+    noise: Optional[jnp.ndarray] = None,
+    nears: Optional[jnp.ndarray] = None,
 ) -> MarchResult:
     """EXACT bitmask march: one neighborhood-row fetch per 2-candidate
     group, per-candidate selection of the candidate's OWN column bits
@@ -530,12 +532,31 @@ def march_rays_window_bitmask_nb(
     (scripts/quality_check.py). Costs ~1 ms more VPU select math per 512²
     frame; gather row count unchanged. Requires the drift envelope
     (dt/2)·(H/(2·bound)) <= 1 cell — always true for the production
-    dt = 2·sqrt(3)·bound/H, checked at trace time otherwise."""
+    dt = 2·sqrt(3)·bound/H, checked at trace time otherwise.
+
+    noise/nears: the training lattice jitter, with march_rays_window's
+    exact semantics (candidates at nears + (k + noise)·dt, lattice started
+    one step before the snapped t_start, pre-floor candidates masked).
+    The jitter shifts the WHOLE lattice — fetch points ride the same
+    shifted lattice, so the fetch-to-candidate drift envelope is the
+    unchanged (dt/2)·|d_xy|. This is what lets the TRAINING march use the
+    bitmask fetch: one 36-word row per 2-candidate group instead of one
+    occupancy gather per candidate — half the march gather rows of the
+    per-candidate path at the same sample set (trainbench A/B)."""
     B = rays_o.shape[0]
     W9 = col_nbmask.shape[1]
     W32 = W9 // 9
     H = W32 * 32
     group = 2
+    if noise is None:
+        t0 = t_start
+        floor_t = None
+    else:
+        if nears is None:
+            raise ValueError("noise marching needs `nears` for the lattice "
+                             "floor")
+        t0 = t_start + dt * (noise - 1.0)
+        floor_t = nears + dt * noise - 1e-4 * dt
     # exactness envelope: drift (cells) = (dt/2)*|d_xy| / (2*bound/H); with
     # the production dt = 2*sqrt(3)*bound/H this is (sqrt(3)/2)*|d_xy| <= 1
     # for any direction, but a caller-supplied dt/bound combination can
@@ -559,11 +580,12 @@ def march_rays_window_bitmask_nb(
     # 9, W32] copy was ~0.75 GB/frame at 512²)
     kg = (jnp.arange(G, dtype=jnp.float32)[:, None] * group
           + jnp.arange(group, dtype=jnp.float32)[None, :])     # [G, group]
-    t_cand = t_start[:, None, None] + kg[None] * dt            # [B, G, group]
+    t_cand = t0[:, None, None] + kg[None] * dt                 # [B, G, group]
 
-    # group-midpoint fetch of the 3x3-neighborhood row
+    # group-midpoint fetch of the 3x3-neighborhood row (on the same —
+    # possibly noise-shifted — lattice as the candidates)
     gk = jnp.arange(G, dtype=jnp.float32) * group + (group - 1) / 2.0
-    t_g = t_start[:, None] + gk[None] * dt                     # [B, G]
+    t_g = t0[:, None] + gk[None] * dt                          # [B, G]
     pg = rays_o[:, None, :] + t_g[..., None] * rays_d[:, None, :]
     pg = jnp.clip(pg, -bound, bound)
     gx = jnp.clip((pg[..., 0] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
@@ -602,9 +624,11 @@ def march_rays_window_bitmask_nb(
     t_cand = t_cand.reshape(B, Kp)[:, :num_cand]
     occ = occ.reshape(B, Kp)[:, :num_cand]
     valid = occ & (t_cand < t_end[:, None]) & slot_valid[:, None]
+    if floor_t is not None:
+        valid = valid & (t_cand >= floor_t[:, None])
     sel_k, mask = _first_s_select(valid, num_cand, max_samples, select)
 
-    t_sel = t_start[:, None] + sel_k * dt
+    t_sel = t0[:, None] + sel_k * dt
     xyzs = jnp.clip(
         rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :],
         -bound, bound)

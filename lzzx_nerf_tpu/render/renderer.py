@@ -448,6 +448,7 @@ def render_rays_train_compact(
     window_candidates: Optional[int] = None,
     stage_split: int = 0,
     stage2_budget: int = 0,
+    use_bitmask: bool = False,
 ) -> Dict[str, Any]:
     """Training-path ray compaction: EXACT render_rays(training=True) for
     every contributing ray, at a fraction of the work.
@@ -514,9 +515,30 @@ def render_rays_train_compact(
     bg_c = packed_rows[:, 10:13]
     noise_c = packed_rows[:, 13] if noise is not None else None
 
-    m = march_rays_window(ro, rd, t0, t1, cs.slot_valid, state.occ,
-                          settings.bound, settings.dt, K2, S,
-                          noise=noise_c, nears=nears_c)
+    # use_bitmask: the exact 3x3-neighborhood bitmask march (noise-lattice
+    # variant, sample-set-identical — tests/test_march2.py noise-parity
+    # test) halves the march GATHER rows (one 36-word row per 2-candidate
+    # group vs one occupancy gather per candidate) but measured SLOWER in
+    # the training step — 6.26 vs 6.55 it/s trainbench A/B: the two-stage
+    # word/neighbor select on [B, G, group] costs more inside the
+    # differentiated train graph than the saved rows (the serving frame,
+    # where the same trade WINS 3.5x, amortizes the select across an
+    # un-differentiated graph with K2=50 adaptive windows, not K2=114).
+    # Kept opt-in + parity-tested like the repo's other measured negative
+    # results (PERF.md round 3).
+    if use_bitmask:
+        from ..ops.march2 import (column_bitmasks_neighborhood,
+                                  march_rays_window_bitmask_nb)
+
+        nbmask = column_bitmasks_neighborhood(state.occ)
+        m = march_rays_window_bitmask_nb(
+            ro, rd, t0, t1, cs.slot_valid, nbmask,
+            settings.bound, settings.dt, K2, S,
+            noise=noise_c, nears=nears_c)
+    else:
+        m = march_rays_window(ro, rd, t0, t1, cs.slot_valid, state.occ,
+                              settings.bound, settings.dt, K2, S,
+                              noise=noise_c, nears=nears_c)
 
     pts = m.xyzs.reshape(budget * S, 3)
     dirs = jnp.repeat(rd, S, axis=0)

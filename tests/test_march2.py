@@ -455,6 +455,37 @@ def test_nb_bitmask_march_exact_any_direction():
                                atol=1e-5)
 
 
+def test_nb_bitmask_march_exact_with_noise():
+    """The nb march's noise-lattice support (used by the TRAINING compact
+    path) must reproduce march_rays_window's noisy sampling exactly: the
+    jitter shifts the whole lattice — fetch points included — so the
+    fetch-to-candidate drift envelope is unchanged, and the one-step-early
+    lattice start + pre-floor masking must match candidate-for-candidate."""
+    from lzzx_nerf_tpu.ops.march2 import (column_bitmasks_neighborhood,
+                                          march_rays_window_bitmask_nb)
+    from lzzx_nerf_tpu.ops.ray import near_far_from_aabb
+
+    occ, o, d = _scene()
+    ro, rd, t0, t1, cs = _windows_and_slots(occ, o, d)
+    aabb = jnp.asarray([-BOUND, -BOUND, -BOUND, BOUND, BOUND, BOUND],
+                       jnp.float32)
+    nears_full, _ = near_far_from_aabb(ro, rd, aabb, 0.05)
+    rng = np.random.default_rng(7)
+    noise = jnp.asarray(rng.random(ro.shape[0]).astype(np.float32))
+    K2, S = 40, 16
+    v2 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, BOUND, DT,
+                           K2, S, noise=noise, nears=nears_full)
+    nb = column_bitmasks_neighborhood(occ)
+    v4 = march_rays_window_bitmask_nb(ro, rd, t0, t1, cs.slot_valid, nb,
+                                      BOUND, DT, K2, S,
+                                      noise=noise, nears=nears_full)
+    np.testing.assert_array_equal(np.asarray(v2.mask), np.asarray(v4.mask))
+    np.testing.assert_allclose(np.asarray(v2.ts), np.asarray(v4.ts),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2.xyzs), np.asarray(v4.xyzs),
+                               atol=1e-5)
+
+
 def _block_march_inputs(occ, H=32, W=32, z=-2.5, fov_scale=0.6):
     """Replicates render_rays_compact_blocks' marching prep: pinhole rays,
     block-centre windows, per-ray near-anchored re-snap. Returns everything
