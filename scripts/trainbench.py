@@ -45,6 +45,10 @@ def main():
                     help="fp32 MLP compute (the production default is bf16 "
                          "compute with fp32 params/compositing — Config.fp16, "
                          "cli.py:122 — matching the reference's fp16 AMP)")
+    ap.add_argument("--torso", action="store_true",
+                    help="benchmark the TORSO stage step instead "
+                         "(make_torso_train_step: 2-D deform-field nets, "
+                         "no marching — the reference's 200k-iter stage)")
     ap.add_argument("--data_parallel", type=int, default=0,
                     help="shard the ray batch over an N-device 'data' mesh "
                          "(the compact step runs per-shard, trainer.py). "
@@ -85,6 +89,55 @@ def main():
                               aabb=aabb)
     occ = init_occupancy_state(settings)
     occ = occ._replace(occ=jnp.ones_like(occ.occ))
+
+    if args.torso:
+        import time as _t
+
+        from lzzx_nerf_tpu.models import TorsoField
+        from lzzx_nerf_tpu.render import make_torso_grid_update
+        from lzzx_nerf_tpu.train.trainer import make_torso_train_step
+
+        torso = TorsoField(ind_dim_torso=8, ind_num=64,
+                           dtype=jnp.float32 if args.fp32
+                           else jnp.bfloat16)
+        b0 = ds.frame(0)
+        tparams = torso.init(jax.random.PRNGKey(0), jnp.zeros((4, 2)),
+                             jnp.asarray(b0["pose"]), jnp.zeros(8))
+        n_params = sum(x.size for x in jax.tree.leaves(tparams))
+        tx = build_optimizer(1e-2, 1e-3, 200_000)
+        state = TrainState.create(tparams, tx)
+        tstep = jax.jit(make_torso_train_step(
+            torso, settings, tx, H=res, W=res, num_rays=args.num_rays,
+            iters=200_000, ind_dim_torso=8))
+        refresh = make_torso_grid_update(torso, settings, 8)
+        rng = jax.random.PRNGKey(0)
+        frames_dev = []
+        for i in range(ds.num_frames):
+            fr = {k: jnp.asarray(v) for k, v in ds.frame(i).items()}
+            # the torso target: gt torso composited over bg (the synthetic
+            # scene has no torso split — any target measures throughput)
+            fr["bg_torso_color"] = fr["image"]
+            frames_dev.append(jax.device_put(fr))
+
+        def trun(n, state, occ, rng):
+            for it in range(n):
+                batch = frames_dev[it % ds.num_frames]
+                if it % 16 == 0:
+                    occ = refresh(state.params, occ, batch["pose"], rng,
+                                  state.step)
+                state, metrics = tstep(state, occ, batch, rng)
+            return state, occ, rng, metrics
+
+        state, occ, rng, metrics = trun(17, state, occ, rng)
+        float(metrics["loss"])
+        t0 = _t.perf_counter()
+        state, occ, rng, metrics = trun(args.steps, state, occ, rng)
+        float(metrics["loss"])
+        its = args.steps / (_t.perf_counter() - t0)
+        print(f"torso step: {its:.2f} it/s at num_rays={args.num_rays} "
+              f"({n_params / 1e6:.2f}M params); reference recipe torso "
+              f"200k iters = {200_000 / its / 3600:.1f} h on one chip")
+        return
 
     field = NeRFField(audio_in_dim=ds.audio_dim, ind_num=64,
                       dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
