@@ -339,25 +339,31 @@ def run_train(cfg) -> None:
                 if "n_active" in metrics:
                     # compact-step budget demand: persistent overflow means
                     # rays are excluded from the loss every step — raise
-                    # train_budget_frac (Config comment has the quality data)
+                    # train_budget_frac (Config comment has the quality
+                    # data). n_active_over is the worst SHARD's excess over
+                    # its per-shard slots under --data_parallel (the summed
+                    # demand can sit under the global budget while one
+                    # shard overflows), trainer.py.
                     n_act = int(metrics["n_active"])
                     trainer.scalar("train/n_active", n_act, it)
-                    if n_act > train_budget:
+                    if int(metrics["n_active_over"]) > 0:
                         trainer.log(
-                            f"[WARN] train-ray budget overflow: n_active "
-                            f"{n_act} > budget {train_budget}; overflow rays "
-                            f"are dropped from the loss (unbiased but noisy)"
-                            f" — consider raising --train_budget_frac")
+                            f"[WARN] train-ray budget overflow: worst "
+                            f"shard exceeds its slots by "
+                            f"{int(metrics['n_active_over'])} rays (demand "
+                            f"{n_act}, budget {train_budget}); overflow "
+                            f"rays are dropped from the loss (unbiased but "
+                            f"noisy) — consider raising "
+                            f"--train_budget_frac")
                 if "n_stage2" in metrics:
                     n_s2 = int(metrics["n_stage2"])
                     trainer.scalar("train/n_stage2", n_s2, it)
-                    s2_budget = max(1024, int(train_budget
-                                              * cfg.train_stage2_frac)
-                                    // 1024 * 1024)
-                    if n_s2 > s2_budget:
+                    if int(metrics["n_stage2_over"]) > 0:
                         trainer.log(
-                            f"[WARN] staged-eval survivor overflow: "
-                            f"n_stage2 {n_s2} > {s2_budget}; overflowing "
+                            f"[WARN] staged-eval survivor overflow: worst "
+                            f"shard exceeds its stage-2 slots by "
+                            f"{int(metrics['n_stage2_over'])} (demand "
+                            f"{n_s2}, budget {stage2}); overflowing "
                             f"rays truncate at sample "
                             f"{cfg.train_stage_split} (biased) — raise "
                             f"--train_stage2_frac or set "

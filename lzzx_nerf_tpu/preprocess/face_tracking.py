@@ -419,23 +419,27 @@ def fit_light(model: Face3DMM, frames: jnp.ndarray, cxy, params: Dict,
 
 # ---------- fit stages (ajian_util.py ports) ----------
 
-# jitted fit steps keyed by (model identity, loss configuration): a fresh
-# @jax.jit closure per _adam_fit call would recompile the IDENTICAL program
-# on every call — fit_focal invokes _adam_fit 18 times (9 focals x 2
-# stages) and fit_fine's checkpointing loop iters/save_every times, all at
-# the same shapes. One cached function object per config lets jit's own
-# cache reuse the compiled program (lms/photo_frames are arguments, so
-# shape changes retrace naturally).
-_FIT_STEP_CACHE: Dict = {}
+# jitted fit steps cached ON the model instance, keyed by the loss
+# configuration: a fresh @jax.jit closure per _adam_fit call would
+# recompile the IDENTICAL program on every call — fit_focal invokes
+# _adam_fit 18 times (9 focals x 2 stages) and fit_fine's checkpointing
+# loop iters/save_every times, all at the same shapes. One cached function
+# object per config lets jit's own cache reuse the compiled program
+# (lms/photo_frames are arguments, so shape changes retrace naturally).
+# Instance-attached (not a module global keyed by id(model)) so a batch
+# job tracking many videos doesn't retain every video's BFM arrays +
+# compiled executables for the process lifetime — entries die with the
+# model (the model->cache->closure->model cycle is ordinary GC fodder).
 
 
 def _fit_step_for(model: Face3DMM, cxy, lr: float, reg_id: float,
                   reg_exp: float, lap_w: float, photo_scale: float,
                   photo_w: float):
-    key = (id(model), tuple(float(v) for v in np.asarray(cxy).ravel()),
+    cache: Dict = model.__dict__.setdefault("_fit_step_cache", {})
+    key = (tuple(float(v) for v in np.asarray(cxy).ravel()),
            float(lr), float(reg_id), float(reg_exp), float(lap_w),
            float(photo_scale), float(photo_w))
-    cached = _FIT_STEP_CACHE.get(key)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     tx = optax.adam(lr)
@@ -477,7 +481,7 @@ def _fit_step_for(model: Face3DMM, cxy, lr: float, reg_id: float,
         tp = optax.apply_updates(tp, updates)
         return tp, opt_state, lan
 
-    _FIT_STEP_CACHE[key] = (tx, step)
+    cache[key] = (tx, step)
     return tx, step
 
 

@@ -126,7 +126,12 @@ def make_density_grid_update(field, settings: RenderSettings,
     program, so callers pay zero per-call eager ops."""
 
     def refresh(params, state: OccupancyState, auds, eye, rng, step):
-        rng = jax.random.fold_in(rng, step)
+        # fold a domain tag on top of the step: the train step folds the
+        # SAME (rng, step) pair, and without the tag the refresh's cell
+        # jitter and the step's ray-lattice noise would be bit-identical
+        # draws (occupancy probed at exactly the points that then jitter
+        # the rays) — correlated sampling every refresh step.
+        rng = jax.random.fold_in(jax.random.fold_in(rng, step), 0x6772)
         enc_a = field.apply(params, auds, method="encode_audio")
 
         def density_fn(pts, ea, ey):
@@ -145,7 +150,9 @@ def make_torso_grid_update(torso, settings: RenderSettings,
     -> occ."""
 
     def refresh(params, state: OccupancyState, pose, rng, step):
-        rng = jax.random.fold_in(rng, step)
+        # domain tag: see make_density_grid_update — the torso step consumes
+        # the identical folded (rng, step) key directly for pixel selection.
+        rng = jax.random.fold_in(jax.random.fold_in(rng, step), 0x746F)
         c = (params["params"]["individual_codes_torso"][0]
              if ind_dim_torso > 0 else None)
 

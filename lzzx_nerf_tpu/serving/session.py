@@ -548,13 +548,21 @@ class InferenceSession:
             # one-sided fallback pushes H*W*3 rgb24 bytes into a pipe
             # expecting half that (FramePump rejects; bare ffmpeg scrambles)
             fmt = "rgb24"
-            if hasattr(sink, "pix_fmt"):
-                if getattr(sink, "proc", None) is not None:
-                    raise RuntimeError(
-                        f"sink already opened as yuv420p but frame size "
-                        f"{ds.W}x{ds.H} is odd — construct the sink with "
-                        "pix_fmt='rgb24'")
-                sink.pix_fmt = "rgb24"
+            # walk wrapper sinks (FilteredSink.inner) so the ffmpeg-facing
+            # sink flips too — today FilteredSink's constructor already
+            # requires an rgb24 inner (streaming.py), so this loop only
+            # ever touches one level, but a future wrapper must not be
+            # left declaring yuv420p to ffmpeg while receiving rgb24
+            s = sink
+            while s is not None:
+                if hasattr(s, "pix_fmt"):
+                    if getattr(s, "proc", None) is not None:
+                        raise RuntimeError(
+                            f"sink already opened as yuv420p but frame "
+                            f"size {ds.W}x{ds.H} is odd — construct the "
+                            "sink with pix_fmt='rgb24'")
+                    s.pix_fmt = "rgb24"
+                s = getattr(s, "inner", None)
         render = self._get_render(fmt)
 
         C = max(1, cfg.infer_chunk)

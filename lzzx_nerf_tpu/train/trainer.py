@@ -210,7 +210,13 @@ def make_train_step(
                         res[k] = (pts_s.reshape(-1, 3), dirs_s.reshape(-1, 3),
                                   mask_s.reshape(-1))
                     elif k in ("n_active", "n_stage2"):
+                        # the sum is the true demand, but overflow is a
+                        # PER-SHARD event (each shard has budget/n_sh
+                        # slots): report the worst shard's excess so the
+                        # CLI warning can't be masked by idle shards
                         res[k] = jnp.sum(v)
+                        cap = b_local if k == "n_active" else b2_local
+                        res[k + "_over"] = jnp.max(v) - cap
                     elif v.ndim >= 2 and v.shape[1] == n_rays // n_sh:
                         res[k] = wsc2(v.reshape(n_rays, *v.shape[2:]), sh2)
                     else:
@@ -224,6 +230,10 @@ def make_train_step(
                     stage_split=train_stage_split,
                     stage2_budget=train_stage2_budget)
                 ray_weight = res["ray_weight"]
+                res["n_active_over"] = res["n_active"] - train_budget
+                if "n_stage2" in res:
+                    res["n_stage2_over"] = (res["n_stage2"]
+                                            - train_stage2_budget)
             else:
                 res = render_rays(field.apply, params, settings, occ,
                                   ro, rd, enc_a, c, eye, bg,
@@ -287,11 +297,13 @@ def make_train_step(
                 # budget demand vs capacity (overflowed rays are excluded
                 # from the loss; persistent overflow → raise train_budget)
                 aux["n_active"] = res["n_active"]
+                aux["n_active_over"] = res["n_active_over"]
             if "n_stage2" in res:
                 # staged-eval survivor demand: overflow truncates those
                 # rays' composites at the split (biased, unlike the ray
                 # budget's reweighting) — raise train_stage2_frac
                 aux["n_stage2"] = res["n_stage2"]
+                aux["n_stage2_over"] = res["n_stage2_over"]
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
