@@ -346,10 +346,15 @@ def run_train(cfg) -> None:
                     # shard overflows), trainer.py.
                     n_act = int(metrics["n_active"])
                     trainer.scalar("train/n_active", n_act, it)
+                    # "worst shard" only means something under
+                    # --data_parallel; single-device overflow should not
+                    # send the user hunting for a sharding misconfig
+                    who = ("worst shard exceeds its slots"
+                           if dp_sharding is not None
+                           else "demand exceeds the budget")
                     if int(metrics["n_active_over"]) > 0:
                         trainer.log(
-                            f"[WARN] train-ray budget overflow: worst "
-                            f"shard exceeds its slots by "
+                            f"[WARN] train-ray budget overflow: {who} by "
                             f"{int(metrics['n_active_over'])} rays (demand "
                             f"{n_act}, budget {train_budget}); overflow "
                             f"rays are dropped from the loss (unbiased but "
@@ -358,11 +363,13 @@ def run_train(cfg) -> None:
                 if "n_stage2" in metrics:
                     n_s2 = int(metrics["n_stage2"])
                     trainer.scalar("train/n_stage2", n_s2, it)
+                    who2 = ("worst shard exceeds its stage-2 slots"
+                            if dp_sharding is not None
+                            else "demand exceeds the stage-2 budget")
                     if int(metrics["n_stage2_over"]) > 0:
                         trainer.log(
-                            f"[WARN] staged-eval survivor overflow: worst "
-                            f"shard exceeds its stage-2 slots by "
-                            f"{int(metrics['n_stage2_over'])} (demand "
+                            f"[WARN] staged-eval survivor overflow: {who2} "
+                            f"by {int(metrics['n_stage2_over'])} (demand "
                             f"{n_s2}, budget {stage2}); overflowing "
                             f"rays truncate at sample "
                             f"{cfg.train_stage_split} (biased) — raise "
@@ -581,12 +588,20 @@ def run_test(cfg) -> None:
     k2 = cfg.infer_window_candidates
     march_group = cfg.infer_march_group
     march_variant = cfg.infer_march_variant
+    # the block marcher only runs when render_frame below actually takes
+    # the block path — resolving a group-2/quad plan otherwise would
+    # materialize MB-scale variant tables (col_quadmask / col_nb5mask)
+    # that the per-ray render never reads, and log a plan describing a
+    # marcher that is never used (mirror of session.py's use_blocks gate)
+    use_blocks = (use_compact and cfg.infer_block == 2 and ds.H % 2 == 0
+                  and ds.W % 2 == 0 and budget % 4 == 0)
     if use_compact:
         from .ops.march2 import resolve_march_plan
 
         k2, march_group, march_variant = resolve_march_plan(
             isettings, tables.z_lo, tables.z_hi, ds.poses, ds.intrinsics,
-            ds.H, ds.W, k2_override=k2, march_group=march_group,
+            ds.H, ds.W, k2_override=k2,
+            march_group=march_group if use_blocks else 1,
             march_variant=march_variant, log=trainer.log)
         from .ops.march2 import ensure_variant_tables, needed_variant_tables
 
@@ -646,8 +661,7 @@ def run_test(cfg) -> None:
                 jnp.broadcast_to(ray_o_origin, rays_d.shape), rays_d,
                 enc_a, c, eye, bg, compute_uncertainty=False)
             out = {**out, "n_active": jnp.int32(0)}
-        elif (cfg.infer_block == 2 and ds.H % 2 == 0 and ds.W % 2 == 0
-                and budget % 4 == 0):
+        elif use_blocks:
             from .render import render_rays_compact_blocks
 
             out = render_rays_compact_blocks(

@@ -39,6 +39,9 @@ struct Pump {
   std::atomic<bool> abort_flag{false};  // close(): give up on a stalled sink
   std::atomic<bool> done{false};        // writer_loop exited
   std::atomic<long> written{0};
+  std::atomic<long> bytes_out{0};  // close() watches BYTE progress: a sink
+                                   // draining a 6 MB frame slower than the
+                                   // patience window is healthy, not wedged
   std::atomic<int> error{0};    // errno of the first failed write
   std::mutex m;
   std::condition_variable nonempty;
@@ -76,6 +79,7 @@ void writer_loop(Pump* p) {
       ssize_t n = ::write(p->fd, src + off, p->frame_bytes - off);
       if (n > 0) {
         off += static_cast<size_t>(n);
+        p->bytes_out.fetch_add(n);
         continue;
       }
       if (n < 0 && errno == EINTR) continue;
@@ -149,11 +153,12 @@ long fp_pending(void* h) {
 int fp_error(void* h) { return static_cast<Pump*>(h)->error.load(); }
 
 // Drain remaining frames, stop the worker, return frames written
-// (negated errno if the sink failed). Drain patience is PROGRESS-based:
-// as long as the sink keeps accepting frames the queue flushes fully, but
-// 5 s with no frame written (encoder wedged, RTMP zero-window) aborts so
-// close() is always bounded — the old unconditional join could hang the
-// serving process forever.
+// (negated errno if the sink failed). Drain patience is PROGRESS-based at
+// BYTE granularity: as long as the sink accepts any bytes the queue keeps
+// flushing (a 1080p rgb24 frame is ~6 MB — a slow-but-healthy encoder can
+// legitimately take >5 s per frame), but 5 s with no byte accepted
+// (encoder wedged, RTMP zero-window) aborts so close() is always bounded —
+// the old unconditional join could hang the serving process forever.
 long fp_close(void* h) {
   Pump* p = static_cast<Pump*>(h);
   {
@@ -162,11 +167,11 @@ long fp_close(void* h) {
     p->nonempty.notify_all();
     p->nonfull.notify_all();
   }
-  long last = p->written.load();
+  long last = p->bytes_out.load();
   int idle_ms = 0;
   while (!p->done.load() && idle_ms < 5000) {
     std::this_thread::sleep_for(std::chrono::milliseconds(50));
-    long w = p->written.load();
+    long w = p->bytes_out.load();
     if (w != last) {
       last = w;
       idle_ms = 0;

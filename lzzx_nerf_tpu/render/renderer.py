@@ -431,6 +431,16 @@ def _staged_train_eval_composite(
             cs2.n_active)
 
 
+def effective_train_stage2_budget(budget: int, stage2_budget: int) -> int:
+    """The stage-2 slot count render_rays_train_compact actually uses.
+
+    Callers that report overflow (trainer.py's n_stage2_over) must compare
+    demand against THIS value, not the raw stage2_budget argument — passing
+    0 selects this default, and comparing against 0 would claim truncation
+    on every step."""
+    return stage2_budget or max(1024, budget // 2 // 1024 * 1024)
+
+
 def render_rays_train_compact(
     field_apply,
     params,
@@ -544,7 +554,7 @@ def render_rays_train_compact(
     dirs = jnp.repeat(rd, S, axis=0)
     n_stage2 = None
     if stage_split and 0 < stage_split < S:
-        b2 = stage2_budget or max(1024, budget // 2 // 1024 * 1024)
+        b2 = effective_train_stage2_budget(budget, stage2_budget)
         (img_c, depth_raw, wsum_c, amb_aud_c, amb_eye_c, unc_c,
          n_stage2) = _staged_train_eval_composite(
             field_apply, params, settings, m, rd, enc_a, ind_code, eye,

@@ -523,12 +523,17 @@ class InferenceSession:
                     self._pending_budget = max(self._pending_budget or 0,
                                                want)
             for j in range(count):
-                if not self._overflow_warned and int(acts[j]) > self.budget:
-                    if self.budget >= frame_cap:
-                        print(f"[WARN] frame {base + j}: {int(acts[j])} "
-                              f"active rays exceed the whole-frame budget "
-                              f"{self.budget}; overflow rendered as "
-                              f"background")
+                # only-once gate applies only when the warning actually
+                # prints: overflow during adaptive growth (budget <
+                # frame_cap) already logs the rebuild notice above, and
+                # consuming the flag there would permanently silence this
+                # saturated-budget warning afterwards
+                if (not self._overflow_warned and self.budget >= frame_cap
+                        and int(acts[j]) > self.budget):
+                    print(f"[WARN] frame {base + j}: {int(acts[j])} "
+                          f"active rays exceed the whole-frame budget "
+                          f"{self.budget}; overflow rendered as "
+                          f"background")
                     self._overflow_warned = True
                 sink.push(bufs[j].tobytes())
                 if on_frame:

@@ -24,8 +24,8 @@ import optax
 from flax import struct
 
 from ..models.nerf import NeRFField, TorsoField
-from ..render.renderer import (render_rays, render_rays_train_compact,
-                               run_torso)
+from ..render.renderer import (effective_train_stage2_budget, render_rays,
+                               render_rays_train_compact, run_torso)
 from ..render.state import OccupancyState, RenderSettings
 from ..utils.rays import get_bg_coords, get_rays
 from . import lpips as lpips_mod
@@ -215,7 +215,12 @@ def make_train_step(
                         # slots): report the worst shard's excess so the
                         # CLI warning can't be masked by idle shards
                         res[k] = jnp.sum(v)
-                        cap = b_local if k == "n_active" else b2_local
+                        # cap: the budget the renderer ACTUALLY used — a
+                        # stage2_budget of 0 selects the renderer-internal
+                        # default, so compare against that, not against 0
+                        cap = (b_local if k == "n_active" else
+                               effective_train_stage2_budget(b_local,
+                                                             b2_local))
                         res[k + "_over"] = jnp.max(v) - cap
                     elif v.ndim >= 2 and v.shape[1] == n_rays // n_sh:
                         res[k] = wsc2(v.reshape(n_rays, *v.shape[2:]), sh2)
@@ -232,8 +237,9 @@ def make_train_step(
                 ray_weight = res["ray_weight"]
                 res["n_active_over"] = res["n_active"] - train_budget
                 if "n_stage2" in res:
-                    res["n_stage2_over"] = (res["n_stage2"]
-                                            - train_stage2_budget)
+                    res["n_stage2_over"] = (
+                        res["n_stage2"] - effective_train_stage2_budget(
+                            train_budget, train_stage2_budget))
             else:
                 res = render_rays(field.apply, params, settings, occ,
                                   ro, rd, enc_a, c, eye, bg,

@@ -512,6 +512,13 @@ def test_session_adaptive_budget_rebuild(session_workspace, capsys):
     s_small, got_small = run(0.05)
     out = capsys.readouterr().out
     assert "rebuilding the render program" in out
+    # 40x40 = 1600 rays but frame_cap = 1536 (gran 256): once the adaptive
+    # budget saturates at the cap, the 64-ray overflow must still be
+    # reported (once) — the silent growth-phase branch must NOT consume the
+    # warn-once flag (round-3 review find: it previously set
+    # _overflow_warned while budget < frame_cap, permanently silencing
+    # this warning)
+    assert out.count("rendered as background") == 1
     s_big, got_big = run(1.0)
     # no frames dropped, budget grew to the big session's value
     assert sorted(got_small) == list(range(6))

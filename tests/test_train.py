@@ -323,6 +323,20 @@ def test_staged_train_step_matches_compact(world):
     st, mt = step_tiny(state, occ, b, rng)
     assert np.isfinite(float(mt["loss"]))
     assert int(mt["n_stage2"]) == int(ms["n_stage2"])
+    # overflow is reported against the budget the renderer actually used
+    assert int(mt["n_stage2_over"]) == int(mt["n_stage2"]) - 256
+
+    # stage2_budget=0 selects the renderer-internal default; the overflow
+    # report must compare against that default, not against 0 (which would
+    # warn "truncation" on every step despite zero truncation happening)
+    step_def = jax.jit(make_train_step(
+        field, settings, tx, train_stage_split=settings.max_steps // 2,
+        train_stage2_budget=0, **common))
+    _, md = step_def(state, occ, b, rng)
+    from lzzx_nerf_tpu.render.renderer import effective_train_stage2_budget
+    eff = effective_train_stage2_budget(1024, 0)
+    assert int(md["n_stage2_over"]) == int(md["n_stage2"]) - eff
+    assert int(md["n_stage2_over"]) <= 0
 
 
 def test_compact_train_step_data_parallel_matches_single_device(world):
