@@ -486,13 +486,18 @@ def test_nb_bitmask_march_exact_with_noise():
                                atol=1e-5)
 
 
-def _block_march_inputs(occ, H=32, W=32, z=-2.5, fov_scale=0.6):
+def _block_march_inputs(occ, H=32, W=32, z=-2.5, fov_scale=0.6,
+                        bound=None, dt=None, aabb=None):
     """Replicates render_rays_compact_blocks' marching prep: pinhole rays,
     block-centre windows, per-ray near-anchored re-snap. Returns everything
-    both the per-ray and block-shared marchers need."""
+    both the per-ray and block-shared marchers need. bound/dt/aabb default
+    to the module GRID=32 scene; pass them for other grid sizes."""
     from lzzx_nerf_tpu.ops.march2 import column_intervals
     from lzzx_nerf_tpu.utils import get_rays
 
+    bound = BOUND if bound is None else bound
+    dt = DT if dt is None else dt
+    aabb = AABB if aabb is None else aabb
     pose = jnp.asarray(np.array(
         [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, z], [0, 0, 0, 1]],
         np.float32))[None]
@@ -505,10 +510,10 @@ def _block_march_inputs(occ, H=32, W=32, z=-2.5, fov_scale=0.6):
     d_center = d_blocks.mean(axis=1)
     d_center = d_center / jnp.linalg.norm(d_center, axis=-1, keepdims=True)
     o_center = jnp.broadcast_to(origin, d_center.shape)
-    nears_b, fars_b = near_far_from_aabb(o_center, d_center, AABB, 0.05)
-    z_lo, z_hi = column_intervals(occ, BOUND)
+    nears_b, fars_b = near_far_from_aabb(o_center, d_center, aabb, 0.05)
+    z_lo, z_hi = column_intervals(occ, bound)
     win = ray_windows(o_center, d_center, nears_b, fars_b, z_lo, z_hi,
-                      BOUND, DT, pad_steps=3.0)
+                      bound, dt, pad_steps=3.0)
     cs = compact_rays(win.active, NB)
     rows = jnp.take(jnp.concatenate(
         [d_blocks.reshape(NB, 12), win.t_start[:, None],
@@ -519,10 +524,10 @@ def _block_march_inputs(occ, H=32, W=32, z=-2.5, fov_scale=0.6):
     dc = rows[:, 14:17]
     ro = jnp.broadcast_to(origin, rd.shape)
     slot_valid = jnp.repeat(cs.slot_valid, 4)
-    nears_r, fars_r = near_far_from_aabb(ro, rd, AABB, 0.05)
+    nears_r, fars_r = near_far_from_aabb(ro, rd, aabb, 0.05)
     t_start = jnp.maximum(nears_r, t0b)
-    k0 = jnp.ceil(jnp.maximum(t_start - nears_r, 0.0) / DT - 1e-4)
-    t_start = nears_r + k0 * DT
+    k0 = jnp.ceil(jnp.maximum(t_start - nears_r, 0.0) / dt - 1e-4)
+    t_start = nears_r + k0 * dt
     t_end = jnp.minimum(fars_r, t1b)
     return ro, rd, t_start, t_end, slot_valid, t0_blk, dc
 
@@ -1104,3 +1109,74 @@ def test_min_corner_dz_portrait_camera():
     dz2 = min_corner_dz(np.stack([pose, yaw]),
                         (512 / 0.6, 512 / 0.6, 256, 256), 512, 512)
     assert dz2 < dz
+
+
+def test_block_marchers_exact_grid64_multiword():
+    """Grid 64 = TWO uint32 z-words per column (production grid 128 has
+    four): the bitmask marchers' per-candidate WORD selection — word
+    index math, cross-word candidate spans, wslice word-pair pre-reduce,
+    quad signed window — is exercised at one word everywhere else in
+    this file (GRID=32); the multi-word path was otherwise covered only
+    by the TPU-side quality guard. Occupancy straddles the z=32 bit
+    boundary so candidate groups genuinely cross words."""
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_neighborhood, column_bitmasks_neighborhood5,
+        column_bitmasks_quadrant, march_rays_window_bitmask_nb,
+        march_rays_window_bitmask_nb_block,
+        march_rays_window_bitmask_nb_block_quad, nb_block_drift_cells,
+        nb_blockq_drift_cells)
+
+    G = 64
+    bound = 1.0
+    dt = 2 * 3 ** 0.5 / G
+    aabb = jnp.asarray([-1, -0.5, -1, 1, 0.5, 1], jnp.float32)
+    r = jnp.linspace(-1, 1, G)
+    X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+    occ = ((jnp.sqrt(X ** 2 + (2 * Y) ** 2 + Z ** 2) < 0.4)
+           | (jnp.sqrt((X - 0.3) ** 2 + (2 * Y) ** 2 + (Z - 0.45) ** 2)
+              < 0.22))[None]
+    # word-boundary sanity: occupied bits on both sides of z bit 31/32
+    occ_np = np.asarray(occ[0])
+    assert occ_np[:, :, :32].any() and occ_np[:, :, 32:].any()
+
+    H = W = 128
+    z_cam, fov_scale = -2.5, 0.35
+    # the exactness claim only holds inside the drift envelopes — pin the
+    # chosen camera there, or the asserts below would test nothing
+    focal = W / fov_scale
+    t_max = abs(z_cam) + 3 ** 0.5
+    sym = nb_block_drift_cells(dt, bound, G, focal, t_max, 0.9)
+    fwd, back = nb_blockq_drift_cells(dt, bound, G, focal, t_max, 0.9)
+    assert sym <= 2.0 and fwd <= 2.0 and back <= 1.0, (sym, fwd, back)
+
+    ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(
+        occ, H=H, W=W, z=z_cam, fov_scale=fov_scale,
+        bound=bound, dt=dt, aabb=aabb)
+    K2, S = 48, 16
+    ref = march_rays_window(ro, rd, t0, t1, sv, occ, bound, dt, K2, S)
+    assert int(np.asarray(ref.mask).sum()) > 1000  # scene actually marched
+
+    nb = column_bitmasks_neighborhood(occ)
+    v_nb = march_rays_window_bitmask_nb(ro, rd, t0, t1, sv, nb,
+                                        bound, dt, K2, S)
+    np.testing.assert_array_equal(np.asarray(ref.mask),
+                                  np.asarray(v_nb.mask))
+    np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(v_nb.ts),
+                               atol=1e-5)
+
+    nb5 = column_bitmasks_neighborhood5(occ)
+    for variant in ("wslice", "nb_first"):
+        v5 = march_rays_window_bitmask_nb_block(
+            ro, rd, t0, t1, sv, t0_blk, dc, nb5, bound, dt, K2, S,
+            variant=variant)
+        np.testing.assert_array_equal(np.asarray(ref.mask),
+                                      np.asarray(v5.mask), err_msg=variant)
+        np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(v5.ts),
+                                   atol=1e-5, err_msg=variant)
+
+    qt = column_bitmasks_quadrant(occ)
+    vq = march_rays_window_bitmask_nb_block_quad(
+        ro, rd, t0, t1, sv, t0_blk, dc, qt, bound, dt, K2, S)
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(vq.mask))
+    np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(vq.ts),
+                               atol=1e-5)
