@@ -1180,3 +1180,67 @@ def test_block_marchers_exact_grid64_multiword():
     np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(vq.mask))
     np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(vq.ts),
                                atol=1e-5)
+
+
+def test_window_analysis_exact_grid64():
+    """ray_windows' multi-probe z-band analysis + adaptive K2 at grid 64
+    (two z-words per column, halved dt): the windowed compacted march
+    must reproduce march_rays_uniform sample-for-sample over a random
+    pinhole-style ray fan. This is the grid-scaling regression net for
+    the round-3 window-truncation class (a fixed K2 that covered grid 32
+    silently lost the back crust at grid 128, -11 dB, caught only by the
+    TPU quality guard)."""
+    from lzzx_nerf_tpu.ops.march2 import window_candidates_for_scene
+
+    G = 64
+    bound = 1.0
+    dt = 2 * 3 ** 0.5 / G
+    aabb = jnp.asarray([-1, -0.5, -1, 1, 0.5, 1], jnp.float32)
+    r = jnp.linspace(-1, 1, G)
+    X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+    occ = ((jnp.sqrt(X ** 2 + (2 * Y) ** 2 + Z ** 2) < 0.4)
+           | (jnp.sqrt((X - 0.3) ** 2 + (2 * Y) ** 2 + (Z - 0.45) ** 2)
+              < 0.22))[None]
+
+    rng = np.random.default_rng(21)
+    N = 256
+    o = np.tile(np.array([[0.0, 0.0, -2.5]], np.float32), (N, 1))
+    d = rng.standard_normal((N, 3)).astype(np.float32) * 0.25
+    d[:, 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.05)
+    S = 16
+    v1 = march_rays_uniform(o, d, nears, fars, occ, bound, dt, 112, S)
+
+    z_lo, z_hi = column_intervals(occ, bound)
+    win = ray_windows(o, d, nears, fars, z_lo, z_hi, bound, dt)
+    cs = compact_rays(win.active, N)
+    ro = jnp.take(o, cs.ray_idx, axis=0)
+    rd = jnp.take(d, cs.ray_idx, axis=0)
+    t0 = jnp.take(win.t_start, cs.ray_idx)
+    t1 = jnp.take(win.t_end, cs.ray_idx)
+
+    k2 = window_candidates_for_scene(
+        z_lo, z_hi, dt, min_dz=float(np.asarray(d[:, 2]).min()))
+    v2 = march_rays_window(ro, rd, t0, t1, cs.slot_valid, occ, bound, dt,
+                           k2, S)
+
+    # no v1-sampled ray may be deactivated by the window analysis
+    v1m, v2m = np.asarray(v1.mask), np.asarray(v2.mask)
+    active = np.asarray(win.active)
+    assert set(np.where(v1m.any(axis=1))[0].tolist()) <= set(
+        np.where(active)[0].tolist())
+
+    v1t, v2t = np.asarray(v1.ts), np.asarray(v2.ts)
+    checked = 0
+    for slot in np.where(np.asarray(cs.slot_valid))[0]:
+        ray = int(np.asarray(cs.ray_idx)[slot])
+        n1, n2 = int(v1m[ray].sum()), int(v2m[slot].sum())
+        assert n1 == n2, f"ray {ray}: {n1} vs {n2} samples (K2={k2})"
+        if n1:
+            np.testing.assert_allclose(v2t[slot, :n1], v1t[ray, :n1],
+                                       atol=2e-4)
+            checked += 1
+    assert checked > 20  # the fan must genuinely hit the scene
