@@ -75,6 +75,14 @@ def main():
                          "round trip, so chunking divides that fixed cost "
                          "(the reference batches 32-frame waves, "
                          "TrainerUtil.py:691-699; 8 adds 320 ms latency)")
+    ap.add_argument("--latency", action="store_true",
+                    help="after the throughput loop, measure the SYNC "
+                         "chunk latency (dispatch -> frames on host, no "
+                         "pipeline overlap) and derive the live worst-"
+                         "frame audio->video latency: a frame waits up "
+                         "to (chunk-1) x 40 ms for its chunk's audio to "
+                         "arrive, then one chunk render + d2h fetch — "
+                         "chunk is the latency/throughput knob")
     ap.add_argument("--pix-fmt", choices=["yuv420p", "rgb24"],
                     default="yuv420p",
                     help="frame layout pushed to the encoder; yuv420p halves "
@@ -344,6 +352,29 @@ def main():
           f"n_active={max_act}/{budget}, n_stage2={max_s2}"
           + (f", n_spts={max_sp}/{staged_sb}" if staged_sb else ""),
           file=sys.stderr)
+
+    if args.latency:
+        # sync per-chunk latency: dispatch -> all C frames on host, no
+        # pipeline overlap (the program is already compiled above).
+        # Live serving at a real-time 25 fps audio source: frame i of a
+        # chunk waits (C-1-i)*40 ms for the chunk's audio, then one chunk
+        # render + fetch — the worst frame pays (C-1)*40 ms + this number
+        lat = []
+        for f in range(min(8, n_chunks)):
+            t = time.perf_counter()
+            img, _, _, _ = render_chunk(params, packed, tables, occ,
+                                        aud_stream[f], eyes[f], tparams,
+                                        torso_packed)
+            np.asarray(img)
+            lat.append(time.perf_counter() - t)
+        lat_ms = 1000.0 * float(np.median(lat))
+        worst = (C - 1) * 40.0 + lat_ms
+        print(f"# latency: sync chunk dispatch->host {lat_ms:.1f} ms "
+              f"(median of {len(lat)}); live worst-frame audio->video "
+              f"~= {worst:.0f} ms at chunk={C} "
+              f"(= {(C - 1) * 40} ms audio buffering + chunk latency); "
+              f"lower --chunk trades throughput for latency",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
