@@ -134,3 +134,49 @@ def test_pump_close_bounded_when_consumer_stalls():
     assert elapsed < 20, f"close() took {elapsed:.1f}s — unbounded drain"
     os.close(w)
     os.close(r)
+
+
+def test_pump_close_drains_slow_but_healthy_sink():
+    """fp_close's drain patience is BYTE-progress-based: a sink that
+    accepts bytes steadily but takes >5 s per FRAME (a ~6 MB 1080p rgb24
+    frame on a ~1 MB/s encoder) must be drained fully on close, not
+    aborted mid-frame. Regression: patience was measured in whole frames
+    written, so one slow frame tripped the 5 s no-progress abort and
+    close() raised BrokenPipeError on a healthy sink, losing the queued
+    tail and finalizing the mp4 from the kill path."""
+    import threading
+    import time
+
+    big = 1024 * 1024
+    r, w = os.pipe()
+    pump = FramePump(w, big, capacity=2)
+    pump.push(b"\xab" * big)
+
+    stop = threading.Event()
+    got = bytearray()
+
+    def dripper():
+        # ~64 KB per 0.4 s => the 1 MB frame takes >= ~6 s to drain:
+        # longer than the 5 s patience window, so the old frame-count
+        # progress check would abort mid-frame
+        while not stop.is_set() and len(got) < big:
+            chunk = os.read(r, 64 * 1024)
+            if not chunk:
+                break
+            got.extend(chunk)
+            time.sleep(0.4)
+
+    t = threading.Thread(target=dripper, daemon=True)
+    t.start()
+    start = time.monotonic()
+    written = pump.close()            # must drain, not raise
+    elapsed = time.monotonic() - start
+    assert written == 1
+    assert elapsed > 4.5, f"drain took only {elapsed:.1f}s — scenario " \
+                          f"no longer exceeds the old patience window"
+    # close() returns once every byte is in the pipe; the tail may still
+    # sit in the pipe buffer — let the reader finish before comparing
+    t.join(timeout=15)
+    stop.set()
+    assert bytes(got) == b"\xab" * big
+    os.close(r)
