@@ -159,26 +159,47 @@ class FfmpegMp4Sink(_FfmpegSink):
 
 
 class FfmpegHlsSink(_FfmpegSink):
-    """HLS packager: m3u8 playlist + .ts segments (the reference's offline
+    """HLS packager: m3u8 playlist + segments (the reference's offline
     test() pipes frames to an HLS writer and logs a ##M3U8##SUCCESS:<path>
-    sentinel the frontend greps — TrainerUtil.py:759-832)."""
+    sentinel the frontend greps — TrainerUtil.py:759-832).
+
+    segment_type:
+      * "mpegts" (default) — .ts segments, plays natively on Safari and
+        via hls.js elsewhere (the reference's CDN-fetched player path,
+        webrtc.py:30-36).
+      * "fmp4" — CMAF init.mp4 + .m4s fragments. This is the segment
+        format the bundled dependency-free player understands: fMP4
+        fragments append directly into a Media Source Extensions
+        SourceBuffer, so player.html can play the live stream in any
+        MSE browser with ~80 lines of inline JS instead of a vendored
+        hls.js build (serving/static/player.html::attachHls)."""
 
     def __init__(self, out_dir: str, width: int, height: int, fps: int = 25,
-                 segment_seconds: int = 5):
+                 segment_seconds: int = 5, segment_type: str = "mpegts"):
         super().__init__(width, height, fps)
+        if segment_type not in ("mpegts", "fmp4"):
+            raise ValueError(f"segment_type must be mpegts|fmp4, "
+                             f"got {segment_type!r}")
         self.out_dir = out_dir
         self.segment_seconds = segment_seconds
+        self.segment_type = segment_type
         self.playlist = os.path.join(out_dir, "stream.m3u8")
 
     def _output_args(self):
         os.makedirs(self.out_dir, exist_ok=True)
-        return ["-c:v", "libx264", "-pix_fmt", "yuv420p",
+        args = ["-c:v", "libx264", "-pix_fmt", "yuv420p",
                 "-g", str(self.fps * 2), "-f", "hls",
                 "-hls_time", str(self.segment_seconds),
-                "-hls_playlist_type", "event",
-                "-hls_segment_filename",
-                os.path.join(self.out_dir, "seg_%05d.ts"),
-                self.playlist]
+                "-hls_playlist_type", "event"]
+        if self.segment_type == "fmp4":
+            args += ["-hls_segment_type", "fmp4",
+                     "-hls_fmp4_init_filename", "init.mp4",
+                     "-hls_segment_filename",
+                     os.path.join(self.out_dir, "seg_%05d.m4s")]
+        else:
+            args += ["-hls_segment_filename",
+                     os.path.join(self.out_dir, "seg_%05d.ts")]
+        return args + [self.playlist]
 
     def close(self) -> None:
         super().close()
@@ -408,8 +429,10 @@ def make_sink(kind: str, width: int, height: int, fps: int = 25,
         return FfmpegRtmpSink(rtmp_url, width, height, fps, local_mp4=path or None)
     if kind == "mp4":
         return FfmpegMp4Sink(path, width, height, fps)
-    if kind == "hls":
-        return FfmpegHlsSink(path or "hls_out", width, height, fps)
+    if kind in ("hls", "hls-fmp4"):
+        return FfmpegHlsSink(path or "hls_out", width, height, fps,
+                             segment_type="fmp4" if kind == "hls-fmp4"
+                             else "mpegts")
     if kind == "raw":
         return RawFileSink(path)
     return NullSink()

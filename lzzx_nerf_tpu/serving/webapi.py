@@ -56,6 +56,14 @@ class ServerState:
         self.wait_loop: Optional[WaitVideoLoop] = None
         self.lock = threading.Lock()
 
+    @property
+    def hls_dir(self) -> Optional[str]:
+        """Directory the HLS sink packages into (served at GET /hls/) —
+        only meaningful for the hls sink kinds."""
+        if self.sink_kind in ("hls", "hls-fmp4"):
+            return self.out_path or "hls_out"
+        return None
+
     # -- operations (called by the HTTP handlers) --------------------------
 
     def model_select(self, model: str) -> dict:
@@ -176,12 +184,20 @@ class ServerState:
         return {"started": True, "frames": self.num_aud_frames}
 
     def status(self) -> dict:
+        # result_ready names a finished mp4; hls_url names the live playlist
+        # the browser player attaches via MSE while frames still render
+        # (reference ##PLAY## sentinel flow, webrtc.py:160-180)
+        hls_ready = bool(
+            self.hls_dir
+            and os.path.exists(os.path.join(self.hls_dir, "stream.m3u8")))
         return {"model": self.model_name, "busy": self.busy,
                 "frames_done": self.frames_done,
                 "aud_frames": self.num_aud_frames,
-                "result_ready": bool(self.out_path
+                "result_ready": bool(self.sink_kind in ("mp4", "rtmp")
+                                     and self.out_path
                                      and os.path.exists(self.out_path)
                                      and not self.busy),
+                "hls_url": "/hls/stream.m3u8" if hls_ready else None,
                 "error": self.last_error}
 
 
@@ -220,6 +236,34 @@ def make_handler(state: ServerState):
                     self.send_response(200)
                     self.send_header("Content-Type", "video/mp4")
                     self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path.startswith("/hls/"):
+                    # live HLS artifacts (playlist + segments) for the
+                    # bundled MSE player. Same-origin so player.html needs
+                    # no CORS; name is traversal-hardened like model_select
+                    if not state.hls_dir:
+                        return self._send(404, {"error": "server not "
+                                                "started with an hls sink"})
+                    name = self.path[len("/hls/"):].split("?", 1)[0]
+                    ext = os.path.splitext(name)[1]
+                    if (os.path.basename(name) != name or not name
+                            or ext not in
+                            (".m3u8", ".ts", ".m4s", ".mp4")):
+                        return self._send(404, {"error": "bad hls path"})
+                    fp = os.path.join(state.hls_dir, name)
+                    if not os.path.exists(fp):
+                        return self._send(404, {"error": f"{name} not "
+                                                "written yet"})
+                    data = open(fp, "rb").read()
+                    mime = {".m3u8": "application/vnd.apple.mpegurl",
+                            ".ts": "video/mp2t"}.get(ext, "video/mp4")
+                    self.send_response(200)
+                    self.send_header("Content-Type", mime)
+                    self.send_header("Content-Length", str(len(data)))
+                    if ext == ".m3u8":
+                        # the live playlist is re-polled — never cache it
+                        self.send_header("Cache-Control", "no-store")
                     self.end_headers()
                     self.wfile.write(data)
                 elif self.path == "/" or self.path.startswith("/player"):
@@ -288,7 +332,8 @@ def main():
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--trial-root", default=".")
     ap.add_argument("--sink", default="null",
-                    choices=["null", "raw", "mp4", "rtmp", "hls"])
+                    choices=["null", "raw", "mp4", "rtmp", "hls",
+                             "hls-fmp4"])
     ap.add_argument("--rtmp-url", default="")
     ap.add_argument("--out", default="")
     ap.add_argument("--asr_model", default="hubert",

@@ -70,8 +70,11 @@ class LMDMeter:
     meter reports n/a instead of failing the eval loop."""
 
     def __init__(self, backend: str = "fan",
-                 dlib_predictor_path: str = ""):
+                 dlib_predictor_path: str = "", region: str = "mouth"):
+        if region not in ("mouth", "face"):
+            raise ValueError(f"region must be mouth|face, got {region!r}")
         self.backend = backend
+        self.region = region   # reference utils.py:455-458: mouth or face
         self.predictor = None
         self.detector = None
         try:
@@ -122,8 +125,10 @@ class LMDMeter:
         lg = self.get_landmarks(np.asarray(gt))
         if lp is None or lg is None:
             return
-        # mouth landmarks 48:68; normalise by centring each mouth
-        lp, lg = lp[48:68], lg[48:68]
+        # region landmarks (mouth = 48:68 of the 68-point layout), then
+        # centre each set before the distance (utils.py:528-537)
+        if self.region == "mouth":
+            lp, lg = lp[48:68], lg[48:68]
         lp = lp - lp.mean(0)
         lg = lg - lg.mean(0)
         self.V += float(np.linalg.norm(lp - lg, axis=-1).mean())
@@ -135,4 +140,4 @@ class LMDMeter:
     def report(self) -> str:
         if self.predictor is None:
             return "LMD = n/a (no landmark backend installed)"
-        return f"LMD (mouth) = {self.measure():.6f}"
+        return f"LMD ({self.region}) = {self.measure():.6f}"

@@ -260,6 +260,82 @@ def test_hls_sink_command(tmp_path):
     assert any("seg_%05d.ts" in a for a in args)
 
 
+def test_hls_fmp4_sink_command(tmp_path):
+    """The fMP4 (CMAF) segment mode the bundled browser player consumes:
+    one init.mp4 declared via EXT-X-MAP plus .m4s fragments that append
+    straight into an MSE SourceBuffer (player.html::playFmp4Hls)."""
+    import pytest as _pytest
+
+    from lzzx_nerf_tpu.serving.streaming import FfmpegHlsSink, make_sink
+
+    s = make_sink("hls-fmp4", 512, 512, path=str(tmp_path / "hls"))
+    assert isinstance(s, FfmpegHlsSink) and s.segment_type == "fmp4"
+    args = s._output_args()
+    assert args[args.index("-hls_segment_type") + 1] == "fmp4"
+    assert args[args.index("-hls_fmp4_init_filename") + 1] == "init.mp4"
+    assert any("seg_%05d.m4s" in a for a in args)
+    with _pytest.raises(ValueError, match="mpegts|fmp4"):
+        FfmpegHlsSink(str(tmp_path), 512, 512, segment_type="dash")
+
+
+def test_webapi_hls_route(tmp_path):
+    """GET /hls/<name> serves playlist+segments for the bundled player,
+    traversal-hardened; /api/status advertises the playlist once written."""
+    import json as js
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.webapi import serve
+
+    hls = tmp_path / "hls_out"
+    hls.mkdir()
+    httpd = serve(Config(), host="127.0.0.1", port=0,
+                  data_root=str(tmp_path), trial_root=str(tmp_path),
+                  sink_kind="hls-fmp4", out_path=str(hls))
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        # nothing packaged yet: status has no hls_url, GET 404s
+        with urllib.request.urlopen(f"{base}/api/status") as r:
+            assert js.loads(r.read())["hls_url"] is None
+        for bad in ("/hls/stream.m3u8",          # not written yet
+                    "/hls/..%2fsecret.m3u8",     # traversal
+                    "/hls/notes.txt"):           # extension allowlist
+            try:
+                urllib.request.urlopen(base + bad)
+                raise AssertionError(f"{bad} served")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404, bad
+
+        (hls / "stream.m3u8").write_text(
+            '#EXTM3U\n#EXT-X-MAP:URI="init.mp4"\nseg_00000.m4s\n')
+        (hls / "init.mp4").write_bytes(b"\x00init")
+        (hls / "seg_00000.m4s").write_bytes(b"\x00seg")
+        (tmp_path / "secret.m3u8").write_text("outside")
+
+        with urllib.request.urlopen(f"{base}/api/status") as r:
+            assert js.loads(r.read())["hls_url"] == "/hls/stream.m3u8"
+        with urllib.request.urlopen(f"{base}/hls/stream.m3u8") as r:
+            assert r.headers["Content-Type"] == \
+                "application/vnd.apple.mpegurl"
+            assert r.headers["Cache-Control"] == "no-store"
+            assert "init.mp4" in r.read().decode()
+        with urllib.request.urlopen(f"{base}/hls/seg_00000.m4s") as r:
+            assert r.headers["Content-Type"] == "video/mp4"
+            assert r.read() == b"\x00seg"
+        # traversal via an allowlisted extension still rejected
+        try:
+            urllib.request.urlopen(base + "/hls/..%2fsecret.m3u8")
+            raise AssertionError("traversal served")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+
+
 def test_yuv420_roundtrip():
     import jax
     import jax.numpy as jnp
@@ -342,7 +418,9 @@ def test_webapi_serves_browser_ui(tmp_path):
                      "/api/inference", "/api/status", "result.mp4", "whep",
                      # round 3: browser mic -> 16 kHz WAV path, WHEP
                      # reconnect backoff, HLS fallback
-                     "getUserMedia", "encodeWav", "retryWhep", "attachHls"):
+                     "getUserMedia", "encodeWav", "retryWhep", "attachHls",
+                     # bundled MSE fMP4-HLS client (no CDN/hls.js needed)
+                     "playFmp4Hls", "parsePlaylist", "EXT-X-MAP", "hls_url"):
             assert hook in page, f"UI missing {hook}"
     finally:
         httpd.shutdown()
@@ -648,6 +726,39 @@ def test_hls_sink_produces_playlist_and_segments(tmp_path):
     # segments decode
     st = _probe(out / segs[0])
     assert int(st["nb_read_frames"]) > 0
+
+
+@ffmpeg_required
+def test_hls_fmp4_sink_stream_appends_like_mse(tmp_path):
+    """fMP4 mode end-to-end: the playlist must declare EXT-X-MAP init.mp4
+    and ordered .m4s fragments, and byte-concatenating init + fragments —
+    exactly what player.html::playFmp4Hls feeds a SourceBuffer — must
+    decode back to every pushed frame."""
+    from lzzx_nerf_tpu.serving.streaming import FfmpegHlsSink
+
+    W = H = 64
+    N = 60
+    out = tmp_path / "hls"
+    out.mkdir()
+    sink = FfmpegHlsSink(str(out), W, H, fps=25, segment_type="fmp4")
+    sink.open()
+    for i in range(N):
+        buf = np.full(W * H * 3 // 2, 64 + 2 * i, np.uint8)
+        sink.push(buf.tobytes())
+    sink.close()
+    text = (out / "stream.m3u8").read_text()
+    assert '#EXT-X-MAP:URI="init.mp4"' in text, text
+    assert "#EXT-X-ENDLIST" in text
+    segs = [ln for ln in text.splitlines() if ln and not ln.startswith("#")]
+    assert segs and all(s.endswith(".m4s") for s in segs), text
+    stream = tmp_path / "mse_append.mp4"
+    with open(stream, "wb") as f:
+        f.write((out / "init.mp4").read_bytes())
+        for seg in segs:
+            f.write((out / seg).read_bytes())
+    st = _probe(stream)
+    assert int(st["nb_read_frames"]) == N
+    assert (st["width"], st["height"]) == (W, H)
 
 
 @ffmpeg_required
