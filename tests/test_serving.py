@@ -420,7 +420,9 @@ def test_webapi_serves_browser_ui(tmp_path):
                      # reconnect backoff, HLS fallback
                      "getUserMedia", "encodeWav", "retryWhep", "attachHls",
                      # bundled MSE fMP4-HLS client (no CDN/hls.js needed)
-                     "playFmp4Hls", "parsePlaylist", "EXT-X-MAP", "hls_url"):
+                     "playFmp4Hls", "parsePlaylist", "EXT-X-MAP", "hls_url",
+                     # server-side .npy features (audFromNdarray analogue)
+                     "useNpy", "aud_path"):
             assert hook in page, f"UI missing {hook}"
     finally:
         httpd.shutdown()
