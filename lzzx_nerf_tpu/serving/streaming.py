@@ -175,7 +175,8 @@ class FfmpegHlsSink(_FfmpegSink):
         hls.js build (serving/static/player.html::attachHls)."""
 
     def __init__(self, out_dir: str, width: int, height: int, fps: int = 25,
-                 segment_seconds: int = 5, segment_type: str = "mpegts"):
+                 segment_seconds: int = 5, segment_type: str = "mpegts",
+                 audio_path: Optional[str] = None):
         super().__init__(width, height, fps)
         if segment_type not in ("mpegts", "fmp4"):
             raise ValueError(f"segment_type must be mpegts|fmp4, "
@@ -183,14 +184,37 @@ class FfmpegHlsSink(_FfmpegSink):
         self.out_dir = out_dir
         self.segment_seconds = segment_seconds
         self.segment_type = segment_type
+        # mux the driving wav as an AAC track like the reference consumer
+        # (ConsumeMQByWebRTC.py:87-133) — without it the live stream plays
+        # silent lips
+        self.audio_path = audio_path
         self.playlist = os.path.join(out_dir, "stream.m3u8")
+
+    def clean_output_dir(self) -> None:
+        """Remove a previous utterance's playlist/segments so a poller never
+        attaches to the stale ENDLIST stream while the new encode starts."""
+        if not os.path.isdir(self.out_dir):
+            return
+        for name in os.listdir(self.out_dir):
+            if (name.endswith((".m3u8", ".ts", ".m4s"))
+                    or name == "init.mp4"):
+                try:
+                    os.remove(os.path.join(self.out_dir, name))
+                except OSError:
+                    pass
 
     def _output_args(self):
         os.makedirs(self.out_dir, exist_ok=True)
-        args = ["-c:v", "libx264", "-pix_fmt", "yuv420p",
-                "-g", str(self.fps * 2), "-f", "hls",
-                "-hls_time", str(self.segment_seconds),
-                "-hls_playlist_type", "event"]
+        args = []
+        if self.audio_path:
+            # second input + explicit maps (video from stdin, audio track);
+            # -shortest ends the mux with the video
+            args += ["-i", self.audio_path, "-map", "0:v:0",
+                     "-map", "1:a:0", "-c:a", "aac", "-shortest"]
+        args += ["-c:v", "libx264", "-pix_fmt", "yuv420p",
+                 "-g", str(self.fps * 2), "-f", "hls",
+                 "-hls_time", str(self.segment_seconds),
+                 "-hls_playlist_type", "event"]
         if self.segment_type == "fmp4":
             args += ["-hls_segment_type", "fmp4",
                      "-hls_fmp4_init_filename", "init.mp4",
@@ -432,7 +456,8 @@ def make_sink(kind: str, width: int, height: int, fps: int = 25,
     if kind in ("hls", "hls-fmp4"):
         return FfmpegHlsSink(path or "hls_out", width, height, fps,
                              segment_type="fmp4" if kind == "hls-fmp4"
-                             else "mpegts")
+                             else "mpegts",
+                             audio_path=audio_path or None)
     if kind == "raw":
         return RawFileSink(path)
     return NullSink()

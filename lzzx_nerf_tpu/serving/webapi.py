@@ -54,6 +54,7 @@ class ServerState:
         self.frames_done = 0
         self.last_error: Optional[str] = None
         self.wait_loop: Optional[WaitVideoLoop] = None
+        self.hls_has_audio = False   # set when an hls sink is built
         self.lock = threading.Lock()
 
     @property
@@ -159,6 +160,13 @@ class ServerState:
                                  path=self.out_path, rtmp_url=self.rtmp_url,
                                  model_dir=model_dir,
                                  audio_path=self.audio_path)
+                if hasattr(sink, "clean_output_dir"):
+                    # drop the previous utterance's playlist/segments so
+                    # /api/status only re-advertises hls_url once the NEW
+                    # encode's playlist lands (stale-ENDLIST race)
+                    sink.clean_output_dir()
+                self.hls_has_audio = bool(
+                    getattr(sink, "audio_path", None))
                 if self.face_optimize:
                     from .streaming import FilteredSink, load_face_restorer
 
@@ -198,6 +206,15 @@ class ServerState:
                                      and os.path.exists(self.out_path)
                                      and not self.busy),
                 "hls_url": "/hls/stream.m3u8" if hls_ready else None,
+                # the bundled MSE player needs to know the segment flavor
+                # (fmp4 appends directly; mpegts needs native HLS/hls.js)
+                # and whether an audio track was muxed (codec string must
+                # match the init segment's tracks exactly)
+                "hls_type": ("fmp4" if self.sink_kind == "hls-fmp4"
+                             else "mpegts") if hls_ready else None,
+                "hls_codecs": ("avc1.64001f,mp4a.40.2"
+                               if self.hls_has_audio else "avc1.64001f")
+                              if hls_ready else None,
                 "error": self.last_error}
 
 
@@ -264,6 +281,29 @@ def make_handler(state: ServerState):
                     if ext == ".m3u8":
                         # the live playlist is re-polled — never cache it
                         self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path.startswith("/static/"):
+                    # optional deployment extras next to player.html (e.g.
+                    # a vendored hls.min.js for mpegts playlists — the
+                    # fmp4 path needs nothing here); same traversal
+                    # hardening as /hls/
+                    name = self.path[len("/static/"):].split("?", 1)[0]
+                    ext = os.path.splitext(name)[1]
+                    if (os.path.basename(name) != name or not name
+                            or ext not in (".js", ".css", ".html")):
+                        return self._send(404, {"error": "bad static path"})
+                    fp = os.path.join(os.path.dirname(__file__), "static",
+                                      name)
+                    if not os.path.exists(fp):
+                        return self._send(404,
+                                          {"error": f"{name} not deployed"})
+                    data = open(fp, "rb").read()
+                    mime = {".js": "text/javascript",
+                            ".css": "text/css"}.get(ext, "text/html")
+                    self.send_response(200)
+                    self.send_header("Content-Type", mime)
+                    self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
                 elif self.path == "/" or self.path.startswith("/player"):

@@ -274,8 +274,27 @@ def test_hls_fmp4_sink_command(tmp_path):
     assert args[args.index("-hls_segment_type") + 1] == "fmp4"
     assert args[args.index("-hls_fmp4_init_filename") + 1] == "init.mp4"
     assert any("seg_%05d.m4s" in a for a in args)
+    assert "-map" not in args           # no audio -> no maps
     with _pytest.raises(ValueError, match="mpegts|fmp4"):
         FfmpegHlsSink(str(tmp_path), 512, 512, segment_type="dash")
+
+    # driving-audio mux (reference ConsumeMQByWebRTC.py:87-133): wav in as
+    # a second input, AAC track mapped alongside the stdin video
+    sa = make_sink("hls-fmp4", 512, 512, path=str(tmp_path / "hls"),
+                   audio_path="/tmp/driving.wav")
+    args = sa._output_args()
+    assert args[args.index("-i") + 1] == "/tmp/driving.wav"
+    assert args[args.index("-c:a") + 1] == "aac"
+    assert "1:a:0" in args and "0:v:0" in args and "-shortest" in args
+
+    # stale-utterance cleanup removes exactly the packager's artifacts
+    out = tmp_path / "hls"
+    out.mkdir(exist_ok=True)
+    for name in ("stream.m3u8", "seg_00000.m4s", "seg_00000.ts",
+                 "init.mp4", "keepme.txt"):
+        (out / name).write_text("x")
+    s.clean_output_dir()
+    assert sorted(p.name for p in out.iterdir()) == ["keepme.txt"]
 
 
 def test_webapi_hls_route(tmp_path):
@@ -300,7 +319,9 @@ def test_webapi_hls_route(tmp_path):
     try:
         # nothing packaged yet: status has no hls_url, GET 404s
         with urllib.request.urlopen(f"{base}/api/status") as r:
-            assert js.loads(r.read())["hls_url"] is None
+            st = js.loads(r.read())
+        assert st["hls_url"] is None and st["hls_type"] is None
+        assert st["hls_codecs"] is None
         for bad in ("/hls/stream.m3u8",          # not written yet
                     "/hls/..%2fsecret.m3u8",     # traversal
                     "/hls/notes.txt"):           # extension allowlist
@@ -317,7 +338,10 @@ def test_webapi_hls_route(tmp_path):
         (tmp_path / "secret.m3u8").write_text("outside")
 
         with urllib.request.urlopen(f"{base}/api/status") as r:
-            assert js.loads(r.read())["hls_url"] == "/hls/stream.m3u8"
+            st = js.loads(r.read())
+        assert st["hls_url"] == "/hls/stream.m3u8"
+        assert st["hls_type"] == "fmp4"
+        assert st["hls_codecs"] == "avc1.64001f"   # no audio muxed yet
         with urllib.request.urlopen(f"{base}/hls/stream.m3u8") as r:
             assert r.headers["Content-Type"] == \
                 "application/vnd.apple.mpegurl"
@@ -332,6 +356,18 @@ def test_webapi_hls_route(tmp_path):
             raise AssertionError("traversal served")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+        # /static/ serves deployment extras next to player.html (the
+        # optional hls.min.js slot for mpegts playlists), same hardening
+        with urllib.request.urlopen(f"{base}/static/player.html") as r:
+            assert r.headers["Content-Type"] == "text/html"
+        for bad in ("/static/hls.min.js",          # not deployed here
+                    "/static/..%2f..%2fwebapi.py"):
+            try:
+                urllib.request.urlopen(base + bad)
+                raise AssertionError(f"{bad} served")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404, bad
     finally:
         httpd.shutdown()
 
