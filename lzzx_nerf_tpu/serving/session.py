@@ -439,12 +439,17 @@ class InferenceSession:
     def run(self, sink: Optional[FrameSink] = None,
             max_frames: Optional[int] = None,
             on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
-            profile: bool = False):
+            profile: bool = False,
+            start: int = 0, close_sink: bool = True):
         """Render all frames driven by the current audio features, pushing
         rgb24 bytes into `sink` (reference do_inference -> test_with_2).
         Returns (num_frames, wall_seconds). profile=True prints per-phase
         wall-time accumulators every 100 frames (the reference's t4/t6/t7
-        counters, renderer.py:199-208,409-414)."""
+        counters, renderer.py:199-208,409-414).
+
+        start/close_sink are the incremental hooks run_live builds on:
+        frames [start, max_frames) render with the chunk lattice anchored
+        at `start`, and the sink is left open for the next segment."""
         import jax
         import jax.numpy as jnp
 
@@ -585,7 +590,7 @@ class InferenceSession:
                 eye = [ds.eye_area[fi] if cfg.exp_eye else 0.0]
             return ds.poses[fi], ds.audio_window(i), eye, fi
 
-        for base in range(0, n, C):
+        for base in range(start, n, C):
             if self._pending_budget or self._pending_sample:
                 if ((self._pending_budget or 0) > self.budget
                         or (self._pending_sample or 0) > self.sample_budget):
@@ -635,7 +640,66 @@ class InferenceSession:
             consume()
         self.enc_a_smooth = prev_enc if cfg.smooth_lips else None
         dt = time.time() - t0
-        sink.close()
+        if close_sink:
+            sink.close()
         if acc:
-            print(f"[profile] total {n} frames, {dt:.2f}s: {acc.report()}")
-        return n, dt
+            print(f"[profile] total {n - start} frames, {dt:.2f}s: "
+                  f"{acc.report()}")
+        return n - start, dt
+
+    def run_live(self, feature_stream, sink: Optional[FrameSink] = None,
+                 on_frame: Optional[Callable[[int, np.ndarray], None]] = None):
+        """LIVE serving loop: consume audio features as they arrive
+        (mic/ASR chunks — the TPU counterpart of the reference's streaming
+        ASR render loop, asr.py:185-250) and render incrementally.
+
+        `feature_stream` yields [k, ...] arrays of per-video-frame features
+        (any k >= 1; e.g. each StreamingASR step's new frames, or
+        HubertFeatureExtractor outputs of a live call). A frame is rendered
+        as soon as its attention window's RIGHT context is buffered
+        (att mode 2 looks 3 frames ahead -> ~120 ms of audio lookahead at
+        25 fps, matching the reference's r-context delay); the stream tail
+        is flushed with the same end-of-sequence zero padding as the
+        offline path, so the emitted frames are BIT-IDENTICAL to a single
+        run() over the concatenated features
+        (tests/test_serving.py::test_run_live_matches_offline).
+
+        The smooth-lips EMA carries across segments through the same
+        enc_a_smooth state run() uses, and the chunk lattice stays anchored
+        at frame 0, so drip sizes never change the output. Features are
+        managed internally — do NOT call set_audio_features around this
+        (it would reset the carried EMA). Returns (frames, wall_seconds)."""
+        assert self._built, "load_model first"
+        cfg = self.cfg
+        sink = sink or NullSink()
+        # right context of the attention window (utils/audio.py offsets)
+        lookahead = 3 if cfg.att == 2 else 0
+        mult = getattr(self, "_chunk_multiple", 1)
+        C = max(1, cfg.infer_chunk)
+        C = ((C + mult - 1) // mult) * mult
+        buf = None
+        next_i = 0
+        t0 = time.time()
+        for feats in feature_stream:
+            feats = np.asarray(feats, np.float32)
+            if len(feats) == 0:
+                continue
+            buf = feats if buf is None else np.concatenate([buf, feats], 0)
+            self.ds.aud_features = buf
+            ready = len(buf) - lookahead
+            if ready - next_i >= C:
+                # whole chunks only: keeps the chunk lattice aligned with
+                # the offline run()'s [0,C),[C,2C),... so no tail padding
+                # (and no EMA mask interplay) happens mid-stream
+                end = next_i + ((ready - next_i) // C) * C
+                self.run(sink, start=next_i, max_frames=end,
+                         close_sink=False, on_frame=on_frame)
+                next_i = end
+        if buf is not None and next_i < len(buf):
+            # stream over: the lookahead frames render with the real
+            # end-of-sequence zero padding, exactly like offline
+            self.run(sink, start=next_i, max_frames=len(buf),
+                     close_sink=False, on_frame=on_frame)
+            next_i = len(buf)
+        sink.close()
+        return next_i, time.time() - t0

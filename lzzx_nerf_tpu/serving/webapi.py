@@ -6,6 +6,9 @@ because this image ships no Flask/gevent — same route surface and flow):
                            {"aud_path": "..."} JSON  extract features
   GET  /api/inference                                start the render loop
   GET  /api/status                                   health/progress
+  POST /api/audio_chunk    wav bytes or .npy feature bytes — LIVE mode:
+                           append a segment, render starts immediately
+  POST /api/audio_end                                finish the live stream
 
 Flow (reference webapi.py:70-204): model_select re-points workspace/ckpt and
 (with ffmpeg+RTMP configured) starts the silent wait-video loop;
@@ -19,6 +22,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -55,6 +59,7 @@ class ServerState:
         self.last_error: Optional[str] = None
         self.wait_loop: Optional[WaitVideoLoop] = None
         self.hls_has_audio = False   # set when an hls sink is built
+        self.live_q: Optional[queue.Queue] = None   # live-mode segment feed
         self.lock = threading.Lock()
 
     @property
@@ -97,20 +102,24 @@ class ServerState:
                     models.append(name)
         return {"models": models, "current": self.model_name}
 
-    def audio_upload_wav(self, wav_bytes: bytes) -> dict:
+    def _wav_features(self, wav_bytes: bytes, save: bool = True):
+        """Decode wav bytes -> 16 kHz mono -> HuBERT features. save=True
+        keeps the wav on disk so the streaming sinks mux it as the audio
+        track (reference webapi.py:132 ffmpeg 16k mono + mq audio input);
+        live chunks pass save=False (their audio can't be muxed from a
+        file that is still arriving)."""
         if self.hubert is None:
             from ..audio import HubertFeatureExtractor
 
             self.hubert = HubertFeatureExtractor()
         from scipy.io import wavfile
 
-        # keep the wav on disk: the streaming sinks mux it as the audio
-        # track (reference webapi.py:132 ffmpeg 16k mono + mq audio input)
-        updir = os.path.join(self.trial_root, "uploads")
-        os.makedirs(updir, exist_ok=True)
-        self.audio_path = os.path.join(updir, "upload.wav")
-        with open(self.audio_path, "wb") as f:
-            f.write(wav_bytes)
+        if save:
+            updir = os.path.join(self.trial_root, "uploads")
+            os.makedirs(updir, exist_ok=True)
+            self.audio_path = os.path.join(updir, "upload.wav")
+            with open(self.audio_path, "wb") as f:
+                f.write(wav_bytes)
 
         sr, data = wavfile.read(io.BytesIO(wav_bytes))
         if data.dtype.kind == "i":
@@ -124,7 +133,10 @@ class ServerState:
 
             g = gcd(int(sr), 16000)
             data = resample_poly(data, 16000 // g, sr // g)
-        feats = self.hubert.features(np.asarray(data, np.float32))
+        return self.hubert.features(np.asarray(data, np.float32))
+
+    def audio_upload_wav(self, wav_bytes: bytes) -> dict:
+        feats = self._wav_features(wav_bytes, save=True)
         self.num_aud_frames = self.session.set_audio_features(feats)
         return {"aud_frames": self.num_aud_frames}
 
@@ -140,6 +152,104 @@ class ServerState:
         self.num_aud_frames = self.session.set_audio_features(feats)
         return {"aud_frames": self.num_aud_frames}
 
+    def _build_sink(self):
+        """Construct the configured frame sink for one render run (shared
+        by the utterance and live paths)."""
+        ds = self.session.ds
+        model_dir = (os.path.join(self.data_root, self.model_name)
+                     if self.model_name else "")
+        sink = make_sink(self.sink_kind, ds.W, ds.H, fps=25,
+                         path=self.out_path, rtmp_url=self.rtmp_url,
+                         model_dir=model_dir,
+                         audio_path=self.audio_path)
+        if hasattr(sink, "clean_output_dir"):
+            # drop the previous utterance's playlist/segments so
+            # /api/status only re-advertises hls_url once the NEW
+            # encode's playlist lands (stale-ENDLIST race)
+            sink.clean_output_dir()
+        self.hls_has_audio = bool(getattr(sink, "audio_path", None))
+        if self.face_optimize:
+            from .streaming import FilteredSink, load_face_restorer
+
+            # restoration operates on RGB frames: switch the sink's
+            # ingest format before it opens (the session renders in
+            # whatever the sink declares)
+            sink.pix_fmt = "rgb24"
+            sink = FilteredSink(sink, load_face_restorer())
+        return sink
+
+    # -- live streaming (chunked audio -> incremental render) ---------------
+
+    def audio_chunk(self, body: bytes, ctype: str) -> dict:
+        """Append one live audio segment (the streaming counterpart of
+        audio_upload, driving session.run_live): wav bytes -> HuBERT
+        features, or an .npy payload of pre-extracted per-frame features
+        (application/octet-stream). The FIRST chunk starts the live render
+        thread; segments render as soon as their attention context is
+        buffered; POST /api/audio_end finishes the stream. Live mode
+        streams video-only (a file-mux of audio still arriving is
+        impossible — deployments pipe live audio to the media server
+        directly)."""
+        if not getattr(self.session, "_built", False):
+            return {"error": "no model loaded — POST /api/model_select "
+                    "first"}
+        if "wav" in ctype:
+            feats = self._wav_features(body, save=False)
+        else:
+            feats = np.load(io.BytesIO(body))
+        feats = np.asarray(feats, np.float32)
+        with self.lock:
+            if self.live_q is None:
+                if self.busy:
+                    return {"error": "inference already running"}
+                self.busy = True
+                self.frames_done = 0
+                self.num_aud_frames = 0
+                self.audio_path = ""   # video-only; see docstring
+                q = self.live_q = queue.Queue()
+
+                def gen():
+                    while True:
+                        item = q.get()
+                        if item is None:
+                            return
+                        yield item
+
+                def work():
+                    try:
+                        sink = self._build_sink()
+                        self.session.run_live(
+                            gen(), sink,
+                            on_frame=lambda i, a: setattr(
+                                self, "frames_done", i + 1))
+                        self.last_error = None
+                    except Exception as e:   # surfaced via /api/status
+                        self.last_error = f"{type(e).__name__}: {e}"
+                    finally:
+                        self.busy = False
+                        self.live_q = None
+                        if self.wait_loop:
+                            self.wait_loop.start()
+
+                if self.wait_loop:
+                    self.wait_loop.stop()
+                threading.Thread(target=work, daemon=True).start()
+            else:
+                q = self.live_q
+        q.put(feats)
+        self.num_aud_frames += int(len(feats))
+        return {"queued_frames": int(len(feats)), "live": True}
+
+    def audio_end(self) -> dict:
+        """Finish the live stream: flush the buffered tail (attention
+        lookahead frames) and close the sink."""
+        with self.lock:
+            q = self.live_q
+        if q is None:
+            return {"error": "no live stream in progress"}
+        q.put(None)
+        return {"ended": True}
+
     def start_inference(self) -> dict:
         if not getattr(self.session, "_built", False):
             return {"error": "no model loaded — POST /api/model_select first"}
@@ -153,28 +263,7 @@ class ServerState:
 
         def work():
             try:
-                ds = self.session.ds
-                model_dir = (os.path.join(self.data_root, self.model_name)
-                             if self.model_name else "")
-                sink = make_sink(self.sink_kind, ds.W, ds.H, fps=25,
-                                 path=self.out_path, rtmp_url=self.rtmp_url,
-                                 model_dir=model_dir,
-                                 audio_path=self.audio_path)
-                if hasattr(sink, "clean_output_dir"):
-                    # drop the previous utterance's playlist/segments so
-                    # /api/status only re-advertises hls_url once the NEW
-                    # encode's playlist lands (stale-ENDLIST race)
-                    sink.clean_output_dir()
-                self.hls_has_audio = bool(
-                    getattr(sink, "audio_path", None))
-                if self.face_optimize:
-                    from .streaming import FilteredSink, load_face_restorer
-
-                    # restoration operates on RGB frames: switch the sink's
-                    # ingest format before it opens (the session renders in
-                    # whatever the sink declares)
-                    sink.pix_fmt = "rgb24"
-                    sink = FilteredSink(sink, load_face_restorer())
+                sink = self._build_sink()
 
                 def on_frame(i, arr):
                     self.frames_done = i + 1
@@ -199,6 +288,7 @@ class ServerState:
             self.hls_dir
             and os.path.exists(os.path.join(self.hls_dir, "stream.m3u8")))
         return {"model": self.model_name, "busy": self.busy,
+                "live": self.live_q is not None,
                 "frames_done": self.frames_done,
                 "aud_frames": self.num_aud_frames,
                 "result_ready": bool(self.sink_kind in ("mp4", "rtmp")
@@ -329,6 +419,11 @@ def make_handler(state: ServerState):
                     if "model" not in payload:
                         return self._send(400, {"error": "missing 'model'"})
                     self._send(200, state.model_select(payload["model"]))
+                elif self.path.startswith("/api/audio_chunk"):
+                    ctype = self.headers.get("Content-Type", "")
+                    self._send(200, state.audio_chunk(body, ctype))
+                elif self.path.startswith("/api/audio_end"):
+                    self._send(200, state.audio_end())
                 elif self.path.startswith("/api/audio_upload"):
                     ctype = self.headers.get("Content-Type", "")
                     if "json" in ctype:

@@ -458,7 +458,9 @@ def test_webapi_serves_browser_ui(tmp_path):
                      # bundled MSE fMP4-HLS client (no CDN/hls.js needed)
                      "playFmp4Hls", "parsePlaylist", "EXT-X-MAP", "hls_url",
                      # server-side .npy features (audFromNdarray analogue)
-                     "useNpy", "aud_path"):
+                     "useNpy", "aud_path",
+                     # live mode: mic chunks stream while speaking
+                     "audio_chunk", "audio_end", "maybeFlushLive"):
             assert hook in page, f"UI missing {hook}"
     finally:
         httpd.shutdown()
@@ -541,7 +543,145 @@ def test_session_frames_invariant_to_chunk_size(session_workspace):
             np.testing.assert_array_equal(got_b[i], base_b[i])
 
 
-def test_session_frame_parallel_matches_serial(session_workspace):
+def test_run_live_matches_offline(session_workspace):
+    """run_live (incremental feature drips — the live mic/ASR serving mode)
+    must emit BIT-IDENTICAL frames to one offline run() over the
+    concatenated features: the chunk lattice stays anchored at frame 0, a
+    frame waits for its attention window's right context (att=2 looks 3
+    frames ahead), the stream tail flushes with the offline end-padding,
+    and the smooth-lips EMA carries across the internal run() segments."""
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+
+    data, ws = session_workspace
+    rng = np.random.default_rng(11)
+    feats = rng.standard_normal((9, 16, 29)).astype(np.float32)
+
+    def make_session():
+        cfg = Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                     infer_samples=8, infer_window_candidates=24,
+                     infer_chunk=3, budget_frac=1.0, smooth_lips=True)
+        s = InferenceSession(cfg)
+        s.load_model(data, ws)
+        return s
+
+    s = make_session()
+    n = s.set_audio_features(feats)
+    offline = {}
+    s.run(max_frames=n, on_frame=lambda i, b: offline.__setitem__(i, b))
+
+    s2 = make_session()
+    live = {}
+
+    def drips():
+        # irregular segment sizes incl. an empty drip; with chunk=3 and
+        # lookahead 3 this renders [0,3) mid-stream twice and flushes [6,9)
+        at = 0
+        for k in (1, 4, 0, 2, 2):
+            yield feats[at:at + k]
+            at += k
+
+    n_live, _ = s2.run_live(
+        drips(), on_frame=lambda i, b: live.__setitem__(i, b))
+    assert n_live == 9
+    assert sorted(live) == sorted(offline) == list(range(9))
+    for i in range(9):
+        np.testing.assert_array_equal(live[i], offline[i])
+
+
+def test_webapi_live_audio_chunks(session_workspace, tmp_path):
+    """The live REST protocol (/api/audio_chunk + /api/audio_end) must
+    render exactly the frames an offline run() produces over the same
+    features, streaming them into the sink while segments keep arriving
+    (the reference has no REST live mode — its live path is the CLI ASR
+    loop; this is the serving-side equivalent built on run_live)."""
+    import io
+    import json as js
+    import os
+    import shutil
+    import threading
+    import time as _time
+    import urllib.request
+
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+    from lzzx_nerf_tpu.serving.webapi import serve
+
+    data, ws = session_workspace
+    root = os.path.dirname(data)
+    # ServerState resolves workspace as trial_<model>; model name == "data"
+    trial = os.path.join(root, "trial_data")
+    if not os.path.isdir(trial):
+        shutil.copytree(ws, trial)
+
+    rng = np.random.default_rng(13)
+    feats = rng.standard_normal((6, 16, 29)).astype(np.float32)
+
+    def mkcfg():
+        return Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                      infer_samples=8, infer_window_candidates=24,
+                      infer_chunk=2, budget_frac=1.0, smooth_lips=True)
+
+    # offline oracle on the same checkpoint/features
+    s = InferenceSession(mkcfg())
+    s.load_model(data, ws)
+    n = s.set_audio_features(feats)
+    offline = {}
+    s.run(max_frames=n, on_frame=lambda i, b: offline.__setitem__(i, b))
+
+    raw_out = str(tmp_path / "live.raw")
+    httpd = serve(mkcfg(), host="127.0.0.1", port=0, data_root=root,
+                  trial_root=root, sink_kind="raw", out_path=raw_out)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def post(route, body, ctype):
+        req = urllib.request.Request(base + route, body,
+                                     {"Content-Type": ctype})
+        with urllib.request.urlopen(req) as r:
+            return js.loads(r.read())
+
+    def npy_bytes(a):
+        bio = io.BytesIO()
+        np.save(bio, a)
+        return bio.getvalue()
+
+    try:
+        r = post("/api/model_select", js.dumps({"model": "data"}).encode(),
+                 "application/json")
+        assert r["model"] == "data"
+        # live chunks before any /api/inference call; status flips live
+        r = post("/api/audio_chunk", npy_bytes(feats[:2]),
+                 "application/octet-stream")
+        assert r == {"queued_frames": 2, "live": True}
+        with urllib.request.urlopen(f"{base}/api/status") as resp:
+            st = js.loads(resp.read())
+        assert st["live"] and st["busy"]
+        post("/api/audio_chunk", npy_bytes(feats[2:5]),
+             "application/octet-stream")
+        post("/api/audio_chunk", npy_bytes(feats[5:]),
+             "application/octet-stream")
+        r = post("/api/audio_end", b"", "application/octet-stream")
+        assert r == {"ended": True}
+        for _ in range(600):
+            with urllib.request.urlopen(f"{base}/api/status") as resp:
+                st = js.loads(resp.read())
+            if not st["busy"]:
+                break
+            _time.sleep(0.2)
+        assert st["error"] is None, st
+        assert not st["live"] and st["frames_done"] == 6
+        assert st["aud_frames"] == 6
+        # ending again is a clean error, not a crash
+        r = post("/api/audio_end", b"", "application/octet-stream")
+        assert "error" in r
+    finally:
+        httpd.shutdown()
+
+    got = open(raw_out, "rb").read()
+    want = b"".join(np.asarray(offline[i]).tobytes() for i in range(6))
+    assert got == want
     """infer_data_parallel=4 (frame-parallel chunks over a 4-device mesh,
     shard_map) must stream BIT-IDENTICAL frames to the serial chunk
     program: the smooth-lips EMA chain is precomputed serially before the
