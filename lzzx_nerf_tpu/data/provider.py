@@ -263,8 +263,14 @@ class NeRFDataset:
     def audio_window(self, index: int) -> np.ndarray:
         """[1 or 8, 16, C] attention window for (possibly novel-audio) frame
         index (reference utils.py get_audio_features). With dataset audio,
-        self.aud_features was re-gathered per frame via aud_id in __init__."""
-        return get_audio_features_np(self.aud_features, self.cfg.att, index)
+        self.aud_features was re-gathered per frame via aud_id in __init__.
+
+        aud_offset (default 0) maps absolute frame indices into a TRIMMED
+        feature buffer — session.run_live bounds memory for hours-long
+        live streams by dropping frames that can never be windowed again
+        and advancing this offset in lockstep."""
+        return get_audio_features_np(self.aud_features, self.cfg.att,
+                                     index - getattr(self, "aud_offset", 0))
 
     def frame(self, index: int) -> Dict[str, np.ndarray]:
         """Trainer batch dict for loader index `index` (full-frame layout)."""

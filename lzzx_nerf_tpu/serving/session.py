@@ -431,6 +431,7 @@ class InferenceSession:
         Returns the number of video frames they drive."""
         assert self._built, "load_model first"
         self.ds.aud_features = np.asarray(feats, np.float32)
+        self.ds.aud_offset = 0
         self.enc_a_smooth = None
         return len(self.ds.aud_features)
 
@@ -459,7 +460,10 @@ class InferenceSession:
         assert self._built, "load_model first"
         sink = sink or NullSink()
         ds, cfg = self.ds, self.cfg
-        n = len(ds.aud_features) if ds.aud_features is not None else 2 * ds.num_frames
+        # absolute frame count: a live-trimmed feature buffer carries its
+        # start index in ds.aud_offset (provider.audio_window)
+        n = (getattr(ds, "aud_offset", 0) + len(ds.aud_features)
+             if ds.aud_features is not None else 2 * ds.num_frames)
         if max_frames is not None:
             n = min(n, max_frames)
 
@@ -575,9 +579,7 @@ class InferenceSession:
                 s = getattr(s, "inner", None)
         render = self._get_render(fmt)
 
-        C = max(1, cfg.infer_chunk)
-        mult = getattr(self, "_chunk_multiple", 1)
-        C = ((C + mult - 1) // mult) * mult  # frame-parallel: even split
+        C = self._chunk_size()
         prev_enc = (self.enc_a_smooth if self.enc_a_smooth is not None
                     else jnp.zeros((1, 32)))  # audio_dim after AudioNet
         has_prev = jnp.float32(0.0 if self.enc_a_smooth is None else 1.0)
@@ -647,6 +649,15 @@ class InferenceSession:
                   f"{acc.report()}")
         return n - start, dt
 
+    def _chunk_size(self) -> int:
+        """The render chunk size: infer_chunk rounded up to the
+        frame-parallel mesh multiple. ONE definition — run() and run_live()
+        must agree or run_live's mid-stream segments leave the chunk
+        lattice and void its bit-identical-to-offline guarantee."""
+        mult = getattr(self, "_chunk_multiple", 1)
+        C = max(1, self.cfg.infer_chunk)
+        return ((C + mult - 1) // mult) * mult
+
     def run_live(self, feature_stream, sink: Optional[FrameSink] = None,
                  on_frame: Optional[Callable[[int, np.ndarray], None]] = None):
         """LIVE serving loop: consume audio features as they arrive
@@ -672,34 +683,61 @@ class InferenceSession:
         assert self._built, "load_model first"
         cfg = self.cfg
         sink = sink or NullSink()
+        # a live stream is a fresh utterance: drop any EMA carried from a
+        # previous run()/run_live on this session, exactly like
+        # set_audio_features does for an offline upload — otherwise the
+        # first frames would be smoothed against the PREVIOUS stream's
+        # audio and diverge from the offline oracle
+        self.enc_a_smooth = None
         # right context of the attention window (utils/audio.py offsets)
         lookahead = 3 if cfg.att == 2 else 0
-        mult = getattr(self, "_chunk_multiple", 1)
-        C = max(1, cfg.infer_chunk)
-        C = ((C + mult - 1) // mult) * mult
+        lookbehind = 8   # widest left reach across att modes 1/2
+        C = self._chunk_size()
         buf = None
+        offset = 0       # absolute frame index of buf[0] (buffer trimming)
         next_i = 0
         t0 = time.time()
-        for feats in feature_stream:
-            feats = np.asarray(feats, np.float32)
-            if len(feats) == 0:
-                continue
-            buf = feats if buf is None else np.concatenate([buf, feats], 0)
-            self.ds.aud_features = buf
-            ready = len(buf) - lookahead
-            if ready - next_i >= C:
-                # whole chunks only: keeps the chunk lattice aligned with
-                # the offline run()'s [0,C),[C,2C),... so no tail padding
-                # (and no EMA mask interplay) happens mid-stream
-                end = next_i + ((ready - next_i) // C) * C
-                self.run(sink, start=next_i, max_frames=end,
+
+        def set_window(b, off):
+            self.ds.aud_features = b
+            self.ds.aud_offset = off
+
+        try:
+            for feats in feature_stream:
+                feats = np.asarray(feats, np.float32)
+                if len(feats) == 0:
+                    continue
+                buf = (feats if buf is None
+                       else np.concatenate([buf, feats], 0))
+                set_window(buf, offset)
+                ready = offset + len(buf) - lookahead
+                if ready - next_i >= C:
+                    # whole chunks only: keeps the chunk lattice aligned
+                    # with the offline run()'s [0,C),[C,2C),... so no tail
+                    # padding (and no EMA mask interplay) mid-stream
+                    end = next_i + ((ready - next_i) // C) * C
+                    self.run(sink, start=next_i, max_frames=end,
+                             close_sink=False, on_frame=on_frame)
+                    next_i = end
+                # bound the buffer for hours-long sessions: frames below
+                # next_i - lookbehind can never be windowed again; trim in
+                # 1024-frame strides so the copy amortizes (stride is an
+                # attribute only so the trim path is testable at toy sizes)
+                keep_from = max(0, next_i - lookbehind)
+                if keep_from - offset >= getattr(
+                        self, "_live_trim_stride", 1024):
+                    buf = buf[keep_from - offset:]
+                    offset = keep_from
+            total = offset + (len(buf) if buf is not None else 0)
+            if buf is not None and next_i < total:
+                # stream over: the lookahead frames render with the real
+                # end-of-sequence zero padding, exactly like offline
+                set_window(buf, offset)
+                self.run(sink, start=next_i, max_frames=total,
                          close_sink=False, on_frame=on_frame)
-                next_i = end
-        if buf is not None and next_i < len(buf):
-            # stream over: the lookahead frames render with the real
-            # end-of-sequence zero padding, exactly like offline
-            self.run(sink, start=next_i, max_frames=len(buf),
-                     close_sink=False, on_frame=on_frame)
-            next_i = len(buf)
+                next_i = total
+        finally:
+            # restore absolute indexing for any subsequent offline use
+            self.ds.aud_offset = 0
         sink.close()
         return next_i, time.time() - t0

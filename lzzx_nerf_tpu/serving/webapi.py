@@ -60,6 +60,8 @@ class ServerState:
         self.wait_loop: Optional[WaitVideoLoop] = None
         self.hls_has_audio = False   # set when an hls sink is built
         self.live_q: Optional[queue.Queue] = None   # live-mode segment feed
+        self._live_pcm: Optional[np.ndarray] = None  # carried wav remainder
+        self._live_ending = False    # end sentinel posted, tail flushing
         self.lock = threading.Lock()
 
     @property
@@ -102,24 +104,10 @@ class ServerState:
                     models.append(name)
         return {"models": models, "current": self.model_name}
 
-    def _wav_features(self, wav_bytes: bytes, save: bool = True):
-        """Decode wav bytes -> 16 kHz mono -> HuBERT features. save=True
-        keeps the wav on disk so the streaming sinks mux it as the audio
-        track (reference webapi.py:132 ffmpeg 16k mono + mq audio input);
-        live chunks pass save=False (their audio can't be muxed from a
-        file that is still arriving)."""
-        if self.hubert is None:
-            from ..audio import HubertFeatureExtractor
-
-            self.hubert = HubertFeatureExtractor()
+    def _decode_wav(self, wav_bytes: bytes) -> np.ndarray:
+        """wav bytes -> float32 mono PCM at 16 kHz (reference webapi.py:132
+        normalizes uploads to 16k mono via ffmpeg)."""
         from scipy.io import wavfile
-
-        if save:
-            updir = os.path.join(self.trial_root, "uploads")
-            os.makedirs(updir, exist_ok=True)
-            self.audio_path = os.path.join(updir, "upload.wav")
-            with open(self.audio_path, "wb") as f:
-                f.write(wav_bytes)
 
         sr, data = wavfile.read(io.BytesIO(wav_bytes))
         if data.dtype.kind == "i":
@@ -133,14 +121,61 @@ class ServerState:
 
             g = gcd(int(sr), 16000)
             data = resample_poly(data, 16000 // g, sr // g)
-        return self.hubert.features(np.asarray(data, np.float32))
+        return np.asarray(data, np.float32)
+
+    def _get_hubert(self):
+        if self.hubert is None:
+            from ..audio import HubertFeatureExtractor
+
+            self.hubert = HubertFeatureExtractor()
+        return self.hubert
+
+    def _wav_features(self, wav_bytes: bytes, save: bool = True):
+        """Decode wav bytes -> 16 kHz mono -> HuBERT features. save=True
+        keeps the wav on disk so the streaming sinks mux it as the audio
+        track (reference webapi.py:132 ffmpeg 16k mono + mq audio input)."""
+        if save:
+            updir = os.path.join(self.trial_root, "uploads")
+            os.makedirs(updir, exist_ok=True)
+            self.audio_path = os.path.join(updir, "upload.wav")
+            with open(self.audio_path, "wb") as f:
+                f.write(wav_bytes)
+        return self._get_hubert().features(self._decode_wav(wav_bytes))
+
+    def _live_pcm_feats(self, pcm: np.ndarray):
+        """CNN-stride carry across live wav chunks: HuBERT's sample lattice
+        (kernel 400 / stride 320; 2 steps = 1 video frame = 640 samples)
+        continues across chunk boundaries instead of restarting per chunk.
+        Without the carry, a 1.0 s (16000-sample) chunk yields 24 frames
+        instead of 25 — ~40 ms of cumulative A/V drift per second of
+        speech. Returns None while buffering below one whole frame.
+        (Transformer context still resets per chunk — the same bounded
+        discontinuity the reference's streaming ASR accepts via its
+        (l, m, r) context windows, asr.py:56-66.)"""
+        buf = (pcm if self._live_pcm is None
+               else np.concatenate([self._live_pcm, pcm]))
+        k = max(0, (len(buf) - 80) // 640)   # whole video frames buffered
+        if k == 0:
+            self._live_pcm = buf
+            return None
+        feats = self._get_hubert().features(buf[:640 * k + 80])
+        self._live_pcm = buf[640 * k:]       # keep the 80-sample CNN edge
+        return feats
 
     def audio_upload_wav(self, wav_bytes: bytes) -> dict:
+        if self.busy or self.live_q is not None:
+            # replacing ds.aud_features (and resetting the smooth-lips EMA)
+            # under an in-flight render corrupts its remaining frames
+            return {"error": "inference running — wait for busy=false "
+                    "(or stream via /api/audio_chunk)"}
         feats = self._wav_features(wav_bytes, save=True)
         self.num_aud_frames = self.session.set_audio_features(feats)
         return {"aud_frames": self.num_aud_frames}
 
     def audio_upload_npy(self, path: str) -> dict:
+        if self.busy or self.live_q is not None:
+            return {"error": "inference running — wait for busy=false "
+                    "(or stream via /api/audio_chunk)"}
         # restrict server-side feature files to the configured data root so a
         # client cannot point np.load at arbitrary server paths
         real = os.path.realpath(path)
@@ -183,7 +218,8 @@ class ServerState:
     def audio_chunk(self, body: bytes, ctype: str) -> dict:
         """Append one live audio segment (the streaming counterpart of
         audio_upload, driving session.run_live): wav bytes -> HuBERT
-        features, or an .npy payload of pre-extracted per-frame features
+        features on a chunk-spanning sample lattice (_live_pcm_feats), or
+        an .npy payload of pre-extracted per-frame features
         (application/octet-stream). The FIRST chunk starts the live render
         thread; segments render as soon as their attention context is
         buffered; POST /api/audio_end finishes the stream. Live mode
@@ -193,11 +229,6 @@ class ServerState:
         if not getattr(self.session, "_built", False):
             return {"error": "no model loaded — POST /api/model_select "
                     "first"}
-        if "wav" in ctype:
-            feats = self._wav_features(body, save=False)
-        else:
-            feats = np.load(io.BytesIO(body))
-        feats = np.asarray(feats, np.float32)
         with self.lock:
             if self.live_q is None:
                 if self.busy:
@@ -206,6 +237,8 @@ class ServerState:
                 self.frames_done = 0
                 self.num_aud_frames = 0
                 self.audio_path = ""   # video-only; see docstring
+                self._live_pcm = None
+                self._live_ending = False
                 q = self.live_q = queue.Queue()
 
                 def gen():
@@ -226,28 +259,61 @@ class ServerState:
                     except Exception as e:   # surfaced via /api/status
                         self.last_error = f"{type(e).__name__}: {e}"
                     finally:
-                        self.busy = False
-                        self.live_q = None
+                        with self.lock:
+                            self.busy = False
+                            self.live_q = None
+                            self._live_ending = False
                         if self.wait_loop:
                             self.wait_loop.start()
 
                 if self.wait_loop:
                     self.wait_loop.stop()
                 threading.Thread(target=work, daemon=True).start()
+            elif self._live_ending:
+                # the previous stream's tail is still flushing: accepting
+                # this chunk would enqueue it BEHIND the end sentinel and
+                # silently drop it
+                return {"error": "live stream is ending — wait for "
+                        "busy=false, then start a new one"}
+            # feature extraction inside the lock: chunk order IS the
+            # playback order, so the decode->enqueue window must not
+            # interleave across concurrent posters
+            if "wav" in ctype:
+                feats = self._live_pcm_feats(self._decode_wav(body))
+                if feats is None:   # buffering below one whole frame
+                    return {"queued_frames": 0, "live": True}
             else:
-                q = self.live_q
-        q.put(feats)
-        self.num_aud_frames += int(len(feats))
+                feats = np.load(io.BytesIO(body))
+            feats = np.asarray(feats, np.float32)
+            if len(feats):
+                self.live_q.put(feats)
+                self.num_aud_frames += int(len(feats))
         return {"queued_frames": int(len(feats)), "live": True}
 
     def audio_end(self) -> dict:
-        """Finish the live stream: flush the buffered tail (attention
-        lookahead frames) and close the sink."""
+        """Finish the live stream: flush the carried PCM remainder and the
+        buffered lookahead frames, then close the sink."""
         with self.lock:
             q = self.live_q
-        if q is None:
-            return {"error": "no live stream in progress"}
-        q.put(None)
+            if q is None:
+                return {"error": "no live stream in progress"}
+            if self._live_ending:
+                return {"error": "live stream already ending"}
+            self._live_ending = True
+            tail, self._live_pcm = self._live_pcm, None
+            if (tail is not None and len(tail) >= 480
+                    and self.hubert is not None):
+                # sub-frame PCM tail: at least one HuBERT step (kernel 400)
+                # must fit, else there is genuinely nothing left to say
+                try:
+                    feats = np.asarray(self.hubert.features(tail),
+                                       np.float32)
+                except ValueError:
+                    feats = np.zeros((0,), np.float32)
+                if len(feats):
+                    q.put(feats)
+                    self.num_aud_frames += int(len(feats))
+            q.put(None)
         return {"ended": True}
 
     def start_inference(self) -> dict:

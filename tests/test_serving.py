@@ -588,6 +588,35 @@ def test_run_live_matches_offline(session_workspace):
     for i in range(9):
         np.testing.assert_array_equal(live[i], offline[i])
 
+    # a SECOND live stream on the same session is a fresh utterance: the
+    # smooth-lips EMA carried out of stream 1 must not leak into stream 2
+    # (run_live resets it exactly like set_audio_features does offline)
+    feats2 = rng.standard_normal((4, 16, 29)).astype(np.float32)
+    n2 = s.set_audio_features(feats2)
+    offline2 = {}
+    s.run(max_frames=n2, on_frame=lambda i, b: offline2.__setitem__(i, b))
+    live2 = {}
+    s2.run_live(iter([feats2[:1], feats2[1:]]),
+                on_frame=lambda i, b: live2.__setitem__(i, b))
+    for i in range(4):
+        np.testing.assert_array_equal(live2[i], offline2[i])
+
+    # hours-long sessions trim the feature buffer (aud_offset bookkeeping):
+    # force the trim at toy size (next_i must clear lookbehind=8 + stride)
+    # and re-check bit-identity against a fresh offline oracle
+    feats3 = rng.standard_normal((16, 16, 29)).astype(np.float32)
+    n3 = s.set_audio_features(feats3)
+    offline3 = {}
+    s.run(max_frames=n3, on_frame=lambda i, b: offline3.__setitem__(i, b))
+    s2._live_trim_stride = 3
+    live3 = {}
+    s2.run_live((feats3[i:i + 2] for i in range(0, 16, 2)),
+                on_frame=lambda i, b: live3.__setitem__(i, b))
+    assert s2.ds.aud_offset == 0          # restored for offline reuse
+    assert len(s2.ds.aud_features) < 16   # the buffer actually shrank
+    for i in range(16):
+        np.testing.assert_array_equal(live3[i], offline3[i])
+
 
 def test_webapi_live_audio_chunks(session_workspace, tmp_path):
     """The live REST protocol (/api/audio_chunk + /api/audio_end) must
@@ -682,6 +711,51 @@ def test_webapi_live_audio_chunks(session_workspace, tmp_path):
     got = open(raw_out, "rb").read()
     want = b"".join(np.asarray(offline[i]).tobytes() for i in range(6))
     assert got == want
+
+
+def test_live_pcm_carry_keeps_frame_rate():
+    """_live_pcm_feats must continue HuBERT's sample lattice across chunk
+    boundaries: arbitrary chunkings consume exactly 640 samples per video
+    frame with the 80-sample CNN edge carried, so the chunked feature
+    stream equals the whole-utterance one frame-for-frame (no per-chunk
+    remainder discard -> no cumulative A/V drift)."""
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.webapi import ServerState
+
+    st = ServerState(Config())
+
+    class FakeHubert:
+        # alignment-sensitive stand-in with HuBERT's exact sample budget:
+        # k = (N - 80) // 640 frames; frame i summarizes samples
+        # [640i, 640(i+1)) so any lattice slip changes the values
+        def features(self, data):
+            k = max(0, (len(data) - 80) // 640)
+            return np.asarray(data[:k * 640],
+                              np.float32).reshape(k, 640)[:, ::40]
+
+    st.hubert = FakeHubert()
+    rng = np.random.default_rng(17)
+    pcm = rng.standard_normal(3 * 16000 + 321).astype(np.float32)
+    whole = st.hubert.features(pcm)
+    assert len(whole) == 75  # 3.02 s -> 75 whole frames
+
+    got = []
+    # uneven chunking incl. a sub-frame drip (16100->16500 is 400 samples)
+    for part in np.split(pcm, [1000, 9000, 16100, 16500, 40000]):
+        f = st._live_pcm_feats(part)
+        if f is not None:
+            got.append(f)
+    # audio_end's tail flush on the carried remainder
+    tail = st._live_pcm
+    if tail is not None and len(tail) >= 480:
+        got.append(st.hubert.features(tail))
+    got = np.concatenate(got)
+    np.testing.assert_array_equal(got[:len(whole)], whole)
+    # the flush may add at most the final sub-frame worth of content
+    assert len(got) - len(whole) <= 1
+
+
+def test_session_frame_parallel_matches_serial(session_workspace):
     """infer_data_parallel=4 (frame-parallel chunks over a 4-device mesh,
     shard_map) must stream BIT-IDENTICAL frames to the serial chunk
     program: the smooth-lips EMA chain is precomputed serially before the
