@@ -2,4 +2,4 @@
 hubert.py, wav2vec.py)."""
 
 from .mel import melspectrogram, wav_to_mel_chunks, MelParams
-from .hubert import HubertFeatureExtractor
+from .hubert import HubertFeatureExtractor, HubertStreamer

@@ -100,6 +100,58 @@ class HubertFeatureExtractor:
         return self.features(np.asarray(data, np.float32))
 
 
+class HubertStreamer:
+    """Sample-lattice carry for LIVE pcm chunks: HuBERT's stride lattice
+    (kernel 400 / stride 320; 2 steps = 1 video frame = 640 samples)
+    continues across arbitrary chunk boundaries instead of restarting per
+    chunk — per-chunk extraction discards up to ~520 samples/chunk
+    (~1 frame/s of cumulative A/V drift at 1 s chunks). push() returns
+    whole-frame features or None while buffering; flush() drains the
+    sub-frame tail at end of stream. The transformer context still resets
+    per push — the same bounded discontinuity the reference's streaming
+    ASR accepts via its (l, m, r) windows (asr.py:56-66). Consumers:
+    webapi /api/audio_chunk and cli.run_asr_live."""
+
+    FRAME = 640        # samples per video frame (2 steps x stride 320)
+    EDGE = 80          # CNN kernel overhang (kernel 400 - stride 320)
+
+    def __init__(self, extractor: "HubertFeatureExtractor"):
+        self.extractor = extractor
+        self._rem: Optional[np.ndarray] = None
+
+    def push(self, pcm: np.ndarray) -> Optional[np.ndarray]:
+        buf = (np.asarray(pcm, np.float32) if self._rem is None
+               else np.concatenate([self._rem, pcm]))
+        k = max(0, (len(buf) - self.EDGE) // self.FRAME)
+        if k == 0:
+            self._rem = buf
+            return None
+        feats = self.extractor.features(buf[:self.FRAME * k + self.EDGE])
+        self._rem = buf[self.FRAME * k:]   # keep the CNN edge overlap
+        return feats
+
+    def flush(self) -> Optional[np.ndarray]:
+        tail, self._rem = self._rem, None
+        if tail is None or len(tail) < 480:   # < one CNN kernel + margin
+            return None
+        try:
+            feats = self.extractor.features(tail)
+        except ValueError:                    # genuinely too short
+            return None
+        return feats if len(feats) else None
+
+    def feature_stream(self, chunks):
+        """Generator form for run_live: yields whole-frame feature blocks
+        as pcm chunks arrive, then the flushed tail."""
+        for chunk in chunks:
+            feats = self.push(chunk)
+            if feats is not None:
+                yield feats
+        feats = self.flush()
+        if feats is not None:
+            yield feats
+
+
 def _read_wav(path: str):
     from scipy.io import wavfile
 

@@ -485,6 +485,71 @@ def run_save_mesh(cfg) -> None:
                 f"({len(verts)} verts, {len(faces)} faces)")
 
 
+def run_asr_live(cfg) -> None:
+    """--asr: live audio -> streamed render (the reference's test-time
+    asr=True loop, train.py:210-236, with the standalone streaming tool's
+    (l, m, r) contract, asr.py:185-250). Features stream from --asr_wav
+    (a wav replayed at the 20 ms mic cadence) or the microphone
+    (sounddevice), per-frame rows unfold incrementally
+    (StreamingASR.feature_rows), and frames render as soon as their
+    attention context arrives (session.run_live) into an mp4 next to the
+    workspace (raw frames when ffmpeg is absent)."""
+    import shutil as _shutil
+
+    from .serving.asr import (StreamingASR, mic_chunk_stream,
+                              wav_chunk_stream)
+    from .serving.session import InferenceSession
+    from .serving.streaming import make_sink
+
+    # build the session with asr=False: cfg.asr makes the PROVIDER skip
+    # dataset audio (live features replace it), but the session's program
+    # build needs an audio template; run_live then feeds the real stream
+    session = InferenceSession(cfg.replace(asr=False))
+    session.load_model(cfg.path, cfg.workspace)
+    ds = session.ds
+
+    chunks = (wav_chunk_stream(cfg.asr_wav) if cfg.asr_wav
+              else mic_chunk_stream())
+    if cfg.asr_model == "hubert":
+        # hubert-trained models stream through the HuBERT lattice carry
+        # (same path as webapi /api/audio_chunk)
+        from .audio import HubertFeatureExtractor, HubertStreamer
+
+        feature_stream = HubertStreamer(
+            HubertFeatureExtractor()).feature_stream(chunks)
+    else:
+        # wav2vec-CTC families stream through the (l, m, r) unfold.
+        # reference family -> checkpoint mapping (train.py:127-129 comments
+        # + asr.py:396); a name with '/' passes through as a HF id
+        model_ids = {
+            "esperanto": "cpierse/wav2vec2-large-xlsr-53-esperanto",
+        }
+        name = (cfg.asr_model if "/" in cfg.asr_model
+                else model_ids.get(cfg.asr_model))
+        if name is None:
+            raise RuntimeError(
+                f"--asr has no streaming CTC for "
+                f"asr_model={cfg.asr_model!r} (deepspeech features come "
+                "from the offline tool; use --asr_model esperanto, hubert, "
+                "or a HuggingFace CTC id)")
+        dim = (44 if "esperanto" in name
+               else 29 if "deepspeech" in name else 32)
+        asr = StreamingASR(dim, asr_model=name, save_feats=True)
+        feature_stream = asr.feature_rows(chunks)
+    out = os.path.join(cfg.workspace, "results")
+    os.makedirs(out, exist_ok=True)
+    if _shutil.which("ffmpeg"):
+        sink = make_sink("mp4", ds.W, ds.H, fps=25,
+                         path=os.path.join(out, "asr_live.mp4"),
+                         audio_path=cfg.asr_wav)
+    else:
+        sink = make_sink("raw", ds.W, ds.H,
+                         path=os.path.join(out, "asr_live.raw"))
+    n, dt = session.run_live(feature_stream, sink)
+    print(f"[INFO] asr live: {n} frames in {dt:.2f}s "
+          f"({n / max(dt, 1e-9):.1f} FPS) -> {out}")
+
+
 def run_test(cfg) -> None:
     """Offline batch inference: render every frame, write PNGs (+ mp4 when
     ffmpeg is present), report PSNR/LPIPS/LMD when ground truth exists
@@ -770,6 +835,8 @@ def main(argv=None):
               "and open http://127.0.0.1:7860/")
     if cfg.save_mesh:
         run_save_mesh(cfg)
+    elif cfg.asr:
+        run_asr_live(cfg)
     elif cfg.test:
         run_test(cfg)
     else:

@@ -158,6 +158,41 @@ class StreamingASR:
                 yield self.ring.next_att_window()
         self.step(None)
 
+    def feature_rows(self, chunks: Iterator[np.ndarray]
+                     ) -> Iterator[np.ndarray]:
+        """Per-video-frame feature rows in the TRAINING layout ([1, 16, C]
+        windows of logit steps; unfold window 16 / stride 2 / pad 8 —
+        reference asr.py:236-250) emitted INCREMENTALLY: row i covers logit
+        steps [2i-8, 2i+8), so it is yielded as soon as step 2i+7 exists;
+        end-of-stream rows flush with the offline zero right-pad.
+        Concatenating every yield equals unfolded_features() exactly
+        (tests/test_serving.py) — the adapter that lets session.run_live
+        consume a live microphone/wav (cli.run_asr_live)."""
+        if not self.save_feats:
+            raise ValueError("feature_rows needs save_feats=True")
+        pad = 16 // 2
+        emitted = 0
+
+        def new_rows(final: bool):
+            nonlocal emitted
+            if not self.all_feats:
+                return
+            feats = np.concatenate(self.all_feats, axis=0)      # [M, C]
+            M = len(feats)
+            total = M // 2 + 1 if final else max(0, (M - pad) // 2 + 1)
+            if total <= emitted:
+                return
+            padded = np.pad(feats, ((pad, pad), (0, 0)))
+            for r in range(emitted, total):
+                yield padded[2 * r: 2 * r + 16][None]           # [1, 16, C]
+            emitted = total
+
+        for chunk in chunks:
+            if self.step(chunk):
+                yield from new_rows(False)
+        self.step(None)
+        yield from new_rows(True)
+
     def unfolded_features(self) -> np.ndarray:
         """All features in the training layout [M/2, 16, C] (--asr_save_feats,
         asr.py:236-250: unfold window 16, stride 2, pad 8)."""

@@ -60,7 +60,7 @@ class ServerState:
         self.wait_loop: Optional[WaitVideoLoop] = None
         self.hls_has_audio = False   # set when an hls sink is built
         self.live_q: Optional[queue.Queue] = None   # live-mode segment feed
-        self._live_pcm: Optional[np.ndarray] = None  # carried wav remainder
+        self._live_streamer = None   # HubertStreamer (carried wav lattice)
         self._live_ending = False    # end sentinel posted, tail flushing
         self.lock = threading.Lock()
 
@@ -143,24 +143,16 @@ class ServerState:
         return self._get_hubert().features(self._decode_wav(wav_bytes))
 
     def _live_pcm_feats(self, pcm: np.ndarray):
-        """CNN-stride carry across live wav chunks: HuBERT's sample lattice
-        (kernel 400 / stride 320; 2 steps = 1 video frame = 640 samples)
-        continues across chunk boundaries instead of restarting per chunk.
-        Without the carry, a 1.0 s (16000-sample) chunk yields 24 frames
-        instead of 25 — ~40 ms of cumulative A/V drift per second of
-        speech. Returns None while buffering below one whole frame.
-        (Transformer context still resets per chunk — the same bounded
-        discontinuity the reference's streaming ASR accepts via its
-        (l, m, r) context windows, asr.py:56-66.)"""
-        buf = (pcm if self._live_pcm is None
-               else np.concatenate([self._live_pcm, pcm]))
-        k = max(0, (len(buf) - 80) // 640)   # whole video frames buffered
-        if k == 0:
-            self._live_pcm = buf
-            return None
-        feats = self._get_hubert().features(buf[:640 * k + 80])
-        self._live_pcm = buf[640 * k:]       # keep the 80-sample CNN edge
-        return feats
+        """CNN-stride carry across live wav chunks — without it a 1.0 s
+        (16000-sample) chunk yields 24 frames instead of 25, ~40 ms of
+        cumulative A/V drift per second of speech. Returns None while
+        buffering below one whole frame (audio/hubert.py::HubertStreamer
+        holds the lattice)."""
+        if self._live_streamer is None:
+            from ..audio import HubertStreamer
+
+            self._live_streamer = HubertStreamer(self._get_hubert())
+        return self._live_streamer.push(pcm)
 
     def audio_upload_wav(self, wav_bytes: bytes) -> dict:
         if self.busy or self.live_q is not None:
@@ -237,7 +229,7 @@ class ServerState:
                 self.frames_done = 0
                 self.num_aud_frames = 0
                 self.audio_path = ""   # video-only; see docstring
-                self._live_pcm = None
+                self._live_streamer = None
                 self._live_ending = False
                 q = self.live_q = queue.Queue()
 
@@ -300,19 +292,12 @@ class ServerState:
             if self._live_ending:
                 return {"error": "live stream already ending"}
             self._live_ending = True
-            tail, self._live_pcm = self._live_pcm, None
-            if (tail is not None and len(tail) >= 480
-                    and self.hubert is not None):
-                # sub-frame PCM tail: at least one HuBERT step (kernel 400)
-                # must fit, else there is genuinely nothing left to say
-                try:
-                    feats = np.asarray(self.hubert.features(tail),
-                                       np.float32)
-                except ValueError:
-                    feats = np.zeros((0,), np.float32)
-                if len(feats):
-                    q.put(feats)
+            if self._live_streamer is not None:
+                feats = self._live_streamer.flush()
+                if feats is not None:
+                    q.put(np.asarray(feats, np.float32))
                     self.num_aud_frames += int(len(feats))
+                self._live_streamer = None
             q.put(None)
         return {"ended": True}
 

@@ -82,6 +82,57 @@ def test_streaming_asr_save_feats_unfold():
     assert out.ndim == 3 and out.shape[1:] == (16, C)
 
 
+def test_asr_feature_rows_incremental_equals_offline():
+    """feature_rows (the live adapter cli.run_asr_live feeds run_live with)
+    must emit exactly the offline unfold: concatenating its incremental
+    yields equals unfolded_features() row-for-row, for a chunk-value
+    feature_fn that makes any lattice slip visible."""
+    C = 8
+
+    def fake_fn(samples):
+        T = len(samples) // 320
+        rows = samples[: T * 320].reshape(T, 320).mean(-1)
+        return np.repeat(rows[:, None], C, axis=1).astype(np.float32)
+
+    def chunk_gen():
+        return (np.full(320, i, np.float32) for i in range(137))
+
+    offline = StreamingASR(audio_dim=C, feature_fn=fake_fn,
+                           save_feats=True)
+    for c in chunk_gen():
+        offline.step(c)
+    offline.step(None)
+    want = offline.unfolded_features()
+
+    live = StreamingASR(audio_dim=C, feature_fn=fake_fn, save_feats=True)
+    consumed = 0
+
+    def counting_gen():
+        nonlocal consumed
+        for c in chunk_gen():
+            consumed += 1
+            yield c
+
+    rows = []
+    first_row_at = None
+    for r in live.feature_rows(counting_gen()):
+        if first_row_at is None:
+            first_row_at = consumed
+        rows.append(r)
+    assert all(r.shape == (1, 16, C) for r in rows)
+    got = np.concatenate(rows, axis=0)
+    np.testing.assert_array_equal(got, want)
+    # incrementality: the first row must arrive mid-stream (right after the
+    # ASR warm-up), not in a terminal batch
+    assert first_row_at is not None and first_row_at < 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="save_feats"):
+        next(StreamingASR(audio_dim=C, feature_fn=fake_fn)
+             .feature_rows(chunk_gen()))
+
+
 def test_mel_chunks_at_25fps():
     t = np.arange(2 * SAMPLE_RATE) / SAMPLE_RATE
     wav = np.sin(2 * np.pi * 300 * t).astype(np.float32)
@@ -713,6 +764,21 @@ def test_webapi_live_audio_chunks(session_workspace, tmp_path):
     assert got == want
 
 
+def test_run_asr_live_family_guard(session_workspace):
+    """--asr on a deepspeech-family model must fail fast with instructions
+    (its features come from the offline tool — reference process.py:29),
+    not crash inside the feature loop."""
+    from lzzx_nerf_tpu.cli import run_asr_live
+    from lzzx_nerf_tpu.config import Config
+
+    data, ws = session_workspace
+    cfg = Config(path=data, workspace=ws, asr=True,
+                 asr_model="deepspeech", grid_size=32, max_steps=8,
+                 infer_samples=8, infer_window_candidates=24)
+    with pytest.raises(RuntimeError, match="streaming CTC"):
+        run_asr_live(cfg)
+
+
 def test_live_pcm_carry_keeps_frame_rate():
     """_live_pcm_feats must continue HuBERT's sample lattice across chunk
     boundaries: arbitrary chunkings consume exactly 640 samples per video
@@ -746,13 +812,21 @@ def test_live_pcm_carry_keeps_frame_rate():
         if f is not None:
             got.append(f)
     # audio_end's tail flush on the carried remainder
-    tail = st._live_pcm
-    if tail is not None and len(tail) >= 480:
-        got.append(st.hubert.features(tail))
+    f = st._live_streamer.flush()
+    if f is not None:
+        got.append(f)
     got = np.concatenate(got)
     np.testing.assert_array_equal(got[:len(whole)], whole)
     # the flush may add at most the final sub-frame worth of content
     assert len(got) - len(whole) <= 1
+
+    # the generator form (cli.run_asr_live's hubert path) agrees too
+    from lzzx_nerf_tpu.audio import HubertStreamer
+
+    streamed = list(HubertStreamer(st.hubert).feature_stream(
+        np.split(pcm, [1000, 9000, 16100, 16500, 40000])))
+    np.testing.assert_array_equal(
+        np.concatenate(streamed)[:len(whole)], whole)
 
 
 def test_session_frame_parallel_matches_serial(session_workspace):
