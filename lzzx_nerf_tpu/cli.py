@@ -510,6 +510,10 @@ def run_asr_live(cfg) -> None:
 
     chunks = (wav_chunk_stream(cfg.asr_wav) if cfg.asr_wav
               else mic_chunk_stream())
+    if cfg.asr_play:
+        from .serving.asr import play_through
+
+        chunks = play_through(chunks)
     if cfg.asr_model == "hubert":
         # hubert-trained models stream through the HuBERT lattice carry
         # (same path as webapi /api/audio_chunk)

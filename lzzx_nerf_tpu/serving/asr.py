@@ -226,6 +226,39 @@ def wav_chunk_stream(path: str, fps: int = 50) -> Iterator[np.ndarray]:
         yield np.asarray(data[i:i + chunk], np.float32)
 
 
+def play_through(chunks: Iterator[np.ndarray],
+                 fps: int = 50) -> Iterator[np.ndarray]:
+    """Pass-through chunk wrapper that also plays each 20 ms chunk on the
+    default speaker (reference --asr_play: a thread feeds a pyaudio output
+    stream as chunks are consumed, asr.py:25-37,81-86). Dep-gated like the
+    mic source: warns and degrades to a plain pass-through when no audio
+    stack is installed (this build image ships none)."""
+    stream = None
+    try:
+        import sounddevice as sd
+
+        stream = sd.OutputStream(samplerate=SAMPLE_RATE, channels=1,
+                                 dtype="float32",
+                                 blocksize=SAMPLE_RATE // fps)
+        stream.start()
+    except Exception as e:                       # ImportError / no device
+        print(f"[WARN] --asr_play: audio output unavailable ({e}); "
+              "streaming silently")
+    try:
+        for chunk in chunks:
+            if stream is not None:
+                try:
+                    stream.write(np.ascontiguousarray(chunk, np.float32)
+                                 .reshape(-1, 1))
+                except Exception:
+                    stream = None                # device vanished mid-run
+            yield chunk
+    finally:
+        if stream is not None:
+            stream.stop()
+            stream.close()
+
+
 def mic_chunk_stream(fps: int = 50, device=None,
                      stop_event=None) -> Iterator[np.ndarray]:
     """Live-microphone chunk generator (reference create_pyaudio_stream,

@@ -764,6 +764,18 @@ def test_webapi_live_audio_chunks(session_workspace, tmp_path):
     assert got == want
 
 
+def test_play_through_degrades_without_audio_stack():
+    """--asr_play must pass chunks through unchanged (and in order) when no
+    speaker backend exists, not die in the render loop."""
+    from lzzx_nerf_tpu.serving.asr import play_through
+
+    chunks = [np.full(320, i, np.float32) for i in range(5)]
+    out = list(play_through(iter(chunks)))
+    assert len(out) == 5
+    for a, b in zip(out, chunks):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_run_asr_live_family_guard(session_workspace):
     """--asr on a deepspeech-family model must fail fast with instructions
     (its features come from the offline tool — reference process.py:29),
