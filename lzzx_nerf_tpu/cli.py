@@ -265,7 +265,8 @@ def run_train(cfg) -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     t_start = time.time()
     it = int(state.step)
-    eval_interval = max(1, int(5000 / max(len(ds.poses), 1)))  # train.py:296
+    eval_interval = cfg.eval_interval or max(
+        1, int(5000 / max(len(ds.poses), 1)))  # auto: train.py:296
     epoch = 0
     psnr_meter, lpips_meter = PSNRMeter(), LPIPSMeter()
 
@@ -538,7 +539,8 @@ def run_asr_live(cfg) -> None:
                 "or a HuggingFace CTC id)")
         dim = (44 if "esperanto" in name
                else 29 if "deepspeech" in name else 32)
-        asr = StreamingASR(dim, asr_model=name, save_feats=True)
+        asr = StreamingASR(dim, asr_model=name, save_feats=True,
+                           left=cfg.l, mid=cfg.m, right=cfg.r)
         feature_stream = asr.feature_rows(chunks)
     out = os.path.join(cfg.workspace, "results")
     os.makedirs(out, exist_ok=True)
@@ -549,7 +551,24 @@ def run_asr_live(cfg) -> None:
     else:
         sink = make_sink("raw", ds.W, ds.H,
                          path=os.path.join(out, "asr_live.raw"))
+    if cfg.asr_save_feats:
+        # reference --asr_save_feats writes the training-layout unfold
+        # next to the wav (asr.py:236-250, <wav>.npy)
+        collected = []
+
+        def tee(stream):
+            for f in stream:
+                collected.append(np.asarray(f, np.float32))
+                yield f
+
+        feature_stream = tee(feature_stream)
     n, dt = session.run_live(feature_stream, sink)
+    if cfg.asr_save_feats and collected:
+        feats_path = (cfg.asr_wav.rsplit(".", 1)[0] + ".npy"
+                      if cfg.asr_wav
+                      else os.path.join(out, "asr_feats.npy"))
+        np.save(feats_path, np.concatenate(collected, axis=0))
+        print(f"[INFO] asr features saved to {feats_path}")
     print(f"[INFO] asr live: {n} frames in {dt:.2f}s "
           f"({n / max(dt, 1e-9):.1f} FPS) -> {out}")
 
@@ -577,7 +596,18 @@ def run_test(cfg) -> None:
     trainer = Trainer(cfg.workspace)
     tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters)
     state = TrainState.create(params, tx)
-    state, occ, resumed = trainer.load_checkpoint(state, occ)
+    if cfg.head_ckpt:
+        # explicit head weights (reference train.py:188-203 loads
+        # --head_ckpt into the model before the torso stage/inference);
+        # head checkpoints live in their own workspace here, so the flag
+        # names that workspace directory
+        state, occ, resumed = Trainer(cfg.head_ckpt).load_checkpoint(
+            state, occ)
+        if not resumed:
+            raise SystemExit(
+                f"--head_ckpt {cfg.head_ckpt!r}: no checkpoint found")
+    else:
+        state, occ, resumed = trainer.load_checkpoint(state, occ)
     trainer.log(f"[INFO] test: {len(ds)} frames, ckpt resumed={resumed}")
 
     # optional torso stage: looks for the torso workspace's checkpoint

@@ -178,7 +178,9 @@ class Config:
     # n_stage2 reports survivor demand; overflow truncates at the split.
     train_stage_split: int = 0
     train_stage2_frac: float = 0.34
-    mesh_shape: Tuple[int, ...] = (1,)       # data-parallel mesh over rays
+    # deprecated in favour of data_parallel/infer_data_parallel (which
+    # build the 1-D 'data' mesh); kept so old opt.txt documents round-trip
+    mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     data_parallel: int = 0    # >0: train over an N-device 'data' mesh
     ema_decay: float = 0.95
@@ -292,7 +294,9 @@ class Config:
     # layers, kept for re-evaluation), 0 = plain flax apply. Training is
     # unaffected.
     fused_field: int = -1
-    eval_interval: int = 1
+    # epochs between eval passes; 0 = auto, the reference's
+    # max(1, 5000/len(train)) formula (train.py:296)
+    eval_interval: int = 0
     # frames evaluated per eval epoch: 0 = the FULL val split (reference
     # TrainerUtil.py:1107-1220 semantics); a small cap (the round-1/2 code
     # hardwired 4) is noisy enough to mask a lips-finetune regression
