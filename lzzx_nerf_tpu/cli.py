@@ -504,9 +504,14 @@ def run_asr_live(cfg) -> None:
 
     # build the session with asr=False: cfg.asr makes the PROVIDER skip
     # dataset audio (live features replace it), but the session's program
-    # build needs an audio template; run_live then feeds the real stream
+    # build needs an audio template; run_live then feeds the real stream.
+    # --head_ckpt overrides the head workspace like run_test.
     session = InferenceSession(cfg.replace(asr=False))
-    session.load_model(cfg.path, cfg.workspace)
+    session.load_model(cfg.path, cfg.head_ckpt or cfg.workspace)
+    if not session.resumed:
+        raise SystemExit(
+            f"no head checkpoint in {cfg.head_ckpt or cfg.workspace!r} — "
+            "--asr renders from trained weights only")
     ds = session.ds
 
     chunks = (wav_chunk_stream(cfg.asr_wav) if cfg.asr_wav
@@ -515,6 +520,7 @@ def run_asr_live(cfg) -> None:
         from .serving.asr import play_through
 
         chunks = play_through(chunks)
+    asr = None   # CTC object (None on the hubert path)
     if cfg.asr_model == "hubert":
         # hubert-trained models stream through the HuBERT lattice carry
         # (same path as webapi /api/audio_chunk)
@@ -551,11 +557,10 @@ def run_asr_live(cfg) -> None:
     else:
         sink = make_sink("raw", ds.W, ds.H,
                          path=os.path.join(out, "asr_live.raw"))
-    if cfg.asr_save_feats:
-        # reference --asr_save_feats writes the training-layout unfold
-        # next to the wav (asr.py:236-250, <wav>.npy)
-        collected = []
-
+    collected = []
+    if cfg.asr_save_feats and asr is None:
+        # hubert path lacks the CTC object's all_feats accumulator — tee
+        # the stream; the CTC path reuses asr.unfolded_features() below
         def tee(stream):
             for f in stream:
                 collected.append(np.asarray(f, np.float32))
@@ -563,12 +568,24 @@ def run_asr_live(cfg) -> None:
 
         feature_stream = tee(feature_stream)
     n, dt = session.run_live(feature_stream, sink)
-    if cfg.asr_save_feats and collected:
-        feats_path = (cfg.asr_wav.rsplit(".", 1)[0] + ".npy"
-                      if cfg.asr_wav
-                      else os.path.join(out, "asr_feats.npy"))
-        np.save(feats_path, np.concatenate(collected, axis=0))
-        print(f"[INFO] asr features saved to {feats_path}")
+    if cfg.asr_save_feats:
+        # reference --asr_save_feats writes the training-layout unfold
+        # next to the wav (asr.py:236-250, <wav>.npy)
+        if asr is not None and asr.all_feats:
+            feats = asr.unfolded_features()
+        elif collected:
+            feats = np.concatenate(collected, axis=0)
+        else:
+            feats = None
+        if feats is None:
+            print("[WARN] --asr_save_feats: stream produced no features "
+                  "(audio shorter than the ASR warm-up?) — nothing saved")
+        else:
+            feats_path = (os.path.splitext(cfg.asr_wav)[0] + ".npy"
+                          if cfg.asr_wav
+                          else os.path.join(out, "asr_feats.npy"))
+            np.save(feats_path, feats)
+            print(f"[INFO] asr features saved to {feats_path}")
     print(f"[INFO] asr live: {n} frames in {dt:.2f}s "
           f"({n / max(dt, 1e-9):.1f} FPS) -> {out}")
 
@@ -600,7 +617,12 @@ def run_test(cfg) -> None:
         # explicit head weights (reference train.py:188-203 loads
         # --head_ckpt into the model before the torso stage/inference);
         # head checkpoints live in their own workspace here, so the flag
-        # names that workspace directory
+        # names that workspace directory. Check BEFORE constructing a
+        # Trainer: its ctor mkdirs the workspace + checkpoints/, so a
+        # typo'd path would leave junk directories behind
+        if not os.path.isdir(os.path.join(cfg.head_ckpt, "checkpoints")):
+            raise SystemExit(
+                f"--head_ckpt {cfg.head_ckpt!r}: no checkpoints/ dir")
         state, occ, resumed = Trainer(cfg.head_ckpt).load_checkpoint(
             state, occ)
         if not resumed:

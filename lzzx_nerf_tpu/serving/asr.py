@@ -234,6 +234,14 @@ def play_through(chunks: Iterator[np.ndarray],
     mic source: warns and degrades to a plain pass-through when no audio
     stack is installed (this build image ships none)."""
     stream = None
+
+    def close(s):
+        try:
+            s.stop()
+            s.close()
+        except Exception:
+            pass
+
     try:
         import sounddevice as sd
 
@@ -242,6 +250,9 @@ def play_through(chunks: Iterator[np.ndarray],
                                  blocksize=SAMPLE_RATE // fps)
         stream.start()
     except Exception as e:                       # ImportError / no device
+        if stream is not None:                   # created but start() failed
+            close(stream)
+            stream = None
         print(f"[WARN] --asr_play: audio output unavailable ({e}); "
               "streaming silently")
     try:
@@ -251,12 +262,12 @@ def play_through(chunks: Iterator[np.ndarray],
                     stream.write(np.ascontiguousarray(chunk, np.float32)
                                  .reshape(-1, 1))
                 except Exception:
-                    stream = None                # device vanished mid-run
+                    close(stream)                # device vanished mid-run
+                    stream = None
             yield chunk
     finally:
         if stream is not None:
-            stream.stop()
-            stream.close()
+            close(stream)
 
 
 def mic_chunk_stream(fps: int = 50, device=None,

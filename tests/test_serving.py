@@ -764,11 +764,15 @@ def test_webapi_live_audio_chunks(session_workspace, tmp_path):
     assert got == want
 
 
-def test_play_through_degrades_without_audio_stack():
+def test_play_through_degrades_without_audio_stack(monkeypatch):
     """--asr_play must pass chunks through unchanged (and in order) when no
-    speaker backend exists, not die in the render loop."""
+    speaker backend exists, not die in the render loop. sounddevice is
+    force-blocked so the degraded branch runs even on hosts with audio."""
+    import sys
+
     from lzzx_nerf_tpu.serving.asr import play_through
 
+    monkeypatch.setitem(sys.modules, "sounddevice", None)  # import -> error
     chunks = [np.full(320, i, np.float32) for i in range(5)]
     out = list(play_through(iter(chunks)))
     assert len(out) == 5
