@@ -96,6 +96,66 @@ def convert_reference_torso(sd: Dict) -> Dict:
     return params
 
 
+def export_reference_state_dict(params: Dict) -> Dict:
+    """Inverse of convert_reference_state_dict: flax
+    NeRFField(encoder='hash') params -> the reference's ['model'] state
+    dict layout (numpy arrays; wrap with torch.from_numpy/torch.save for a
+    .pth the reference loads). _lin and _conv1d are involutions, so the
+    same transposes convert both directions; roundtrip identity is
+    regression-tested in tests/test_convert.py."""
+    params = {k: v for k, v in params.items()}
+    sd: Dict = {}
+    an = params["audio_net"]
+    for i, l in enumerate((0, 2, 4, 6)):
+        sd[f"audio_net.encoder_conv.{l}.weight"] = _conv1d(
+            an[f"Conv_{i}"]["kernel"])
+        sd[f"audio_net.encoder_conv.{l}.bias"] = np.asarray(
+            an[f"Conv_{i}"]["bias"])
+    for i, l in enumerate((0, 2)):
+        sd[f"audio_net.encoder_fc1.{l}.weight"] = _lin(
+            an[f"Dense_{i}"]["kernel"])
+        sd[f"audio_net.encoder_fc1.{l}.bias"] = np.asarray(
+            an[f"Dense_{i}"]["bias"])
+    for name, n in (("sigma_net", 3), ("color_net", 2), ("unc_net", 2),
+                    ("aud_ch_att_net", 2), ("eye_att_net", 2)):
+        for l in range(n):
+            sd[f"{name}.net.{l}.weight"] = _lin(
+                params[name][f"net_{l}"]["kernel"])
+    for plane in ("xy", "yz", "xz"):
+        sd[f"encoder_{plane}.embeddings"] = np.asarray(
+            params[f"encoder_{plane}"])
+    if "audio_att_net" in params:
+        att = params["audio_att_net"]
+        for i, l in enumerate((0, 2, 4, 6, 8)):
+            sd[f"audio_att_net.attentionConvNet.{l}.weight"] = _conv1d(
+                att[f"Conv_{i}"]["kernel"])
+            sd[f"audio_att_net.attentionConvNet.{l}.bias"] = np.asarray(
+                att[f"Conv_{i}"]["bias"])
+        sd["audio_att_net.attentionNet.0.weight"] = _lin(
+            att["Dense_0"]["kernel"])
+        sd["audio_att_net.attentionNet.0.bias"] = np.asarray(
+            att["Dense_0"]["bias"])
+    if "individual_codes" in params:
+        sd["individual_codes"] = np.asarray(params["individual_codes"])
+    return sd
+
+
+def export_reference_torso(params: Dict) -> Dict:
+    """Inverse of convert_reference_torso."""
+    sd: Dict = {
+        "anchor_points": np.asarray(params["anchor_points"]),
+        "torso_encoder.embeddings": np.asarray(params["torso_encoder"]),
+    }
+    for name, n in (("torso_deform_net", 3), ("torso_net", 3)):
+        for l in range(n):
+            sd[f"{name}.net.{l}.weight"] = _lin(
+                params[name][f"net_{l}"]["kernel"])
+    if "individual_codes_torso" in params:
+        sd["individual_codes_torso"] = np.asarray(
+            params["individual_codes_torso"])
+    return sd
+
+
 def load_reference_checkpoint(path: str) -> Dict:
     """Load a reference .pth checkpoint file and convert the head params."""
     import torch

@@ -393,3 +393,103 @@ def test_import_reference_ckpt_to_workspace(tmp_path):
     assert [f for f in results if f.endswith(".png")]
     log = open(os.path.join(ws, "log_ngp.txt")).read()
     assert "resumed=True" in log or "ckpt resumed" in log
+
+
+def test_export_roundtrips_reference_state_dict():
+    """Export is the exact inverse of import: reference sd -> flax params
+    -> reference sd reproduces every tensor bitwise (same keys), and flax
+    params -> sd -> flax params reproduces the tree — the interchange
+    contract for moving trained weights BACK to the torch reference."""
+    from lzzx_nerf_tpu.utils.convert import (export_reference_state_dict,
+                                             export_reference_torso,
+                                             convert_reference_torso)
+
+    sd = {k: v.numpy() for k, v in _torch_reference_state(seed=3).items()}
+    params = convert_reference_state_dict(sd)
+    back = export_reference_state_dict(params)
+    assert sorted(back) == sorted(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+    # params -> sd -> params
+    again = convert_reference_state_dict(back)
+
+    def tree_eq(a, b, path=""):
+        assert sorted(a) == sorted(b), path
+        for k in a:
+            if isinstance(a[k], dict):
+                tree_eq(a[k], b[k], path + "/" + str(k))
+            else:
+                np.testing.assert_array_equal(a[k], b[k],
+                                              err_msg=path + "/" + str(k))
+
+    tree_eq(params, again)
+
+    # torso: build a layout-correct random sd and roundtrip it
+    rng = np.random.default_rng(4)
+    tsd = {"anchor_points": rng.standard_normal((68, 3)).astype(np.float32),
+           "torso_encoder.embeddings":
+               rng.standard_normal((1024, 2)).astype(np.float32),
+           "individual_codes_torso":
+               rng.standard_normal((64, 8)).astype(np.float32)}
+    for name, dims in (("torso_deform_net", [(34, 32), (32, 32), (32, 2)]),
+                       ("torso_net", [(52, 32), (32, 32), (32, 4)])):
+        for l, (i, o) in enumerate(dims):
+            tsd[f"{name}.net.{l}.weight"] = (
+                rng.standard_normal((o, i)).astype(np.float32))
+    tback = export_reference_torso(convert_reference_torso(tsd))
+    assert sorted(tback) == sorted(tsd)
+    for k in tsd:
+        np.testing.assert_array_equal(tback[k], tsd[k], err_msg=k)
+
+
+def test_export_reference_ckpt_script_roundtrip(tmp_path):
+    """scripts/export_reference_ckpt.py: import a reference checkpoint into
+    a workspace, export it back, and recover every network tensor and the
+    MORTON density grid bitwise — train-here/serve-there interchange."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from conftest import make_toy_dataset
+    from export_reference_ckpt import main as export_main, to_morton
+    from import_reference_ckpt import main as import_main
+
+    GRID = 32
+    sd = _torch_reference_state()
+    rng = np.random.default_rng(7)
+    natural = rng.uniform(0, 20, (1, GRID, GRID, GRID)).astype(np.float32)
+    sd["density_grid"] = torch.as_tensor(to_morton(natural))
+
+    ckpt_path = tmp_path / "ngp_ref.pth"
+    torch.save({"model": sd, "mean_density": 2.0, "global_step": 7},
+               ckpt_path)
+    data = make_toy_dataset(tmp_path / "data")
+    ws = str(tmp_path / "ws")
+    argv = sys.argv
+    sys.argv = ["x", "--ckpt", str(ckpt_path), "--data", data,
+                "--workspace", ws, "--asr_model", "deepspeech",
+                "--grid_size", str(GRID)]
+    try:
+        import_main()
+        out = str(tmp_path / "back.pth")
+        sys.argv = ["x", "--workspace", ws, "--data", data, "--out", out,
+                    "--asr_model", "deepspeech", "--grid_size", str(GRID)]
+        export_main()
+    finally:
+        sys.argv = argv
+
+    back = torch.load(out, map_location="cpu", weights_only=False)
+    bsd = back["model"]
+    for k in sd:
+        got = np.asarray(bsd[k])
+        want = np.asarray(sd[k])
+        if k == "density_grid":
+            # import thresholds into occupancy; export re-mortonises the
+            # imported grid — values roundtrip exactly
+            np.testing.assert_allclose(got, want, atol=1e-6, err_msg=k)
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=k)
+    assert back["global_step"] == 7
+    assert abs(back["mean_density"] - 2.0) < 1e-6
+    assert "density_bitfield" in bsd
