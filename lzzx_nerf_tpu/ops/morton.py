@@ -16,6 +16,8 @@ and parity testing; dilation operates directly on the natural-order grid
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 
@@ -58,6 +60,25 @@ def morton3d_invert(indices: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     ).astype(jnp.int32)
+
+
+def morton_perm(H: int):
+    """Permutation mapping natural xyz order to morton buffer slots:
+    `flat[:, perm] = natural.reshape(-1, H**3)` mortonises, and
+    `natural = flat[:, perm]` de-mortonises — ONE definition shared by the
+    checkpoint import/export scripts, which must stay exact inverses for
+    the bitwise interchange roundtrip (tests/test_convert.py). Cached:
+    the grid-128 table is 2M entries behind a jitted morton3d dispatch."""
+    return _morton_perm_cached(H)
+
+
+@functools.lru_cache(maxsize=8)
+def _morton_perm_cached(H: int):
+    import numpy as np
+
+    coords = np.stack(np.meshgrid(np.arange(H), np.arange(H), np.arange(H),
+                                  indexing="ij"), -1).reshape(-1, 3)
+    return np.asarray(morton3d(jnp.asarray(coords, jnp.uint32)))
 
 
 def packbits(grid: jnp.ndarray, density_thresh: float) -> jnp.ndarray:

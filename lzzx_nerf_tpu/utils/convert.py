@@ -103,7 +103,6 @@ def export_reference_state_dict(params: Dict) -> Dict:
     .pth the reference loads). _lin and _conv1d are involutions, so the
     same transposes convert both directions; roundtrip identity is
     regression-tested in tests/test_convert.py."""
-    params = {k: v for k, v in params.items()}
     sd: Dict = {}
     an = params["audio_net"]
     for i, l in enumerate((0, 2, 4, 6)):
@@ -118,6 +117,11 @@ def export_reference_state_dict(params: Dict) -> Dict:
             an[f"Dense_{i}"]["bias"])
     for name, n in (("sigma_net", 3), ("color_net", 2), ("unc_net", 2),
                     ("aud_ch_att_net", 2), ("eye_att_net", 2)):
+        if name not in params:
+            # eye_att_net only materialises under exp_eye=True (the flax
+            # module is created lazily by use); the reference tolerates
+            # missing keys on load (TrainerUtil.py:1283-1345)
+            continue
         for l in range(n):
             sd[f"{name}.net.{l}.weight"] = _lin(
                 params[name][f"net_{l}"]["kernel"])

@@ -39,17 +39,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def to_morton(natural: np.ndarray) -> np.ndarray:
-    """[CAS, H, H, H] natural xyz order -> [CAS, H^3] morton-ordered."""
-    import jax.numpy as jnp
-
-    from lzzx_nerf_tpu.ops.morton import morton3d
+    """[CAS, H, H, H] natural xyz order -> [CAS, H^3] morton-ordered
+    (inverse of import_reference_ckpt.dem_morton; both use the shared
+    ops.morton.morton_perm permutation)."""
+    from lzzx_nerf_tpu.ops.morton import morton_perm
 
     H = natural.shape[-1]
-    coords = np.stack(np.meshgrid(np.arange(H), np.arange(H), np.arange(H),
-                                  indexing="ij"), -1).reshape(-1, 3)
-    codes = np.asarray(morton3d(jnp.asarray(coords, jnp.uint32)))
     flat = np.zeros((natural.shape[0], H ** 3), natural.dtype)
-    flat[:, codes] = natural.reshape(natural.shape[0], -1)
+    flat[:, morton_perm(H)] = natural.reshape(natural.shape[0], -1)
     return flat
 
 
@@ -73,22 +70,37 @@ def main():
     from lzzx_nerf_tpu.utils.convert import (export_reference_state_dict,
                                              export_reference_torso)
 
-    # adopt the workspace's own architecture from opt.txt when present
-    # (one JSON doc per line, last line wins — same rule as serving)
+    # adopt the workspace's own architecture from opt.txt when present —
+    # the SAME parsing rules as the serving session (one JSON doc per
+    # line, last wins; legacy multi-line fallback; malformed -> defaults)
+    def adopt_opt(cfg, workspace, keys):
+        import json
+
+        opt_txt = os.path.join(workspace, "opt.txt")
+        if not os.path.exists(opt_txt):
+            return cfg
+        try:
+            text = open(opt_txt).read()
+            lines = [ln for ln in text.splitlines() if ln.strip()]
+            try:
+                trained = json.loads(lines[-1])
+            except json.JSONDecodeError:
+                trained = json.loads("{" + text.rsplit("{", 1)[-1])
+            return cfg.replace(**{k: trained[k] for k in keys
+                                  if k in trained})
+        except Exception:
+            return cfg
+
     cfg = Config(path=args.data, workspace=args.workspace,
                  asr_model=args.asr_model, encoder="hash",
                  grid_size=args.grid_size, bound=args.bound)
-    opt_txt = os.path.join(args.workspace, "opt.txt")
-    if os.path.exists(opt_txt):
-        lines = open(opt_txt).read().strip().splitlines()
-        if lines:
-            prev = Config.from_json(lines[-1])
-            cfg = cfg.replace(encoder=prev.encoder,
-                              grid_size=prev.grid_size, bound=prev.bound,
-                              ind_num=prev.ind_num, ind_dim=prev.ind_dim,
-                              ind_dim_torso=prev.ind_dim_torso,
-                              asr_model=prev.asr_model, att=prev.att,
-                              exp_eye=prev.exp_eye)
+    cfg = adopt_opt(cfg, args.workspace,
+                    ("encoder", "grid_size", "bound", "ind_num", "ind_dim",
+                     "ind_dim_torso", "asr_model", "att", "exp_eye",
+                     # train_camera params (camera_dR/dT) live in the saved
+                     # tree: the restore template must match even though
+                     # the deltas have no reference counterpart
+                     "train_camera"))
     if cfg.encoder != "hash":
         raise SystemExit(
             f"workspace was trained with encoder={cfg.encoder!r}; only "
@@ -129,14 +141,19 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        torso = TorsoField(torso_shrink=cfg.torso_shrink,
-                           ind_dim_torso=cfg.ind_dim_torso,
-                           ind_num=cfg.ind_num,
-                           encoder="dense" if cfg.encoder == "dense"
+        # the torso run records its own dims in ITS opt.txt (a torso
+        # trained with a different --ind_dim_torso than the head's
+        # default would otherwise fail the orbax restore)
+        tcfg = adopt_opt(cfg, args.torso_workspace,
+                         ("ind_dim_torso", "ind_num", "torso_shrink"))
+        torso = TorsoField(torso_shrink=tcfg.torso_shrink,
+                           ind_dim_torso=tcfg.ind_dim_torso,
+                           ind_num=tcfg.ind_num,
+                           encoder="dense" if tcfg.encoder == "dense"
                            else "tiled")
         tparams = torso.init(jax.random.PRNGKey(0), jnp.zeros((4, 2)),
                              jnp.eye(4),
-                             jnp.zeros(max(cfg.ind_dim_torso, 1)))
+                             jnp.zeros(max(tcfg.ind_dim_torso, 1)))
         t_state = TrainState.create(dict(tparams), tx)
         t_state, occ_t, t_ok = Trainer(
             args.torso_workspace).load_checkpoint(t_state, occ)
@@ -147,6 +164,11 @@ def main():
         tp = t_tree["params"] if "params" in t_tree else t_tree
         for k, v in export_reference_torso(tp).items():
             sd[k] = torch.from_numpy(np.ascontiguousarray(v))
+        # the trained 2-D torso occupancy grid, flat like the reference's
+        # buffer (import_reference_ckpt reads it back via reshape(H, H))
+        sd["density_grid_torso"] = torch.from_numpy(
+            np.asarray(occ_t.density_grid_torso,
+                       np.float32).reshape(-1))
         ckpt["mean_density_torso"] = float(
             np.asarray(occ_t.mean_density_torso))
 

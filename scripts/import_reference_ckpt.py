@@ -42,14 +42,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def dem_morton(grid_flat: np.ndarray, H: int) -> np.ndarray:
     """[CAS, H^3] morton-ordered -> [CAS, H, H, H] natural xyz order."""
-    import jax.numpy as jnp
+    from lzzx_nerf_tpu.ops.morton import morton_perm
 
-    from lzzx_nerf_tpu.ops.morton import morton3d
-
-    coords = np.stack(np.meshgrid(np.arange(H), np.arange(H), np.arange(H),
-                                  indexing="ij"), -1).reshape(-1, 3)
-    codes = np.asarray(morton3d(jnp.asarray(coords, jnp.uint32)))
-    return grid_flat[:, codes].reshape(-1, H, H, H)
+    return grid_flat[:, morton_perm(H)].reshape(-1, H, H, H)
 
 
 def main():

@@ -493,3 +493,102 @@ def test_export_reference_ckpt_script_roundtrip(tmp_path):
     assert back["global_step"] == 7
     assert abs(back["mean_density"] - 2.0) < 1e-6
     assert "density_bitfield" in bsd
+
+
+def test_export_reference_ckpt_torso_direction(tmp_path):
+    """--torso-workspace: a natively-saved torso workspace exports its
+    network tensors (roundtrip through convert_reference_torso) AND the
+    trained 2-D torso occupancy grid + mean — the reference side must not
+    be left with a zero-init torso grid (invisible torso)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import jax
+    from conftest import make_toy_dataset
+    from export_reference_ckpt import main as export_main, to_morton
+    from import_reference_ckpt import main as import_main
+
+    from lzzx_nerf_tpu.cli import _build_world
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.data.provider import NeRFDataset
+    from lzzx_nerf_tpu.models import TorsoField
+    from lzzx_nerf_tpu.train import TrainState, Trainer, build_optimizer
+    from lzzx_nerf_tpu.utils.convert import convert_reference_torso
+
+    GRID = 32
+    sd = _torch_reference_state()
+    rng = np.random.default_rng(8)
+    natural = rng.uniform(0, 20, (1, GRID, GRID, GRID)).astype(np.float32)
+    sd["density_grid"] = torch.as_tensor(to_morton(natural))
+    ckpt_path = tmp_path / "ngp_ref.pth"
+    torch.save({"model": sd, "mean_density": 2.0, "global_step": 1},
+               ckpt_path)
+    data = make_toy_dataset(tmp_path / "data")
+    ws = str(tmp_path / "ws")
+    argv = sys.argv
+    sys.argv = ["x", "--ckpt", str(ckpt_path), "--data", data,
+                "--workspace", ws, "--asr_model", "deepspeech",
+                "--grid_size", str(GRID)]
+    try:
+        import_main()
+
+        # natively-initialized torso workspace with a known torso grid;
+        # dims must match what the importer adopted into ws/opt.txt
+        # (ind_num/ind_dim come from the checkpoint), exactly as a real
+        # torso run adopts them via the CLI
+        last = open(os.path.join(ws, "opt.txt")).read().splitlines()[-1]
+        cfg = Config.from_json(last).replace(path=data, workspace=ws)
+        ds = NeRFDataset(cfg, type="train")
+        _, occ, _, _ = _build_world(cfg, ds)
+        torso = TorsoField(torso_shrink=cfg.torso_shrink,
+                           ind_dim_torso=cfg.ind_dim_torso,
+                           ind_num=cfg.ind_num, encoder="tiled")
+        tparams = torso.init(jax.random.PRNGKey(1), jnp.zeros((4, 2)),
+                             jnp.eye(4),
+                             jnp.zeros(max(cfg.ind_dim_torso, 1)))
+        tgrid = rng.uniform(0, 5, np.asarray(
+            occ.density_grid_torso).shape).astype(np.float32)
+        occ_t = occ._replace(density_grid_torso=jnp.asarray(tgrid),
+                             mean_density_torso=jnp.asarray(0.5,
+                                                            jnp.float32))
+        tws = str(tmp_path / "ws_torso")
+        t_state = TrainState.create(
+            dict(tparams), build_optimizer(cfg.lr, cfg.lr_net, cfg.iters))
+        Trainer(tws).save_checkpoint(t_state, occ_t)
+        # the torso run records its dims in ITS opt.txt (run_train does
+        # this before dispatching the torso stage)
+        with open(os.path.join(tws, "opt.txt"), "a") as f:
+            f.write(cfg.replace(workspace=tws).to_json(indent=None) + "\n")
+
+        out = str(tmp_path / "with_torso.pth")
+        sys.argv = ["x", "--workspace", ws, "--data", data, "--out", out,
+                    "--asr_model", "deepspeech", "--grid_size", str(GRID),
+                    "--torso-workspace", tws]
+        export_main()
+    finally:
+        sys.argv = argv
+
+    back = torch.load(out, map_location="cpu", weights_only=False)
+    bsd = {k: np.asarray(v) for k, v in back["model"].items()}
+    np.testing.assert_allclose(
+        bsd["density_grid_torso"].reshape(tgrid.shape), tgrid, atol=1e-6)
+    assert abs(back["mean_density_torso"] - 0.5) < 1e-6
+    # torso tensors roundtrip through the importer's converter
+    tp_back = convert_reference_torso(
+        {k: v for k, v in bsd.items()
+         if k.startswith(("anchor_points", "torso_", "individual_codes_"))})
+    want = tparams["params"]
+
+    def tree_eq(a, b, path=""):
+        assert sorted(a) == sorted(b), (path, sorted(a), sorted(b))
+        for k in a:
+            if isinstance(a[k], dict):
+                tree_eq(a[k], b[k], path + "/" + str(k))
+            else:
+                np.testing.assert_allclose(np.asarray(a[k]),
+                                           np.asarray(b[k]), atol=1e-6,
+                                           err_msg=path + "/" + str(k))
+
+    tree_eq(tp_back, {k: want[k] for k in tp_back})
