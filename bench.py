@@ -373,7 +373,10 @@ def main():
               f"(median of {len(lat)}); live worst-frame audio->video "
               f"~= {worst:.0f} ms at chunk={C} "
               f"(= {(C - 1) * 40} ms audio buffering + chunk latency); "
-              f"lower --chunk trades throughput for latency",
+              f"lower --chunk trades throughput for latency. "
+              f"run_live/--asr adds the attention window's right context "
+              f"on top (att=2: +3 frames = +120 ms of audio wait, "
+              f"-> ~{worst + 120:.0f} ms; att=1: +0)",
               file=sys.stderr)
 
 
