@@ -168,8 +168,44 @@ def main():
     assert s["error"] is None, s
     size = os.path.getsize(raw_out)
     assert size == n_aud * H * W * 3, (size, n_aud * H * W * 3)
-    httpd.shutdown()
     print(f"   raw sink bytes ok: {size} = {n_aud}x{H}x{W}x3")
+
+    print("== live REST protocol (audio_chunk -> incremental render)")
+    # same features dripped as .npy segments: the raw sink must hold the
+    # SAME bytes again (run_live == run(), REST-level)
+    import io as _io
+
+    import numpy as _np
+
+    offline_bytes = open(raw_out, "rb").read()
+    feats = _np.load(os.path.join(data, "aud_ds.npy"))
+
+    def post_npy(arr):
+        bio = _io.BytesIO()
+        _np.save(bio, arr)
+        req = urllib.request.Request(
+            url + "/api/audio_chunk", bio.getvalue(),
+            {"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    r = post_npy(feats[:3])
+    assert r.get("live"), r
+    post_npy(feats[3:])
+    req = urllib.request.Request(url + "/api/audio_end", b"",
+                                 {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        assert json.loads(r.read()) == {"ended": True}
+    for _ in range(600):
+        s = get("/api/status")
+        if not s["busy"]:
+            break
+        time.sleep(0.5)
+    assert s["error"] is None and s["frames_done"] == n_aud, s
+    live_bytes = open(raw_out, "rb").read()
+    assert live_bytes == offline_bytes, "live REST frames != offline"
+    httpd.shutdown()
+    print(f"   live frames byte-identical to offline ({len(live_bytes)} B)")
     print("E2E DRIVE: ALL OK")
 
 
