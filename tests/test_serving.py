@@ -1104,6 +1104,54 @@ def test_hls_fmp4_sink_stream_appends_like_mse(tmp_path):
 
 
 @ffmpeg_required
+def test_hls_fmp4_sink_muxes_audio_track(tmp_path):
+    """With a driving wav, the packaged stream must carry BOTH tracks —
+    the silent-lips bug class (review finding: the live stream played
+    video-only); also pins the hls_codecs contract the MSE player uses."""
+    import subprocess
+
+    from scipy.io import wavfile
+
+    from lzzx_nerf_tpu.serving.streaming import FfmpegHlsSink
+
+    W = H = 64
+    N = 50   # 2 s of video
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    wav_path = tmp_path / "drive.wav"
+    wavfile.write(wav_path, sr,
+                  (0.3 * np.sin(2 * np.pi * 440 * t) * 32767).astype(
+                      np.int16))
+    out = tmp_path / "hls"
+    out.mkdir()
+    sink = FfmpegHlsSink(str(out), W, H, fps=25, segment_type="fmp4",
+                         audio_path=str(wav_path))
+    sink.open()
+    for i in range(N):
+        sink.push(np.full(W * H * 3 // 2, 64 + i, np.uint8).tobytes())
+    sink.close()
+    assert sink.closed_ok
+    # concatenate init + fragments (the MSE append stream) and probe
+    text = (out / "stream.m3u8").read_text()
+    segs = [ln for ln in text.splitlines() if ln and not ln.startswith("#")]
+    stream = tmp_path / "mse.mp4"
+    with open(stream, "wb") as f:
+        f.write((out / "init.mp4").read_bytes())
+        for seg in segs:
+            f.write((out / seg).read_bytes())
+    import json as js
+
+    probe = subprocess.run(
+        ["ffprobe", "-v", "error", "-show_entries",
+         "stream=codec_type,codec_name", "-of", "json", str(stream)],
+        capture_output=True, text=True, check=True).stdout
+    streams = js.loads(probe)["streams"]
+    kinds = sorted(s["codec_type"] for s in streams)
+    assert kinds == ["audio", "video"], streams
+    assert any(s.get("codec_name") == "aac" for s in streams), streams
+
+
+@ffmpeg_required
 def test_overlay_sink_composites_crop_onto_source(tmp_path):
     """The overlay filter graph must actually run: build a tiny source
     video, push rendered frames, and check the output geometry matches the
