@@ -106,8 +106,9 @@ class HubertStreamer:
     continues across arbitrary chunk boundaries instead of restarting per
     chunk — per-chunk extraction discards up to ~520 samples/chunk
     (~1 frame/s of cumulative A/V drift at 1 s chunks). push() returns
-    whole-frame features or None while buffering; flush() drains the
-    sub-frame tail at end of stream. The transformer context still resets
+    whole-frame features or None while buffering; flush() ends the stream
+    (the sub-frame remainder matches what the offline extractor's own
+    odd-step truncation drops — see flush()). The transformer context still resets
     per push — the same bounded discontinuity the reference's streaming
     ASR accepts via its (l, m, r) windows (asr.py:56-66). Consumers:
     webapi /api/audio_chunk and cli.run_asr_live."""
@@ -131,14 +132,15 @@ class HubertStreamer:
         return feats
 
     def flush(self) -> Optional[np.ndarray]:
-        tail, self._rem = self._rem, None
-        if tail is None or len(tail) < 480:   # < one CNN kernel + margin
-            return None
-        try:
-            feats = self.extractor.features(tail)
-        except ValueError:                    # genuinely too short
-            return None
-        return feats if len(feats) else None
+        """End of stream. The carried remainder is always < FRAME + EDGE
+        = 720 samples — less than one whole video frame — and the OFFLINE
+        extractor drops exactly the same sub-frame tail (features() odd-
+        step truncation), so there is never anything to emit: chunked
+        frame count already equals the whole-utterance count. Returns
+        None; kept as an explicit end-of-stream API so the invariant is
+        stated in one place."""
+        self._rem = None
+        return None
 
     def feature_stream(self, chunks):
         """Generator form for run_live: yields whole-frame feature blocks

@@ -737,7 +737,10 @@ class InferenceSession:
                          close_sink=False, on_frame=on_frame)
                 next_i = total
         finally:
-            # restore absolute indexing for any subsequent offline use
+            # restore absolute indexing for any subsequent offline use,
+            # and ALWAYS close the sink — an abandoned ffmpeg subprocess
+            # leaks its pump fd and leaves an 'event' playlist without
+            # EXT-X-ENDLIST that players stall on (streaming.py)
             self.ds.aud_offset = 0
-        sink.close()
+            sink.close()
         return next_i, time.time() - t0

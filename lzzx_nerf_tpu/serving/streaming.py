@@ -149,13 +149,21 @@ class _FfmpegSink(FrameSink):
 
 
 class FfmpegMp4Sink(_FfmpegSink):
-    def __init__(self, path: str, width: int, height: int, fps: int = 25):
+    def __init__(self, path: str, width: int, height: int, fps: int = 25,
+                 audio_path: Optional[str] = None):
         super().__init__(width, height, fps)
         self.path = path
+        # mux the driving wav like the reference's mp4 writer
+        # (TrainerUtil.py:713-741 concats audio into the final mp4)
+        self.audio_path = audio_path
 
     def _output_args(self):
-        return ["-c:v", "libx264", "-pix_fmt", "yuv420p", "-r", str(self.fps),
-                self.path]
+        args = []
+        if self.audio_path:
+            args += ["-i", self.audio_path, "-map", "0:v:0",
+                     "-map", "1:a:0", "-c:a", "aac", "-shortest"]
+        return args + ["-c:v", "libx264", "-pix_fmt", "yuv420p",
+                       "-r", str(self.fps), self.path]
 
 
 class FfmpegHlsSink(_FfmpegSink):
@@ -214,6 +222,10 @@ class FfmpegHlsSink(_FfmpegSink):
         args += ["-c:v", "libx264", "-pix_fmt", "yuv420p",
                  "-g", str(self.fps * 2), "-f", "hls",
                  "-hls_time", str(self.segment_seconds),
+                 # temp_file: playlist/segments land via rename, so a live
+                 # poller never reads a torn half-written m3u8 (the MSE
+                 # client would misread it as a replaced stream)
+                 "-hls_flags", "temp_file",
                  "-hls_playlist_type", "event"]
         if self.segment_type == "fmp4":
             args += ["-hls_segment_type", "fmp4",
@@ -452,7 +464,8 @@ def make_sink(kind: str, width: int, height: int, fps: int = 25,
     if kind == "rtmp":
         return FfmpegRtmpSink(rtmp_url, width, height, fps, local_mp4=path or None)
     if kind == "mp4":
-        return FfmpegMp4Sink(path, width, height, fps)
+        return FfmpegMp4Sink(path, width, height, fps,
+                             audio_path=audio_path or None)
     if kind in ("hls", "hls-fmp4"):
         return FfmpegHlsSink(path or "hls_out", width, height, fps,
                              segment_type="fmp4" if kind == "hls-fmp4"

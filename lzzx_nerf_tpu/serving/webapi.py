@@ -63,6 +63,9 @@ class ServerState:
         self._live_streamer = None   # HubertStreamer (carried wav lattice)
         self._live_ending = False    # end sentinel posted, tail flushing
         self.lock = threading.Lock()
+        # serializes live segment decode->enqueue (chunk order = playback
+        # order) WITHOUT holding the state lock through feature extraction
+        self._feed_lock = threading.Lock()
 
     @property
     def hls_dir(self) -> Optional[str]:
@@ -104,7 +107,7 @@ class ServerState:
                     models.append(name)
         return {"models": models, "current": self.model_name}
 
-    def _decode_wav(self, wav_bytes: bytes) -> np.ndarray:
+    def _decode_wav(self, wav_bytes: bytes, live: bool = False) -> np.ndarray:
         """wav bytes -> float32 mono PCM at 16 kHz (reference webapi.py:132
         normalizes uploads to 16k mono via ffmpeg)."""
         from scipy.io import wavfile
@@ -119,6 +122,15 @@ class ServerState:
 
             from scipy.signal import resample_poly
 
+            if live and not getattr(self, "_warned_live_sr", False):
+                # each live chunk is resampled independently: the filter
+                # transients at every boundary shift the HuBERT sample
+                # lattice slightly (the bundled player records at 16 kHz
+                # for exactly this reason)
+                print(f"[WARN] live audio chunks arrive at {sr} Hz; "
+                      "per-chunk resampling adds boundary artifacts — "
+                      "record at 16 kHz for exact features")
+                self._warned_live_sr = True
             g = gcd(int(sr), 16000)
             data = resample_poly(data, 16000 // g, sr // g)
         return np.asarray(data, np.float32)
@@ -130,17 +142,6 @@ class ServerState:
             self.hubert = HubertFeatureExtractor()
         return self.hubert
 
-    def _wav_features(self, wav_bytes: bytes, save: bool = True):
-        """Decode wav bytes -> 16 kHz mono -> HuBERT features. save=True
-        keeps the wav on disk so the streaming sinks mux it as the audio
-        track (reference webapi.py:132 ffmpeg 16k mono + mq audio input)."""
-        if save:
-            updir = os.path.join(self.trial_root, "uploads")
-            os.makedirs(updir, exist_ok=True)
-            self.audio_path = os.path.join(updir, "upload.wav")
-            with open(self.audio_path, "wb") as f:
-                f.write(wav_bytes)
-        return self._get_hubert().features(self._decode_wav(wav_bytes))
 
     def _live_pcm_feats(self, pcm: np.ndarray):
         """CNN-stride carry across live wav chunks — without it a 1.0 s
@@ -154,20 +155,34 @@ class ServerState:
             self._live_streamer = HubertStreamer(self._get_hubert())
         return self._live_streamer.push(pcm)
 
+    _BUSY_UPLOAD = ("inference running — wait for busy=false "
+                    "(or stream via /api/audio_chunk)")
+
     def audio_upload_wav(self, wav_bytes: bytes) -> dict:
         if self.busy or self.live_q is not None:
             # replacing ds.aud_features (and resetting the smooth-lips EMA)
             # under an in-flight render corrupts its remaining frames
-            return {"error": "inference running — wait for busy=false "
-                    "(or stream via /api/audio_chunk)"}
-        feats = self._wav_features(wav_bytes, save=True)
-        self.num_aud_frames = self.session.set_audio_features(feats)
+            return {"error": self._BUSY_UPLOAD}
+        # slow work (decode + HuBERT) OUTSIDE the lock; the guard is
+        # re-checked under it before any state mutates — a live stream
+        # started during the extraction must not be clobbered
+        feats = self._get_hubert().features(self._decode_wav(wav_bytes))
+        with self.lock:
+            if self.busy or self.live_q is not None:
+                return {"error": self._BUSY_UPLOAD}
+            # keep the wav on disk so the streaming sinks mux it as the
+            # audio track (reference webapi.py:132)
+            updir = os.path.join(self.trial_root, "uploads")
+            os.makedirs(updir, exist_ok=True)
+            self.audio_path = os.path.join(updir, "upload.wav")
+            with open(self.audio_path, "wb") as f:
+                f.write(wav_bytes)
+            self.num_aud_frames = self.session.set_audio_features(feats)
         return {"aud_frames": self.num_aud_frames}
 
     def audio_upload_npy(self, path: str) -> dict:
         if self.busy or self.live_q is not None:
-            return {"error": "inference running — wait for busy=false "
-                    "(or stream via /api/audio_chunk)"}
+            return {"error": self._BUSY_UPLOAD}
         # restrict server-side feature files to the configured data root so a
         # client cannot point np.load at arbitrary server paths
         real = os.path.realpath(path)
@@ -176,7 +191,14 @@ class ServerState:
             raise ValueError(
                 f"aud_path must live under the data root {self.data_root!r}")
         feats = np.load(real)
-        self.num_aud_frames = self.session.set_audio_features(feats)
+        with self.lock:
+            if self.busy or self.live_q is not None:
+                return {"error": self._BUSY_UPLOAD}
+            # feature-only upload: no wav to mux — clear any PREVIOUS
+            # utterance's wav so an hls/mp4 sink doesn't pair old audio
+            # with these lips
+            self.audio_path = ""
+            self.num_aud_frames = self.session.set_audio_features(feats)
         return {"aud_frames": self.num_aud_frames}
 
     def _build_sink(self):
@@ -221,6 +243,10 @@ class ServerState:
         if not getattr(self.session, "_built", False):
             return {"error": "no model loaded — POST /api/model_select "
                     "first"}
+        with self._feed_lock:
+            return self._audio_chunk_locked(body, ctype)
+
+    def _audio_chunk_locked(self, body: bytes, ctype: str) -> dict:
         with self.lock:
             if self.live_q is None:
                 if self.busy:
@@ -267,38 +293,47 @@ class ServerState:
                 # silently drop it
                 return {"error": "live stream is ending — wait for "
                         "busy=false, then start a new one"}
-            # feature extraction inside the lock: chunk order IS the
-            # playback order, so the decode->enqueue window must not
-            # interleave across concurrent posters
-            if "wav" in ctype:
-                feats = self._live_pcm_feats(self._decode_wav(body))
-                if feats is None:   # buffering below one whole frame
-                    return {"queued_frames": 0, "live": True}
-            else:
-                feats = np.load(io.BytesIO(body))
-            feats = np.asarray(feats, np.float32)
-            if len(feats):
-                self.live_q.put(feats)
+            q = self.live_q
+        # feature extraction happens OUTSIDE the state lock (HuBERT can
+        # take ~the chunk's own duration on CPU; holding self.lock here
+        # would stall status/end/model_select behind every chunk). The
+        # dedicated _feed_lock held around this method is what serializes
+        # chunk order = playback order.
+        if "wav" in ctype:
+            feats = self._live_pcm_feats(self._decode_wav(body, live=True))
+            if feats is None:   # buffering below one whole frame
+                return {"queued_frames": 0, "live": True}
+        else:
+            feats = np.load(io.BytesIO(body))
+        feats = np.asarray(feats, np.float32)
+        if len(feats):
+            with self.lock:
+                if self.live_q is not q:
+                    # the stream ended (or was replaced) mid-extraction
+                    return {"error": "live stream ended during feature "
+                            "extraction — chunk dropped"}
+                q.put(feats)
                 self.num_aud_frames += int(len(feats))
         return {"queued_frames": int(len(feats)), "live": True}
 
     def audio_end(self) -> dict:
-        """Finish the live stream: flush the carried PCM remainder and the
-        buffered lookahead frames, then close the sink."""
-        with self.lock:
-            q = self.live_q
-            if q is None:
-                return {"error": "no live stream in progress"}
-            if self._live_ending:
-                return {"error": "live stream already ending"}
-            self._live_ending = True
-            if self._live_streamer is not None:
-                feats = self._live_streamer.flush()
-                if feats is not None:
-                    q.put(np.asarray(feats, np.float32))
-                    self.num_aud_frames += int(len(feats))
-                self._live_streamer = None
-            q.put(None)
+        """Finish the live stream: discard the sub-frame PCM remainder
+        (exactly what the offline extractor's odd-step truncation drops),
+        render the buffered lookahead frames, close the sink. Takes the
+        feed lock first so an in-flight chunk's features land BEFORE the
+        end sentinel."""
+        with self._feed_lock:
+            with self.lock:
+                q = self.live_q
+                if q is None:
+                    return {"error": "no live stream in progress"}
+                if self._live_ending:
+                    return {"error": "live stream already ending"}
+                self._live_ending = True
+                if self._live_streamer is not None:
+                    self._live_streamer.flush()
+                    self._live_streamer = None
+                q.put(None)
         return {"ended": True}
 
     def start_inference(self) -> dict:
