@@ -592,54 +592,70 @@ class InferenceSession:
                 eye = [ds.eye_area[fi] if cfg.exp_eye else 0.0]
             return ds.poses[fi], ds.audio_window(i), eye, fi
 
-        for base in range(start, n, C):
-            if self._pending_budget or self._pending_sample:
-                if ((self._pending_budget or 0) > self.budget
-                        or (self._pending_sample or 0) > self.sample_budget):
-                    # adaptive rebuild at the chunk boundary: drain the
-                    # queued chunks (their program is being replaced), then
-                    # recompile with the larger budget(s) — once per value,
-                    # persistent-cache-backed
-                    while queue:
+        try:
+            for base in range(start, n, C):
+                if self._pending_budget or self._pending_sample:
+                    if ((self._pending_budget or 0) > self.budget
+                            or (self._pending_sample or 0)
+                            > self.sample_budget):
+                        # adaptive rebuild at the chunk boundary: drain the
+                        # queued chunks (their program is being replaced),
+                        # then recompile with the larger budget(s) — once
+                        # per value, persistent-cache-backed
+                        while queue:
+                            consume()
+                        if (self._pending_budget or 0) > self.budget:
+                            self._budget_override = self._pending_budget
+                        if (self._pending_sample or 0) > self.sample_budget:
+                            self._sample_override = self._pending_sample
+                        self._compile_render()
+                        render = self._get_render(fmt)
+                    self._pending_budget = self._pending_sample = None
+                count = min(C, n - base)
+                # pad the tail chunk by repeating its last frame; padded
+                # slots carry valid=0 so they render (static chunk shape)
+                # but do not advance the smooth-lips EMA — the streamed
+                # frames are chunk-size invariant (tests/test_serving.py)
+                idxs = [base + min(j, count - 1) for j in range(C)]
+                with ph("stack-inputs"):
+                    ins = [frame_inputs(i) for i in idxs]
+                    poses = jnp.asarray(np.stack([p for p, _, _, _ in ins]))
+                    auds_c = jnp.asarray(
+                        np.stack([a for _, a, _, _ in ins]), jnp.float32)
+                    eyes_c = jnp.asarray([e for _, _, e, _ in ins],
+                                         jnp.float32)
+                    idxs_c = jnp.asarray([fi for _, _, _, fi in ins],
+                                         jnp.int32)
+                    valid_c = jnp.asarray([1.0 if j < count else 0.0
+                                           for j in range(C)], jnp.float32)
+                with ph("dispatch"):
+                    bufs, n_acts, n_s2, n_sp, prev_enc = render(
+                        self.infer_params, self.packed, self.tables,
+                        self.occ, poses, auds_c, prev_enc, has_prev,
+                        eyes_c, idxs_c, valid_c, self.torso_params,
+                        self.torso_packed)
+                    has_prev = jnp.float32(1.0)
+                    if hasattr(bufs, "copy_to_host_async"):
+                        bufs.copy_to_host_async()
+                queue.append((base, count, bufs, n_acts, n_s2, n_sp))
+                if len(queue) >= 2:
+                    with ph("fetch+sink"):
                         consume()
-                    if (self._pending_budget or 0) > self.budget:
-                        self._budget_override = self._pending_budget
-                    if (self._pending_sample or 0) > self.sample_budget:
-                        self._sample_override = self._pending_sample
-                    self._compile_render()
-                    render = self._get_render(fmt)
-                self._pending_budget = self._pending_sample = None
-            count = min(C, n - base)
-            # pad the tail chunk by repeating its last frame; padded slots
-            # carry valid=0 so they render (static chunk shape) but do not
-            # advance the smooth-lips EMA — the streamed frames are
-            # chunk-size invariant (tests/test_serving.py)
-            idxs = [base + min(j, count - 1) for j in range(C)]
-            with ph("stack-inputs"):
-                ins = [frame_inputs(i) for i in idxs]
-                poses = jnp.asarray(np.stack([p for p, _, _, _ in ins]))
-                auds_c = jnp.asarray(np.stack([a for _, a, _, _ in ins]),
-                                     jnp.float32)
-                eyes_c = jnp.asarray([e for _, _, e, _ in ins], jnp.float32)
-                idxs_c = jnp.asarray([fi for _, _, _, fi in ins], jnp.int32)
-                valid_c = jnp.asarray([1.0 if j < count else 0.0
-                                       for j in range(C)], jnp.float32)
-            with ph("dispatch"):
-                bufs, n_acts, n_s2, n_sp, prev_enc = render(
-                    self.infer_params, self.packed, self.tables, self.occ,
-                    poses, auds_c, prev_enc, has_prev, eyes_c, idxs_c,
-                    valid_c, self.torso_params, self.torso_packed)
-                has_prev = jnp.float32(1.0)
-                if hasattr(bufs, "copy_to_host_async"):
-                    bufs.copy_to_host_async()
-            queue.append((base, count, bufs, n_acts, n_s2, n_sp))
-            if len(queue) >= 2:
-                with ph("fetch+sink"):
-                    consume()
-            if acc and base and (base // C) % 25 == 0:
-                print(f"[profile] frame {base}: {acc.report()}")
-        while queue:
-            consume()
+                if acc and base and (base // C) % 25 == 0:
+                    print(f"[profile] frame {base}: {acc.report()}")
+            while queue:
+                consume()
+        except BaseException:
+            # the sink must not outlive a failed run: an abandoned ffmpeg
+            # leaks its pump fd and leaves an 'event' playlist without
+            # EXT-X-ENDLIST that players stall on forever. run_live owns
+            # the sink when close_sink=False and closes it in ITS handler.
+            if close_sink:
+                try:
+                    sink.close()
+                except Exception:
+                    pass
+            raise
         self.enc_a_smooth = prev_enc if cfg.smooth_lips else None
         dt = time.time() - t0
         if close_sink:

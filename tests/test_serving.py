@@ -845,6 +845,45 @@ def test_live_pcm_carry_keeps_frame_rate():
         np.concatenate(streamed)[:len(whole)], whole)
 
 
+def test_run_closes_sink_on_failure(session_workspace):
+    """A sink failure mid-run must not leak the sink: run() (and
+    run_live(), which owns the sink when close_sink=False) close it on
+    the error path too — an abandoned ffmpeg leaks its pump fd and
+    leaves an 'event' playlist without EXT-X-ENDLIST."""
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+
+    data, ws = session_workspace
+    cfg = Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                 infer_samples=8, infer_window_candidates=24,
+                 infer_chunk=2, budget_frac=1.0)
+    s = InferenceSession(cfg)
+    s.load_model(data, ws)
+    feats = np.random.default_rng(21).standard_normal(
+        (4, 16, 29)).astype(np.float32)
+
+    class BoomSink:
+        def __init__(self):
+            self.closed = 0
+
+        def push(self, b):
+            raise RuntimeError("boom")
+
+        def close(self):
+            self.closed += 1
+
+    n = s.set_audio_features(feats)
+    sink = BoomSink()
+    with pytest.raises(RuntimeError, match="boom"):
+        s.run(sink, max_frames=n)
+    assert sink.closed == 1
+
+    sink2 = BoomSink()
+    with pytest.raises(RuntimeError, match="boom"):
+        s.run_live(iter([feats]), sink2)
+    assert sink2.closed >= 1
+
+
 def test_session_frame_parallel_matches_serial(session_workspace):
     """infer_data_parallel=4 (frame-parallel chunks over a 4-device mesh,
     shard_map) must stream BIT-IDENTICAL frames to the serial chunk
