@@ -34,6 +34,27 @@ from .session import InferenceSession
 from .streaming import WaitVideoLoop, make_sink
 
 
+def _parse_multipart_file(body: bytes, ctype: str,
+                          field: str = "audio") -> bytes:
+    """Minimal multipart/form-data parser for the reference client's
+    upload shape (request.files['audio'], reference webapi.py:110-118):
+    returns the named file part's payload. Stdlib-only (cgi was removed
+    in Python 3.13)."""
+    import re
+
+    m = re.search(r'boundary="?([^";]+)"?', ctype)
+    if not m:
+        raise ValueError("multipart body without a boundary parameter")
+    for part in body.split(b"--" + m.group(1).encode()):
+        head, sep, payload = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        if re.search(br'name="' + re.escape(field.encode()) + br'"', head):
+            # exactly one CRLF precedes the next boundary marker
+            return payload[:-2] if payload.endswith(b"\r\n") else payload
+    raise ValueError(f"multipart body lacks a {field!r} file field")
+
+
 class ServerState:
     def __init__(self, cfg: Config, data_root: str = "data",
                  trial_root: str = ".", sink_kind: str = "null",
@@ -92,9 +113,18 @@ class ServerState:
             if os.path.exists(wait):
                 self.wait_loop = WaitVideoLoop(wait, self.rtmp_url)
                 self.wait_loop.start()
-        return {"model": model,
-                "frames": self.session.ds.num_frames,
-                "resumed": bool(self.session.resumed)}
+        out = {"model": model,
+               "frames": self.session.ds.num_frames,
+               "resumed": bool(self.session.resumed)}
+        # playback URL like the reference's model_select response
+        # ({"status":"success","rtc":...} / "flv" — webapi.py:170-190):
+        # the SRS WebRTC URL derives from the RTMP push URL; hls sinks
+        # advertise the same-origin playlist
+        if self.rtmp_url and self.rtmp_url.startswith("rtmp://"):
+            out["rtc"] = "webrtc://" + self.rtmp_url[len("rtmp://"):]
+        if self.sink_kind in ("hls", "hls-fmp4"):
+            out["hls"] = "/hls/stream.m3u8"
+        return out
 
     def list_models(self) -> dict:
         """Identities under data_root that carry a trained dataset."""
@@ -397,6 +427,11 @@ class ServerState:
 def make_handler(state: ServerState):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
+            # additive reference-client compat: its frontend branches on
+            # data.status === "success" (webapi.py:141-200 returns
+            # {"status":"success"/"fail"}); every existing field stays
+            payload.setdefault(
+                "status", "fail" if payload.get("error") else "success")
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -411,7 +446,20 @@ def make_handler(state: ServerState):
         def do_GET(self):
             try:
                 if self.path.startswith("/api/inference"):
-                    self._send(200, state.start_inference())
+                    r = state.start_inference()
+                    if "wait=1" in self.path and r.get("started"):
+                        # reference-compat blocking form: its GET
+                        # /api/inference returns only after the render
+                        # completes (webapi.py:70-107); ours is async by
+                        # default with /api/status polling
+                        import time as _time
+
+                        while state.busy:
+                            _time.sleep(0.2)
+                        r = dict(r, done=True,
+                                 frames_done=state.frames_done,
+                                 error=state.last_error)
+                    self._send(200, r)
                 elif self.path.startswith("/api/status"):
                     self._send(200, state.status())
                 elif self.path.startswith("/api/models"):
@@ -519,6 +567,11 @@ def make_handler(state: ServerState):
                                               {"error": "missing 'aud_path'"})
                         self._send(200,
                                    state.audio_upload_npy(payload["aud_path"]))
+                    elif "multipart/form-data" in ctype:
+                        # the reference client uploads as a form file
+                        # field named 'audio' (webapi.py:110-118)
+                        wav = _parse_multipart_file(body, ctype)
+                        self._send(200, state.audio_upload_wav(wav))
                     else:
                         self._send(200, state.audio_upload_wav(body))
                 else:

@@ -195,7 +195,8 @@ def main():
     req = urllib.request.Request(url + "/api/audio_end", b"",
                                  {"Content-Type": "application/json"})
     with urllib.request.urlopen(req) as r:
-        assert json.loads(r.read()) == {"ended": True}
+        assert json.loads(r.read()) == {"ended": True,
+                                        "status": "success"}
     for _ in range(600):
         s = get("/api/status")
         if not s["busy"]:

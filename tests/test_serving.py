@@ -258,7 +258,8 @@ def test_webapi_models_route_and_traversal(tmp_path):
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/api/models") as r:
             got = js.loads(r.read())
-        assert got == {"models": ["alice"], "current": None}
+        assert got == {"models": ["alice"], "current": None,
+                       "status": "success"}
 
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/api/model_select",
@@ -730,11 +731,29 @@ def test_webapi_live_audio_chunks(session_workspace, tmp_path):
     try:
         r = post("/api/model_select", js.dumps({"model": "data"}).encode(),
                  "application/json")
-        assert r["model"] == "data"
+        assert r["model"] == "data" and r["status"] == "success"
+
+        # reference-compat blocking form first (its GET /api/inference
+        # returns only after the render completes, webapi.py:70-107);
+        # the live stream below resets the smooth-lips EMA at start, so
+        # this extra utterance cannot perturb the live-vs-offline compare
+        npy_path = os.path.join(root, "wait_feats.npy")
+        np.save(npy_path, feats)
+        r = post("/api/audio_upload",
+                 js.dumps({"aud_path": npy_path}).encode(),
+                 "application/json")
+        assert r["aud_frames"] == 6, r
+        with urllib.request.urlopen(f"{base}/api/inference?wait=1") as resp:
+            r = js.loads(resp.read())
+        assert r.get("done") and r["frames_done"] == 6, r
+        with urllib.request.urlopen(f"{base}/api/status") as resp:
+            assert not js.loads(resp.read())["busy"]
+
         # live chunks before any /api/inference call; status flips live
         r = post("/api/audio_chunk", npy_bytes(feats[:2]),
                  "application/octet-stream")
-        assert r == {"queued_frames": 2, "live": True}
+        assert r == {"queued_frames": 2, "live": True,
+                     "status": "success"}
         with urllib.request.urlopen(f"{base}/api/status") as resp:
             st = js.loads(resp.read())
         assert st["live"] and st["busy"]
@@ -743,7 +762,7 @@ def test_webapi_live_audio_chunks(session_workspace, tmp_path):
         post("/api/audio_chunk", npy_bytes(feats[5:]),
              "application/octet-stream")
         r = post("/api/audio_end", b"", "application/octet-stream")
-        assert r == {"ended": True}
+        assert r == {"ended": True, "status": "success"}
         for _ in range(600):
             with urllib.request.urlopen(f"{base}/api/status") as resp:
                 st = js.loads(resp.read())
@@ -753,9 +772,10 @@ def test_webapi_live_audio_chunks(session_workspace, tmp_path):
         assert st["error"] is None, st
         assert not st["live"] and st["frames_done"] == 6
         assert st["aud_frames"] == 6
-        # ending again is a clean error, not a crash
+        # ending again is a clean error, not a crash; errors carry the
+        # reference-compat status
         r = post("/api/audio_end", b"", "application/octet-stream")
-        assert "error" in r
+        assert "error" in r and r["status"] == "fail"
     finally:
         httpd.shutdown()
 
@@ -843,6 +863,34 @@ def test_live_pcm_carry_keeps_frame_rate():
         np.split(pcm, [1000, 9000, 16100, 16500, 40000])))
     np.testing.assert_array_equal(
         np.concatenate(streamed)[:len(whole)], whole)
+
+
+def test_multipart_audio_field_parses():
+    """The reference client uploads as multipart form field 'audio'
+    (webapi.py:110-118) — the stdlib-only parser must recover the exact
+    file bytes (including CRLF-sensitive binary payloads)."""
+    from lzzx_nerf_tpu.serving.webapi import _parse_multipart_file
+
+    payload = b"RIFF\x00\x01\r\n\x02binary\r\n"
+    boundary = "----testboundary42"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="other"\r\n\r\n'
+        "junk\r\n"
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="audio"; '
+        'filename="a.wav"\r\n'
+        "Content-Type: audio/wav\r\n\r\n").encode() + payload + (
+        f"\r\n--{boundary}--\r\n").encode()
+    got = _parse_multipart_file(
+        body, f'multipart/form-data; boundary={boundary}')
+    assert got == payload
+    with pytest.raises(ValueError, match="audio"):
+        _parse_multipart_file(
+            body.replace(b'name="audio"', b'name="sound"'),
+            f"multipart/form-data; boundary={boundary}")
+    with pytest.raises(ValueError, match="boundary"):
+        _parse_multipart_file(body, "multipart/form-data")
 
 
 def test_run_closes_sink_on_failure(session_workspace):
