@@ -49,7 +49,9 @@ def _parse_multipart_file(body: bytes, ctype: str,
         head, sep, payload = part.partition(b"\r\n\r\n")
         if not sep:
             continue
-        if re.search(br'name="' + re.escape(field.encode()) + br'"', head):
+        # [;\s] prefix so a filename="audio" on another field can't match
+        if re.search(br'[;\s]name="' + re.escape(field.encode()) + br'"',
+                     head):
             # exactly one CRLF precedes the next boundary marker
             return payload[:-2] if payload.endswith(b"\r\n") else payload
     raise ValueError(f"multipart body lacks a {field!r} file field")

@@ -887,7 +887,13 @@ def test_multipart_audio_field_parses():
     assert got == payload
     with pytest.raises(ValueError, match="audio"):
         _parse_multipart_file(
-            body.replace(b'name="audio"', b'name="sound"'),
+            body.replace(b' name="audio"', b' name="sound"'),
+            f"multipart/form-data; boundary={boundary}")
+    # a DIFFERENT field whose filename is "audio" must not match
+    with pytest.raises(ValueError, match="audio"):
+        _parse_multipart_file(
+            body.replace(b' name="audio"', b' name="sound"')
+                .replace(b'filename="a.wav"', b'filename="audio"'),
             f"multipart/form-data; boundary={boundary}")
     with pytest.raises(ValueError, match="boundary"):
         _parse_multipart_file(body, "multipart/form-data")
