@@ -79,6 +79,7 @@ class ServerState:
         self.num_aud_frames = 0
         self.busy = False
         self.frames_done = 0
+        self.run_seq = 0      # bumped per render run (wait=1 pins to one)
         self.last_error: Optional[str] = None
         self.wait_loop: Optional[WaitVideoLoop] = None
         self.hls_has_audio = False   # set when an hls sink is built
@@ -123,7 +124,12 @@ class ServerState:
         # the SRS WebRTC URL derives from the RTMP push URL; hls sinks
         # advertise the same-origin playlist
         if self.rtmp_url and self.rtmp_url.startswith("rtmp://"):
-            out["rtc"] = "webrtc://" + self.rtmp_url[len("rtmp://"):]
+            # drop an explicit RTMP port (usually :1935): srs players read
+            # a port in a webrtc:// URL as the HTTP API port (1985)
+            rest = self.rtmp_url[len("rtmp://"):]
+            hostport, _, path_part = rest.partition("/")
+            out["rtc"] = ("webrtc://" + hostport.split(":")[0]
+                          + "/" + path_part)
         if self.sink_kind in ("hls", "hls-fmp4"):
             out["hls"] = "/hls/stream.m3u8"
         return out
@@ -284,6 +290,7 @@ class ServerState:
                 if self.busy:
                     return {"error": "inference already running"}
                 self.busy = True
+                self.run_seq += 1
                 self.frames_done = 0
                 self.num_aud_frames = 0
                 self.audio_path = ""   # video-only; see docstring
@@ -375,6 +382,7 @@ class ServerState:
             if self.busy:
                 return {"error": "inference already running"}
             self.busy = True
+            self.run_seq += 1
         if self.wait_loop:
             self.wait_loop.stop()
         self.frames_done = 0
@@ -406,6 +414,11 @@ class ServerState:
             self.hls_dir
             and os.path.exists(os.path.join(self.hls_dir, "stream.m3u8")))
         return {"model": self.model_name, "busy": self.busy,
+                # the poll itself succeeded; last_error describes the LAST
+                # RUN, not this request — without the explicit success a
+                # reference-compat client would see status:'fail' on every
+                # poll after one failed render
+                "status": "success",
                 "live": self.live_q is not None,
                 "frames_done": self.frames_done,
                 "aud_frames": self.num_aud_frames,
@@ -448,19 +461,35 @@ def make_handler(state: ServerState):
         def do_GET(self):
             try:
                 if self.path.startswith("/api/inference"):
+                    from urllib.parse import parse_qs, urlparse
+
                     r = state.start_inference()
-                    if "wait=1" in self.path and r.get("started"):
+                    qs = parse_qs(urlparse(self.path).query)
+                    if qs.get("wait") == ["1"] and r.get("started"):
                         # reference-compat blocking form: its GET
                         # /api/inference returns only after the render
                         # completes (webapi.py:70-107); ours is async by
-                        # default with /api/status polling
+                        # default with /api/status polling. Bounded, and
+                        # pinned to THIS run via run_seq — a new run
+                        # started meanwhile must not report its progress
+                        # as ours.
                         import time as _time
 
-                        while state.busy:
+                        seq = state.run_seq
+                        deadline = _time.time() + 3600
+                        while (state.busy and state.run_seq == seq
+                               and _time.time() < deadline):
                             _time.sleep(0.2)
-                        r = dict(r, done=True,
-                                 frames_done=state.frames_done,
-                                 error=state.last_error)
+                        if state.run_seq != seq:
+                            r = dict(r, done=True,
+                                     error="superseded by a newer run")
+                        elif state.busy:
+                            r = dict(r, done=False,
+                                     error="wait=1 timed out after 1h")
+                        else:
+                            r = dict(r, done=True,
+                                     frames_done=state.frames_done,
+                                     error=state.last_error)
                     self._send(200, r)
                 elif self.path.startswith("/api/status"):
                     self._send(200, state.status())
@@ -562,18 +591,20 @@ def make_handler(state: ServerState):
                     self._send(200, state.audio_end())
                 elif self.path.startswith("/api/audio_upload"):
                     ctype = self.headers.get("Content-Type", "")
-                    if "json" in ctype:
+                    # most-specific first: a random multipart boundary can
+                    # contain the substring "json"
+                    if "multipart/form-data" in ctype:
+                        # the reference client uploads as a form file
+                        # field named 'audio' (webapi.py:110-118)
+                        wav = _parse_multipart_file(body, ctype)
+                        self._send(200, state.audio_upload_wav(wav))
+                    elif "json" in ctype:
                         payload = json.loads(body or b"{}")
                         if "aud_path" not in payload:
                             return self._send(400,
                                               {"error": "missing 'aud_path'"})
                         self._send(200,
                                    state.audio_upload_npy(payload["aud_path"]))
-                    elif "multipart/form-data" in ctype:
-                        # the reference client uploads as a form file
-                        # field named 'audio' (webapi.py:110-118)
-                        wav = _parse_multipart_file(body, ctype)
-                        self._send(200, state.audio_upload_wav(wav))
                     else:
                         self._send(200, state.audio_upload_wav(body))
                 else:
