@@ -865,6 +865,113 @@ def test_live_pcm_carry_keeps_frame_rate():
         np.concatenate(streamed)[:len(whole)], whole)
 
 
+def test_webapi_live_under_concurrent_polling(session_workspace, tmp_path):
+    """Concurrency soak: while a live stream renders, parallel clients
+    hammer /api/status and /api/models and an interloper tries
+    /api/audio_upload and /api/inference — nothing may 500, the
+    interlopers must be refused (busy guard), and the rendered output
+    must still be byte-complete and in order."""
+    import io
+    import json as js
+    import os
+    import shutil
+    import threading
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.webapi import serve
+
+    data, ws = session_workspace
+    root = os.path.dirname(data)
+    trial = os.path.join(root, "trial_data")
+    if not os.path.isdir(trial):
+        shutil.copytree(ws, trial)
+    rng = np.random.default_rng(23)
+    feats = rng.standard_normal((10, 16, 29)).astype(np.float32)
+
+    raw_out = str(tmp_path / "soak.raw")
+    cfg = Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                 infer_samples=8, infer_window_candidates=24,
+                 infer_chunk=2, budget_frac=1.0, smooth_lips=True)
+    httpd = serve(cfg, host="127.0.0.1", port=0, data_root=root,
+                  trial_root=root, sink_kind="raw", out_path=raw_out)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    failures = []
+
+    def post(route, body, ctype="application/octet-stream"):
+        req = urllib.request.Request(base + route, body,
+                                     {"Content-Type": ctype})
+        with urllib.request.urlopen(req) as r:
+            return js.loads(r.read())
+
+    def npy_bytes(a):
+        bio = io.BytesIO()
+        np.save(bio, a)
+        return bio.getvalue()
+
+    def poller(route):
+        try:
+            for _ in range(60):
+                with urllib.request.urlopen(base + route) as r:
+                    js.loads(r.read())
+                _time.sleep(0.02)
+        except Exception as e:   # any 5xx/parse failure is a finding
+            failures.append(f"{route}: {e}")
+
+    def interloper():
+        # uploads/inference during a live stream must be REFUSED, not 500
+        try:
+            for _ in range(10):
+                r = post("/api/audio_upload",
+                         js.dumps({"aud_path": os.path.join(
+                             data, "aud_ds.npy")}).encode(),
+                         "application/json")
+                with urllib.request.urlopen(
+                        f"{base}/api/inference") as resp:
+                    js.loads(resp.read())
+                _time.sleep(0.03)
+        except urllib.error.HTTPError as e:
+            failures.append(f"interloper HTTP {e.code}")
+        except Exception as e:
+            failures.append(f"interloper: {e}")
+
+    try:
+        r = post("/api/model_select",
+                 js.dumps({"model": "data"}).encode(), "application/json")
+        assert r["model"] == "data"
+        threads = [threading.Thread(target=poller, args=("/api/status",)),
+                   threading.Thread(target=poller, args=("/api/models",)),
+                   threading.Thread(target=interloper)]
+        r = post("/api/audio_chunk", npy_bytes(feats[:2]))
+        assert r.get("live"), r
+        for t in threads:
+            t.start()
+        for i in range(2, 10, 2):
+            post("/api/audio_chunk", npy_bytes(feats[i:i + 2]))
+            _time.sleep(0.05)
+        post("/api/audio_end", b"")
+        for t in threads:
+            t.join()
+        for _ in range(600):
+            with urllib.request.urlopen(f"{base}/api/status") as resp:
+                st = js.loads(resp.read())
+            if not st["busy"]:
+                break
+            _time.sleep(0.2)
+        assert st["error"] is None, st
+        assert st["frames_done"] == 10, st
+        assert not failures, failures
+    finally:
+        httpd.shutdown()
+    # byte-complete output: 10 frames of H*W*3 (toy dataset is 40x40)
+    assert os.path.getsize(raw_out) == 10 * 40 * 40 * 3
+
+
 def test_multipart_audio_field_parses():
     """The reference client uploads as multipart form field 'audio'
     (webapi.py:110-118) — the stdlib-only parser must recover the exact
