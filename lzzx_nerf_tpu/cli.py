@@ -208,10 +208,39 @@ def run_train(cfg) -> None:
         update_extra_interval=cfg.update_extra_interval,
         train_camera=cfg.train_camera,
         data_sharding=dp_sharding)
+    def lpips_params_or_die(why):
+        """LPIPS provenance must be LOUD (round-2 review item 4): training
+        against the fixed-seed random backbone silently diverges from the
+        reference's pretrained LPIPS-alex (TrainerUtil.py:106-109)."""
+        from .train import lpips as lpips_mod
+
+        lpips_path = lpips_mod.default_weights_path()
+        if lpips_path is None and not cfg.allow_rand_lpips:
+            raise SystemExit(
+                f"[ERROR] {why} needs pretrained LPIPS weights "
+                "(none found at $LZZX_LPIPS_NPZ or "
+                f"{lpips_mod.DEFAULT_WEIGHTS}).\n"
+                "Export them once with scripts/export_lpips.py (any machine "
+                "with the `lpips` pip package), or pass --allow_rand_lpips "
+                "to knowingly train against the fixed-seed RANDOM "
+                "backbone (quality diverges from the reference).")
+        provenance = (f"pretrained ({lpips_path})" if lpips_path
+                      else "RANDOM fixed-seed backbone (--allow_rand_lpips)")
+        trainer.log(f"[INFO] {why} LPIPS weights: {provenance}")
+        trainer.scalar("train/lpips_pretrained",
+                       0.0 if lpips_path is None else 1.0, 0)
+        return lpips_mod.get_params()
+
+    # patch-sampled training carries the reference's 0.1·LPIPS patch term
+    # whenever patch_size > 1, independent of the lips finetune
+    # (TrainerUtil.py:274-284)
+    patch_lpips = (lpips_params_or_die("--patch_size > 1")
+                   if cfg.patch_size > 1 and not cfg.finetune_lips else None)
     train_budget = (int(cfg.num_rays * cfg.train_budget_frac) // 1024 * 1024
                     if cfg.train_budget_frac > 0 else 0)
     step_fn = jax.jit(make_train_step(field, settings, tx,
-                                      finetune_lips=False, **common))
+                                      finetune_lips=False,
+                                      lpips_params=patch_lpips, **common))
     # ray-compacted step used after the density grid has refined
     # (cfg.train_compact_warmup; see Config.train_budget_frac). Under
     # --data_parallel the compaction runs per shard (trainer.py vmaps the
@@ -223,6 +252,7 @@ def run_train(cfg) -> None:
                   if cfg.train_stage_split > 0 else 0)
         compact_step_fn = jax.jit(make_train_step(
             field, settings, tx, finetune_lips=False,
+            lpips_params=patch_lpips,
             train_budget=train_budget,
             train_stage_split=cfg.train_stage_split,
             train_stage2_budget=stage2, **common))
@@ -231,30 +261,10 @@ def run_train(cfg) -> None:
     # TrainerUtil.py:70,311-313)
     lips_step_fn = None
     if cfg.finetune_lips:
-        from .train import lpips as lpips_mod
-
-        # LPIPS provenance must be LOUD: a lips finetune against the
-        # fixed-seed random backbone silently diverges from the reference's
-        # pretrained LPIPS-alex (TrainerUtil.py:106-109) and the user only
-        # finds out 25k iters later
-        lpips_path = lpips_mod.default_weights_path()
-        if lpips_path is None and not cfg.allow_rand_lpips:
-            raise SystemExit(
-                "[ERROR] --finetune_lips needs pretrained LPIPS weights "
-                "(none found at $LZZX_LPIPS_NPZ or "
-                f"{lpips_mod.DEFAULT_WEIGHTS}).\n"
-                "Export them once with scripts/export_lpips.py (any machine "
-                "with the `lpips` pip package), or pass --allow_rand_lpips "
-                "to knowingly fine-tune against the fixed-seed RANDOM "
-                "backbone (quality diverges from the reference).")
-        provenance = (f"pretrained ({lpips_path})" if lpips_path
-                      else "RANDOM fixed-seed backbone (--allow_rand_lpips)")
-        trainer.log(f"[INFO] finetune-lips LPIPS weights: {provenance}")
-        trainer.scalar("train/lpips_pretrained",
-                       0.0 if lpips_path is None else 1.0, 0)
         lips_step_fn = jax.jit(make_train_step(
             field, settings, tx, finetune_lips=True,
-            lips_pad=cfg.lips_crop, lpips_params=lpips_mod.get_params(),
+            lips_pad=cfg.lips_crop,
+            lpips_params=lpips_params_or_die("--finetune_lips"),
             **common))
     eval_fn = jax.jit(make_eval_step(
         field, settings, H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
@@ -420,7 +430,7 @@ def run_train_torso(cfg, ds, settings, occ, trainer) -> None:
     state = TrainState.create(tparams, tx)
     step_fn = jax.jit(make_torso_train_step(
         torso, settings, tx, H=ds.H, W=ds.W, num_rays=cfg.num_rays,
-        iters=cfg.iters, ind_dim_torso=cfg.ind_dim_torso))
+        ind_dim_torso=cfg.ind_dim_torso))
 
     grid_refresh = make_torso_grid_update(torso, settings,
                                           cfg.ind_dim_torso)

@@ -111,7 +111,11 @@ def make_train_step(
                                 N=num_rays, patch_size=patch_size, rng=rng_rays)
             inds = rays_sel["inds"][0]
 
-        # gather per-ray data on device
+        # gather per-ray data on device. The pixel-center/normalize/rotate
+        # math below MUST stay in lockstep with utils/rays.py::get_rays
+        # (eval/serving build rays there): one ray construction from `inds`
+        # serves both the random-N and lips-rect branches here, and
+        # test_compact_train_step_matches_full guards the equivalence.
         i = (inds % W).astype(jnp.float32) + 0.5
         j = (inds // W).astype(jnp.float32) + 0.5
         fx, fy, cx, cy = [jnp.float32(v) for v in intrinsics]
@@ -321,6 +325,13 @@ def make_train_step(
         new_params["params"] = new_inner
 
         new_step = state.step + 1
+        # decay 0.95 applied once per ema_interval (default 1000) steps is
+        # REFERENCE-EXACT, not a bug: torch-ema update gated on
+        # global_step % ema_update_interval == 0 with decay=0.95
+        # (TrainerUtil.py:877-878, train.py:298). The consequence — the
+        # EMA trails the live params by ~20 updates ≈ 20k steps and early
+        # evals render near-init weights — is the reference's own behavior;
+        # rescaling the decay here would diverge from its checkpoints.
         new_ema = jax.lax.cond(
             new_step % ema_interval == 0,
             lambda _: jax.tree.map(
@@ -393,7 +404,6 @@ def make_torso_train_step(
     H: int,
     W: int,
     num_rays: int,
-    iters: int,
     ind_dim_torso: int = 8,
     ema_decay: float = 0.95,
     ema_interval: int = 1000,
@@ -497,8 +507,9 @@ class Trainer:
 
     def load_checkpoint(self, state: TrainState, occ: OccupancyState,
                         step: Optional[int] = None):
-        """Restore latest (or given step); returns (state, occ) unchanged if
-        no checkpoint exists."""
+        """Restore latest (or given step); returns (state, occ, restored):
+        the inputs unchanged plus restored=False when no checkpoint
+        exists."""
         import orbax.checkpoint as ocp
 
         mgr = self._manager()

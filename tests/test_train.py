@@ -441,6 +441,38 @@ def test_finetune_lips_refuses_random_lpips(tmp_path, monkeypatch):
     assert "RANDOM fixed-seed backbone" in log
 
 
+def test_patch_training_wires_lpips(tmp_path, monkeypatch):
+    """patch_size > 1 must carry the reference's 0.1·LPIPS patch term
+    OUTSIDE the lips finetune too (TrainerUtil.py:274-284) — previously the
+    CLI built the step without lpips_params and the branch was dead. Same
+    provenance gate as finetune_lips."""
+    import pytest as _pytest
+
+    from conftest import make_toy_dataset
+    from lzzx_nerf_tpu import cli
+    from lzzx_nerf_tpu.config import Config
+
+    monkeypatch.delenv("LZZX_LPIPS_NPZ", raising=False)
+    monkeypatch.setattr("lzzx_nerf_tpu.train.lpips.DEFAULT_WEIGHTS",
+                        str(tmp_path / "none.npz"))
+    data = make_toy_dataset(tmp_path / "data")
+    # the reference recipe is --patch_size 32 (TrainerUtil.py:274-284;
+    # its unpadded AlexNet also needs >= 32px patches): 1024 rays = one
+    # 32x32 patch per step
+    cfg = Config(path=data, workspace=str(tmp_path / "ws"),
+                 asr_model="deepspeech", grid_size=32, max_steps=8,
+                 num_rays=1024, iters=2, patch_size=32,
+                 train_budget_frac=0)   # tiny: full step only
+    with _pytest.raises(SystemExit, match="allow_rand_lpips"):
+        cli.run_train(cfg)
+    cfg2 = cfg.replace(allow_rand_lpips=True,
+                       workspace=str(tmp_path / "ws2"))
+    cli.run_train(cfg2)
+    log = open(tmp_path / "ws2" / "log_ngp.txt").read()
+    assert "RANDOM fixed-seed backbone" in log
+    assert "--patch_size > 1 LPIPS weights" in log
+
+
 def test_lmd_meter_matches_reference_formula():
     """LMDMeter with an injected landmark backend must compute exactly the
     reference's mouth-LMD (utils.py:497-537): mouth lms 48:68, each set
