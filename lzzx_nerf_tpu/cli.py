@@ -308,6 +308,9 @@ def run_train(cfg) -> None:
                                 for k, v in ds.frame(i).items()})
                 for i in range(len(ds))
             ]
+            # frame() host-cached every decoded frame while building the
+            # device copies — drop the duplicate (multi-GB on real data)
+            ds._cache.clear()
     order_rng = np.random.default_rng(cfg.seed)
 
     def epoch_batches():
@@ -619,6 +622,14 @@ def run_test(cfg) -> None:
     head_cfg = cfg.replace(torso=False) if cfg.torso else cfg
     ds = NeRFDataset(head_cfg, type="train" if cfg.test_train else "test")
     ds.training = False
+    if ds.aud_features is None:
+        # cfg.asr makes the provider skip dataset audio — a direct
+        # run_test(cfg) call with it set would KeyError deep in the frame
+        # loop instead of saying what is wrong (main() dispatches --asr to
+        # run_asr_live before ever reaching here)
+        raise SystemExit(
+            "run_test has no audio features (asr mode?): use --asr for "
+            "live streaming or pass --aud <features.npy>")
     settings, occ, field, params = _build_world(head_cfg, ds)
     trainer = Trainer(cfg.workspace)
     tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters)
@@ -838,12 +849,18 @@ def run_test(cfg) -> None:
     # double-buffered loop: frame i+1 is enqueued before frame i's pixels are
     # fetched (same overlap as serving/session.py run)
     pending = None
+    # --fix_eye replaces the per-frame blink at test time (reference
+    # test_step, TrainerUtil.py:422-423) — the serving session already
+    # honors it; run_test must match or the two inference paths diverge
+    fixed_eye = (jnp.asarray([cfg.fix_eye], jnp.float32)
+                 if cfg.exp_eye and cfg.fix_eye >= 0 else None)
     for i in range(len(ds)):
         b = ds.frame(i)
         img, n_act, n_s2 = render_frame(infer_params, packed, tp, occ,
                                         jnp.asarray(b["pose"]),
                                         jnp.asarray(b["auds"]),
-                                        jnp.asarray(b["eye"]),
+                                        fixed_eye if fixed_eye is not None
+                                        else jnp.asarray(b["eye"]),
                                         jnp.asarray(b["index"], jnp.int32))
         if pending is not None:
             consume(*pending)

@@ -107,6 +107,13 @@ class NeRFDataset:
         # AU45 blink (provider.py:424-426, 497-501)
         au_path = os.path.join(self.root, "au.csv")
         au_blink = None
+        if cfg.exp_eye and not os.path.exists(au_path):
+            # every frame would silently train/render at the 0.25 fallback
+            # — the blink branch learns nothing and --fix_eye stops doing
+            # anything, discovered only after a full run
+            print(f"[WARN] {au_path} missing with exp_eye: all frames use "
+                  "the constant 0.25 blink fallback (run OpenFace AU45 "
+                  "extraction — preprocess task 7 / reference run-book)")
         if os.path.exists(au_path):
             import csv
 
@@ -123,10 +130,12 @@ class NeRFDataset:
         self.face_rect, self.lhalf_rect, self.eye_rect, self.lips_rect = [], [], [], []
         self.eye_area: List[float] = []
 
+        skipped = 0
         for f in frames:
             img_id = str(f["img_id"])
             f_path = os.path.join(self.root, "gt_imgs", img_id + ".jpg")
             if not os.path.exists(f_path):
+                skipped += 1
                 continue
             pose = np.array(f["transform_matrix"], np.float32)
             self.poses.append(nerf_matrix_to_ngp(pose, cfg.scale, cfg.offset))
@@ -135,8 +144,12 @@ class NeRFDataset:
                 os.path.join(self.root, "torso_imgs", img_id + ".png"))
             self.aud_ids.append(int(f.get("aud_id", f["img_id"])))
 
+            # landmarks are in ORIGINAL pixel coordinates; scale into the
+            # (possibly downscaled) H x W grid every rect below lives in
             lms = np.loadtxt(
                 os.path.join(self.root, "ori_imgs", img_id + ".lms"))
+            if downscale != 1:
+                lms = lms / downscale
             lh_xmin, lh_xmax = int(lms[31:36, 1].min()), int(lms[:, 1].max())
             xmin, xmax = int(lms[:, 1].min()), int(lms[:, 1].max())
             ymin, ymax = int(lms[:, 0].min()), int(lms[:, 0].max())
@@ -178,6 +191,17 @@ class NeRFDataset:
                                 interpolation=cv2.INTER_AREA)
         self.bg_img = bg[..., :3]
 
+        if skipped:
+            # the reference warns per miss (provider.py:445); one summary
+            # line here — and a clear error instead of np.stack's cryptic
+            # 'need at least one array' when EVERY frame failed the check
+            print(f"[WARN] skipped {skipped}/{len(frames)} frames with no "
+                  f"gt_imgs/<id>.jpg under {self.root}")
+        if not self.poses:
+            raise FileNotFoundError(
+                f"no usable frames: none of the {len(frames)} transforms "
+                f"entries has a gt_imgs/<img_id>.jpg under {self.root} "
+                "(wrong --path, or preprocessing task 3 never ran?)")
         self.poses = np.stack(self.poses, 0)
         if cfg.smooth_path:
             self.poses = smooth_camera_path(self.poses, cfg.smooth_path_window)
@@ -221,6 +245,9 @@ class NeRFDataset:
 
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
         self._rng = np.random.default_rng(cfg.seed)
+        # live-trim bookkeeping: absolute frame index of aud_features[0]
+        # (advanced by session.run_live; see audio_window)
+        self.aud_offset = 0
 
     # -- sizing / replay ---------------------------------------------------
 
@@ -252,6 +279,16 @@ class NeRFDataset:
             return self._cache[fi]
         image = _load_image(self.image_paths[fi])[..., :3]
         torso = _load_image(self.torso_paths[fi], rgba=True)
+        if image.shape[:2] != (self.H, self.W):
+            # downscale != 1 (or mismatched source files): everything
+            # downstream — bg plate, intrinsics, landmark rects — is in
+            # (H, W) coordinates, so the pixels must follow
+            import cv2
+
+            image = cv2.resize(image, (self.W, self.H),
+                               interpolation=cv2.INTER_AREA)
+            torso = cv2.resize(torso, (self.W, self.H),
+                               interpolation=cv2.INTER_AREA)
         # torso-over-background composite (provider.py:700-707)
         bg_torso = (torso[..., :3] * torso[..., 3:]
                     + self.bg_img * (1 - torso[..., 3:]))
@@ -270,7 +307,7 @@ class NeRFDataset:
         live streams by dropping frames that can never be windowed again
         and advancing this offset in lockstep."""
         return get_audio_features_np(self.aud_features, self.cfg.att,
-                                     index - getattr(self, "aud_offset", 0))
+                                     index - self.aud_offset)
 
     def frame(self, index: int) -> Dict[str, np.ndarray]:
         """Trainer batch dict for loader index `index` (full-frame layout)."""
@@ -279,9 +316,11 @@ class NeRFDataset:
         fi = self.mirror_index(index) if not self.training else index
         arrays = self._load_frame_arrays(fi)
 
+        # RAW per-frame blink value: the reference's training jitter
+        # (±0.05, provider.py:690) is applied IN-GRAPH by the train step —
+        # baking it here froze one jitter per frame under --preload
+        # (device_frames caches frame() output once)
         eye = np.float32(self.eye_area[fi]) if cfg.exp_eye else np.float32(0)
-        if cfg.exp_eye and self.training:
-            eye = eye + (self._rng.random() - 0.5) / 10  # provider.py:691
 
         batch: Dict[str, np.ndarray] = {
             "image": arrays["image"],
@@ -289,10 +328,11 @@ class NeRFDataset:
             "eye": np.asarray([eye], np.float32),
             "index": np.int32(fi),
             "face_mask": _rect_mask(self.H, self.W, self.face_rect[fi]),
-            "eye_mask": (_rect_mask(self.H, self.W, self.eye_rect[fi])
-                         if cfg.exp_eye else
-                         np.zeros((self.H, self.W), bool)),
-            "lhalf_mask": _rect_mask(self.H, self.W, self.lhalf_rect[fi]),
+            # eye_mask/lhalf_mask deliberately NOT shipped: the reference
+            # computes them (provider.py:683-693) and its train_step reads
+            # them into locals that nothing ever uses
+            # (TrainerUtil.py:194-195) — dead there, and two full H*W bool
+            # uploads per step here
         }
         if auds is not None:
             batch["auds"] = auds
@@ -312,7 +352,6 @@ class NeRFDataset:
             oy = int(np.clip(cx_ - pad // 2, 0, max(self.H - pad, 0)))
             ox = int(np.clip(cy_ - pad // 2, 0, max(self.W - pad, 0)))
             batch["rect_origin"] = np.asarray([oy, ox], np.int32)
-            batch["rect"] = np.asarray(r, np.int32)
         return batch
 
     def frames(self, shuffle: Optional[bool] = None):

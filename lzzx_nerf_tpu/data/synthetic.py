@@ -107,8 +107,6 @@ class SyntheticTalkingHead:
             "image": rendered["image"],
             "bg_color": np.ones((self.H, self.W, 3), np.float32),
             "face_mask": face_mask,
-            "eye_mask": face_mask & False,
-            "lhalf_mask": face_mask,
             "pose": self.pose(f),
             "auds": np.asarray(
                 get_audio_features(self.aud_features, self.att_mode, f)),

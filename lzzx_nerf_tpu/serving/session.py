@@ -462,7 +462,7 @@ class InferenceSession:
         ds, cfg = self.ds, self.cfg
         # absolute frame count: a live-trimmed feature buffer carries its
         # start index in ds.aud_offset (provider.audio_window)
-        n = (getattr(ds, "aud_offset", 0) + len(ds.aud_features)
+        n = (ds.aud_offset + len(ds.aud_features)
              if ds.aud_features is not None else 2 * ds.num_frames)
         if max_frames is not None:
             n = min(n, max_frames)

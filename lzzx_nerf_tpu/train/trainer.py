@@ -85,7 +85,7 @@ def make_train_step(
 ):
     """Returns jit-able step(state, occ, batch, rng) -> (state, metrics).
 
-    batch: image [H,W,3], bg_color [H,W,3], face_mask/eye_mask/lhalf_mask
+    batch: image [H,W,3], bg_color [H,W,3], face_mask
     [H,W] bool, pose [4,4], auds [F,16,C], eye [1], index int32,
     and for finetune_lips a fixed-size lips rect via batch['rect_origin']
     [2] + static lips_pad (static shapes: the rect crop is lips_pad^2).
@@ -96,7 +96,7 @@ def make_train_step(
         # the jit costs a ~10 ms dispatch round-trip on a remote-dispatch
         # link (scripts/trainbench.py round-3 eager-overhead A/B)
         rng = jax.random.fold_in(rng, state.step)
-        rng_rays, rng_noise, rng_reg = jax.random.split(rng, 3)
+        rng_rays, rng_noise, rng_reg, rng_eye = jax.random.split(rng, 4)
         step_factor = jnp.minimum(state.step.astype(jnp.float32) / iters, 1.0)
 
         if finetune_lips:
@@ -146,7 +146,12 @@ def make_train_step(
             enc_a = field.apply(params, batch["auds"], method="encode_audio")
             c = (params["params"]["individual_codes"][batch["index"]]
                  if ind_dim > 0 else None)
-            eye = batch["eye"] if exp_eye else None
+            # training blink jitter ±0.05 (reference provider.py:690)
+            # IN-GRAPH so it re-samples every step — host-side jitter in
+            # the loader froze one value per frame under --preload
+            eye = (batch["eye"]
+                   + (jax.random.uniform(rng_eye, batch["eye"].shape)
+                      - 0.5) / 10 if exp_eye else None)
 
             ro, rd = rays_o, rays_d
             if train_camera:
