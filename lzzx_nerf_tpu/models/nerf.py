@@ -26,7 +26,7 @@ from flax import linen as nn
 from ..ops.freq import freq_encode
 from ..ops.grid import GridSpec, grid_encode, make_grid_spec
 from ..ops.packed_triplane import (DenseTriplaneSpec, bake_packed,
-                                   dense_triplane_encode, packed_lookup)
+                                   dense_triplane_encode)
 from ..ops.sh import sh_encode
 from .audio import AudioAttNet, AudioNet
 from .mlp import MLP
@@ -148,8 +148,6 @@ class NeRFField(nn.Module):
         None keeps fp32 (bit-exact with the in-graph bake)."""
         if self.encoder != "dense":
             return {}
-        from ..ops.packed_triplane import bake_packed
-
         return {p: bake_packed(self.dense_planes[p], self.dense_spec,
                                dtype=dtype or jnp.float32)
                 for p in ("xy", "yz", "xz")}
@@ -189,6 +187,9 @@ class NeRFField(nn.Module):
             h = jnp.concatenate([enc_x, enc_w], axis=-1)
 
         h = self.sigma_net(h)
+        # plain exp IS the reference activation (network.py:303 uses
+        # torch.exp, not torch-ngp's gradient-clamped trunc_exp) — keep
+        # the unclamped backward for checkpoint/gradient parity
         sigma = jnp.exp(h[..., 0].astype(jnp.float32))
         geo_feat = h[..., 1:]
         # safe L2: the plain norm's gradient at an EXACTLY-zero vector is
@@ -268,6 +269,14 @@ def make_fused_apply(field: "NeRFField", packed: dict, tile: int = 2048,
     on_tpu = jax.default_backend() == "tpu"
 
     def apply_fused(p, pts, dirs, enc_a, c, e, compute_uncertainty=False):
+        if compute_uncertainty:
+            # the folded serving path drops the uncertainty/ambient heads
+            # entirely — returning silent zeros here would feed an
+            # uncertainty-weighted loss all-zero signals with no error
+            raise ValueError(
+                "the fused serving apply has no uncertainty head; use the "
+                "full flax apply (training path) for "
+                "compute_uncertainty=True")
         enc_x = field.apply(p, pts, packed=packed, method="encode_x")
         fw = fold_frame_weights(extract_field_weights(p), enc_a, c, e)
         if use_kernel and on_tpu:
@@ -355,8 +364,6 @@ class TorsoField(nn.Module):
         None for the tiled encoder."""
         if self.encoder != "dense":
             return None
-        from ..ops.packed_triplane import bake_packed
-
         return bake_packed(self.torso_planes, self.dense_spec,
                            dtype=dtype or jnp.float32)
 
