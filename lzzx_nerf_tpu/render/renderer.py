@@ -271,8 +271,12 @@ def render_rays_compact(
 
     tgt = jnp.where(cs.slot_valid, cs.ray_idx, N)
 
-    if minimal and stage_split > 0:
-        b2 = stage2_budget or max(1024, budget // 4 // 1024 * 1024)
+    # stage_split >= S would reshape stage-2 with a non-positive sample
+    # count deep inside _staged_eval_composite (obscure trace-time error);
+    # mirror the train path's `0 < stage_split < S` gate and fall back to
+    # the single-pass eval instead
+    if minimal and 0 < stage_split < S:
+        b2 = effective_infer_stage2_budget(budget, stage2_budget)
         image_c, wsum_c, n_stage2, n_spts = _staged_eval_composite(
             field_apply, params, settings, m, rd, enc_a, ind_code, eye,
             budget, S, stage_split, b2, sample_budget=sample_budget)
@@ -431,6 +435,16 @@ def _staged_train_eval_composite(
             cs2.n_active)
 
 
+def effective_infer_stage2_budget(budget: int, stage2_budget: int) -> int:
+    """The stage-2 slot count the INFERENCE staged paths actually use —
+    the one definition shared by render_rays_compact,
+    render_rays_compact_blocks, and every overflow reporter (session.py,
+    cli.py run_test, bench diagnostics). Same trap as the train twin
+    below: passing 0 selects this default, so comparing demand against a
+    locally recomputed value diverges silently."""
+    return stage2_budget or max(1024, budget // 4 // 1024 * 1024)
+
+
 def effective_train_stage2_budget(budget: int, stage2_budget: int) -> int:
     """The stage-2 slot count render_rays_train_compact actually uses.
 
@@ -537,8 +551,7 @@ def render_rays_train_compact(
     # Kept opt-in + parity-tested like the repo's other measured negative
     # results (PERF.md round 3).
     if use_bitmask:
-        from ..ops.march2 import (column_bitmasks_neighborhood,
-                                  march_rays_window_bitmask_nb)
+        from ..ops.march2 import column_bitmasks_neighborhood
 
         nbmask = column_bitmasks_neighborhood(state.occ)
         m = march_rays_window_bitmask_nb(
@@ -732,8 +745,8 @@ def render_rays_compact_blocks(
 
     B = budget_b * 4
     n_stage2 = n_spts = None
-    if stage_split > 0:
-        b2 = stage2_budget or max(1024, budget // 4 // 1024 * 1024)
+    if 0 < stage_split < S:   # see render_rays_compact's gate
+        b2 = effective_infer_stage2_budget(budget, stage2_budget)
         image_c, wsum_c, n_stage2, n_spts = _staged_eval_composite(
             field_apply, params, settings, m, rd, enc_a, ind_code, eye,
             B, S, stage_split, b2, sample_budget=sample_budget)

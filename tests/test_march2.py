@@ -266,6 +266,39 @@ def test_render_rays_compact_end_to_end():
                                np.asarray(full["weights_sum"]), atol=2e-3)
 
 
+def test_compact_stage_split_beyond_samples_falls_back():
+    """stage_split >= max_steps must fall back to the single-pass eval
+    (the train path's 0 < split < S gate, mirrored) instead of crashing
+    inside _staged_eval_composite with a negative stage-2 sample count —
+    the trap was --infer_samples below the default infer_stage_split."""
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays_compact)
+
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=6, dt=DT, num_cand=112)
+    state = init_occupancy_state(settings)
+    occ, o, d = _scene()
+    state = state._replace(occ=occ)
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    enc_a = jnp.zeros((1, 32))
+    bg = jnp.ones((o.shape[0], 3))
+    base = render_rays_compact(
+        field.apply, params, settings, state, o, d, enc_a, jnp.zeros(4),
+        jnp.asarray([0.25]), bg, budget=256, use_bitmask=False,
+        minimal=True, stage_split=0)
+    split = render_rays_compact(
+        field.apply, params, settings, state, o, d, enc_a, jnp.zeros(4),
+        jnp.asarray([0.25]), bg, budget=256, use_bitmask=False,
+        minimal=True, stage_split=8)   # split 8 > S=6 -> single pass
+    np.testing.assert_allclose(np.asarray(split["image"]),
+                               np.asarray(base["image"]), atol=1e-6)
+
+
 def test_block_compaction_matches_per_ray_path():
     """render_rays_compact_blocks (2x2-block window analysis) must match the
     per-ray bitmask path closely: same t-lattices per ray, block windows are
