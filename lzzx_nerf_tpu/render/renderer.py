@@ -271,15 +271,17 @@ def render_rays_compact(
 
     tgt = jnp.where(cs.slot_valid, cs.ray_idx, N)
 
-    # stage_split >= S would reshape stage-2 with a non-positive sample
-    # count deep inside _staged_eval_composite (obscure trace-time error);
-    # mirror the train path's `0 < stage_split < S` gate and fall back to
-    # the single-pass eval instead
-    if minimal and 0 < stage_split < S:
+    # stage_split > S would reshape stage-2 with a negative sample count
+    # deep inside _staged_eval_composite (obscure trace-time error); CLAMP
+    # to S instead of falling back — split == S runs the staged path with
+    # an EMPTY stage 2 (stage-1 math is identical to composite_rays), which
+    # keeps sample compaction available when infer_samples <= the default
+    # infer_stage_split (the sample-compaction sessions ride on it)
+    if minimal and stage_split > 0:
         b2 = effective_infer_stage2_budget(budget, stage2_budget)
         image_c, wsum_c, n_stage2, n_spts = _staged_eval_composite(
             field_apply, params, settings, m, rd, enc_a, ind_code, eye,
-            budget, S, stage_split, b2, sample_budget=sample_budget)
+            budget, S, min(stage_split, S), b2, sample_budget=sample_budget)
         img_acc = jnp.zeros((N, 3)).at[tgt].set(image_c, mode="drop")
         wsum = jnp.zeros((N,)).at[tgt].set(wsum_c, mode="drop")
         image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
@@ -745,11 +747,11 @@ def render_rays_compact_blocks(
 
     B = budget_b * 4
     n_stage2 = n_spts = None
-    if 0 < stage_split < S:   # see render_rays_compact's gate
+    if stage_split > 0:   # see render_rays_compact's clamp
         b2 = effective_infer_stage2_budget(budget, stage2_budget)
         image_c, wsum_c, n_stage2, n_spts = _staged_eval_composite(
             field_apply, params, settings, m, rd, enc_a, ind_code, eye,
-            B, S, stage_split, b2, sample_budget=sample_budget)
+            B, S, min(stage_split, S), b2, sample_budget=sample_budget)
     else:
         pts = m.xyzs.reshape(B * S, 3)
         dirs = jnp.repeat(rd, S, axis=0)

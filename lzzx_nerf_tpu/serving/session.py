@@ -167,7 +167,9 @@ class InferenceSession:
         # stage-1 sample compaction (Config.infer_sample_frac): slots for
         # the march-masked points only; cap at the full lattice (at which
         # point compaction is a no-op but still exact)
-        sp_cap = budget * max(1, stage_split)
+        # stage-1 lattice size: the renderer clamps the split to S, so a
+        # configured split beyond infer_samples must not inflate the cap
+        sp_cap = budget * max(1, min(stage_split, isettings.max_steps))
         sample_budget = 0
         if cfg.infer_sample_frac > 0 and stage_split > 0:
             sample_budget = getattr(self, "_sample_override", None) or max(

@@ -267,10 +267,14 @@ def test_render_rays_compact_end_to_end():
 
 
 def test_compact_stage_split_beyond_samples_falls_back():
-    """stage_split >= max_steps must fall back to the single-pass eval
-    (the train path's 0 < split < S gate, mirrored) instead of crashing
-    inside _staged_eval_composite with a negative stage-2 sample count —
-    the trap was --infer_samples below the default infer_stage_split."""
+    """stage_split > max_steps must CLAMP to S (staged path with an empty
+    stage 2 — stage-1 math is identical to composite_rays) instead of
+    crashing inside _staged_eval_composite with a negative stage-2 sample
+    count — the trap was --infer_samples below the default
+    infer_stage_split. Clamping (not falling back to single-pass) keeps
+    the stage-1 sample compaction available at split == S, which the
+    adaptive sample-budget sessions rely on (tests/test_serving.py::
+    test_session_sample_compaction_exact_and_adaptive)."""
     from lzzx_nerf_tpu.models import NeRFField
     from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
                                       render_rays_compact)
