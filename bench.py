@@ -182,6 +182,8 @@ def main():
         intr, res, res, k2_override=args.k2,
         march_group=args.march_group if blocks else 1,
         march_variant=args.march_variant,
+        measure=("block" if blocks else "ray") if args.path == "compact"
+        else None,
         log=lambda m: print(f"# {m}", file=sys.stderr))
     print(f"# march plan: K2={args.k2} group={args.march_group} "
           f"variant={args.march_variant}", file=sys.stderr)

@@ -744,7 +744,8 @@ def run_test(cfg) -> None:
             isettings, tables.z_lo, tables.z_hi, ds.poses, ds.intrinsics,
             ds.H, ds.W, k2_override=k2,
             march_group=march_group if use_blocks else 1,
-            march_variant=march_variant, log=trainer.log)
+            march_variant=march_variant, log=trainer.log,
+            measure="block" if use_blocks else "ray")
         from .ops.march2 import ensure_variant_tables, needed_variant_tables
 
         tables = ensure_variant_tables(
@@ -819,17 +820,17 @@ def run_test(cfg) -> None:
                 rays_d, enc_a, c, eye, bg, budget=budget,
                 window_candidates=k2, tables=tables, minimal=True, **staged)
         return (out["image"].reshape(ds.H, ds.W, 3), out["n_active"],
-                out.get("n_stage2", 0))
+                out.get("n_stage2", 0), out.get("n_winmax", 0))
 
     out_dir = os.path.join(cfg.workspace, "results")
     os.makedirs(out_dir, exist_ok=True)
     meters = [PSNRMeter(), LPIPSMeter(), LMDMeter()] if ds.has_gt else []
     t0 = time.time()
     tp = torso_state.params if torso_state is not None else None
-    overflow_warned = s2_warned = False
+    overflow_warned = s2_warned = win_warned = False
 
-    def consume(i, img_dev, n_active_dev, n_s2_dev, gt):
-        nonlocal overflow_warned, s2_warned
+    def consume(i, img_dev, n_active_dev, n_s2_dev, n_wm_dev, gt):
+        nonlocal overflow_warned, s2_warned, win_warned
         img_np = np.asarray(img_dev)
         if not overflow_warned and int(n_active_dev) > budget:
             trainer.log(f"[WARN] frame {i}: {int(n_active_dev)} active rays "
@@ -842,6 +843,15 @@ def run_test(cfg) -> None:
                         f"rays truncate at the split (raise "
                         f"--infer_stage2_frac)")
             s2_warned = True
+        if not win_warned and k2 and int(n_wm_dev) > k2:
+            # cannot happen with the trajectory-measured K2 (run_test
+            # renders exactly the measured poses) — guards an explicit
+            # --infer_window_candidates that is too small for this scene
+            trainer.log(f"[WARN] frame {i}: a window needs {int(n_wm_dev)} "
+                        f"march candidates > K2={k2}; truncated rays lose "
+                        f"far-side samples (raise "
+                        f"--infer_window_candidates or use 0 = measured)")
+            win_warned = True
         _save_image(img_np, os.path.join(out_dir, f"{i:05d}.png"))
         for m in meters:
             m.update(img_np, gt)
@@ -856,15 +866,14 @@ def run_test(cfg) -> None:
                  if cfg.exp_eye and cfg.fix_eye >= 0 else None)
     for i in range(len(ds)):
         b = ds.frame(i)
-        img, n_act, n_s2 = render_frame(infer_params, packed, tp, occ,
-                                        jnp.asarray(b["pose"]),
-                                        jnp.asarray(b["auds"]),
-                                        fixed_eye if fixed_eye is not None
-                                        else jnp.asarray(b["eye"]),
-                                        jnp.asarray(b["index"], jnp.int32))
+        img, n_act, n_s2, n_wm = render_frame(
+            infer_params, packed, tp, occ,
+            jnp.asarray(b["pose"]), jnp.asarray(b["auds"]),
+            fixed_eye if fixed_eye is not None else jnp.asarray(b["eye"]),
+            jnp.asarray(b["index"], jnp.int32))
         if pending is not None:
             consume(*pending)
-        pending = (i, img, n_act, n_s2,
+        pending = (i, img, n_act, n_s2, n_wm,
                    b["image"] if ds.has_gt else None)
     if pending is not None:
         consume(*pending)

@@ -1107,9 +1107,88 @@ def nb_block3_drift_cells(dt: float, bound: float, grid_size: int,
     return half_step_drift + angular
 
 
+def measured_window_candidates(settings, z_lo, z_hi, poses, intrinsics,
+                               H: int, W: int, block: bool = True,
+                               margin: int = 4, pose_batch: int = 8) -> int:
+    """Exact per-trajectory K2: run the serving window analysis
+    (ray_windows — the same geometry and pads the renderer uses) over
+    EVERY trajectory pose against the frozen serving occupancy and size
+    K2 from the actually-needed candidate count, instead of the
+    conservative global-z-band bound (window_candidates_for_scene).
+
+    This is a measurement, not a heuristic: serving only ever renders the
+    dataset trajectory's poses against a static grid, so the measured max
+    IS the worst case. `margin` absorbs the learned per-frame camera
+    refinement (train_camera's dT/dR, degrees/centimeters) and fp lattice
+    snapping. The bench scene measures 40 vs the geometric bound's 50 —
+    ~20% of per-candidate march select math (the largest non-gather-floor
+    phase, PERF.md) spent on always-masked slack. Runtime escape: the
+    compact renderers report each frame's max needed count (`n_winmax`)
+    and serving rebuilds with a larger K2 if a frame ever exceeds it
+    (serving/session.py) — the silent window-truncation class the round-3
+    K2 find exposed (−11 dB at grid 128) is detected either way.
+
+    block=True measures 2x2-block-centre windows (pad 3.0 — the geometry
+    of render_rays_compact_blocks, whose per-ray [t_start, t_end) windows
+    are subsets of their block's); block=False measures per-ray windows
+    (pad 2.0, render_rays_compact). Rays under ray_windows' min_axis_frac
+    fallback carry [near, far] windows and are measured as such — the
+    result stays a true bound (callers clamp to the geometric K2, so a
+    wide-FOV outlier can only lose the optimization, never correctness).
+    Cost: one jitted window pass per `pose_batch` poses, once per model
+    load (~1 s for a 500-frame trajectory at 512²)."""
+    import numpy as np
+
+    from ..utils.rays import get_rays
+    from .ray import near_far_from_aabb
+
+    aabb = jnp.asarray(settings.aabb, jnp.float32)
+    dt, bound = settings.dt, settings.bound
+    pad = 3.0 if block else 2.0
+    poses = np.asarray(poses, np.float32).reshape(-1, 4, 4)
+    P = len(poses)
+    pose_batch = max(1, min(pose_batch, P))
+
+    @jax.jit
+    def batch_max_steps(pb):                                   # [b, 4, 4]
+        rays = get_rays(pb, intrinsics, H, W, N=-1)
+        b = pb.shape[0]
+        if block:
+            db = rays["rays_d"].reshape(
+                b, H // 2, 2, W // 2, 2, 3).transpose(
+                0, 1, 3, 2, 4, 5).reshape(b, H * W // 4, 4, 3)
+            d = db.mean(axis=2)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            o = jnp.broadcast_to(rays["rays_o"][:, :1], d.shape)
+            d = d.reshape(-1, 3)
+            o = o.reshape(-1, 3)
+        else:
+            o = rays["rays_o"].reshape(-1, 3)
+            d = rays["rays_d"].reshape(-1, 3)
+        nears, fars = near_far_from_aabb(o, d, aabb, settings.min_near)
+        win = ray_windows(o, d, nears, fars, z_lo, z_hi, bound, dt,
+                          pad_steps=pad)
+        steps = jnp.ceil((win.t_end - win.t_start) / dt)
+        return jnp.max(jnp.where(win.active, steps, 0.0))
+
+    mx = 0.0
+    for s in range(0, P, pose_batch):
+        pb = poses[s:s + pose_batch]
+        if len(pb) < pose_batch:                 # one compile for all calls
+            pb = np.concatenate(
+                [pb, np.repeat(pb[-1:], pose_batch - len(pb), axis=0)])
+        mx = max(mx, float(batch_max_steps(jnp.asarray(pb))))
+    # +1: the march admits candidates at t_cand < t_end strictly, so the
+    # needed count is ceil((t_end - t_start)/dt) rounded outward once
+    k2 = int(mx) + 1 + margin
+    k2 = max(k2, settings.max_steps, 16)
+    return k2 + (k2 % 2)
+
+
 def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
                        H: int, W: int, k2_override: int = 0,
                        march_group: int = 1, march_variant: str = "wslice",
+                       measure: Optional[str] = None,
                        log=print):
     """Derive the serving march plan for one model + camera geometry:
     the adaptive window-candidate count K2 (window_candidates_for_scene,
@@ -1120,7 +1199,10 @@ def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
     nb_blockq_drift_cells (forward <= 2, backward <= 1)). Shared by
     serving/session.py and cli.run_test so both paths choose the same
     marcher; pass march_group=1 to skip the envelope checks (non-block
-    callers). Returns (k2, march_group, march_variant)."""
+    callers). measure="block"/"ray": tighten K2 to the trajectory-measured
+    candidate count (measured_window_candidates — exact for the poses
+    given; the geometric bound stays the cap). Returns
+    (k2, march_group, march_variant)."""
     import numpy as np
 
     from ..utils.rays import min_corner_dz
@@ -1130,8 +1212,20 @@ def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
     if not k2:
         k2 = window_candidates_for_scene(
             np.asarray(z_lo), np.asarray(z_hi), settings.dt, min_dz=dz)
-        log(f"[INFO] adaptive window candidates: K2={k2} "
-            f"(grid {settings.grid_size}, dt {settings.dt:.4f})")
+        if measure in ("block", "ray"):
+            k2m = measured_window_candidates(
+                settings, z_lo, z_hi, poses, intrinsics, H, W,
+                block=measure == "block")
+            if k2m < k2:
+                log(f"[INFO] trajectory-measured window candidates: "
+                    f"K2={k2m} (geometric bound {k2})")
+                k2 = k2m
+            else:
+                log(f"[INFO] adaptive window candidates: K2={k2} "
+                    f"(measured {k2m} >= geometric bound)")
+        else:
+            log(f"[INFO] adaptive window candidates: K2={k2} "
+                f"(grid {settings.grid_size}, dt {settings.dt:.4f})")
     if march_group in (2, 3):
         t_max = float(np.linalg.norm(
             np.asarray(poses)[:, :3, 3], axis=1).max()) \

@@ -245,6 +245,13 @@ def render_rays_compact(
     win = ray_windows(rays_o, rays_d, nears, fars, tables.z_lo, tables.z_hi,
                       settings.bound, settings.dt)
     cs = compact_rays(win.active, budget)
+    # max candidate count any active window needs this frame (the march
+    # admits t_cand < t_end strictly → ceil + 1): serving compares it to K2
+    # and rebuilds on overflow — window truncation (the round-3 −11 dB K2
+    # find) is detected instead of silent (serving/session.py)
+    n_winmax = (jnp.max(jnp.where(
+        win.active, jnp.ceil((win.t_end - win.t_start) / settings.dt), 0.0))
+        .astype(jnp.int32) + 1)
 
     # ONE fused per-ray gather for all compacted ray attributes (one wide
     # row per ray instead of 5-7 separate gathers)
@@ -286,7 +293,7 @@ def render_rays_compact(
         wsum = jnp.zeros((N,)).at[tgt].set(wsum_c, mode="drop")
         image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
         out = {"image": image, "weights_sum": wsum, "n_active": cs.n_active,
-               "n_stage2": n_stage2}
+               "n_stage2": n_stage2, "n_winmax": n_winmax}
         if n_spts is not None:
             out["n_spts"] = n_spts
         return out
@@ -310,7 +317,8 @@ def render_rays_compact(
         img_acc = jnp.zeros((N, 3)).at[tgt].set(comp.image, mode="drop")
         wsum = jnp.zeros((N,)).at[tgt].set(comp.weights_sum, mode="drop")
         image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
-        return {"image": image, "weights_sum": wsum, "n_active": cs.n_active}
+        return {"image": image, "weights_sum": wsum, "n_active": cs.n_active,
+                "n_winmax": n_winmax}
 
     nears_c, fars_c = packed_rows[:, 8], packed_rows[:, 9]
     bg_c = packed_rows[:, 10:13]
@@ -333,6 +341,7 @@ def render_rays_compact(
         "ambient_eye": scat(comp.amb_eye_sum),
         "uncertainty": scat(comp.uncertainty_sum),
         "n_active": cs.n_active,
+        "n_winmax": n_winmax,
     }
 
 
@@ -684,6 +693,11 @@ def render_rays_compact_blocks(
                       tables.z_lo, tables.z_hi, settings.bound, settings.dt,
                       pad_steps=3.0)
     cs = compact_rays(win.active, budget_b)
+    # max candidate count any active block window needs (per-ray windows
+    # are subsets of their block's [t0, t1]); see render_rays_compact
+    n_winmax = (jnp.max(jnp.where(
+        win.active, jnp.ceil((win.t_end - win.t_start) / settings.dt), 0.0))
+        .astype(jnp.int32) + 1)
 
     cols = jnp.concatenate(
         [d_blocks.reshape(NB, 12), win.t_start[:, None], win.t_end[:, None],
@@ -778,7 +792,8 @@ def render_rays_compact_blocks(
     wsum = acc[:, 12:16].reshape(H // 2, W // 2, 2, 2).transpose(
         0, 2, 1, 3).reshape(N)
     image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
-    out = {"image": image, "weights_sum": wsum, "n_active": cs.n_active * 4}
+    out = {"image": image, "weights_sum": wsum, "n_active": cs.n_active * 4,
+           "n_winmax": n_winmax}
     if n_stage2 is not None:
         out["n_stage2"] = n_stage2
     if n_spts is not None:

@@ -133,6 +133,7 @@ class InferenceSession:
         self._overflow_warned = self._s2_warned = False
         self._pending_budget = self._pending_sample = None
         self._budget_override = self._sample_override = None
+        self._pending_k2 = self._k2_override = None
         self._compile_render()
         self._built = True
 
@@ -195,12 +196,20 @@ class InferenceSession:
         # --test always choose the same marcher for a given geometry
         from ..ops.march2 import resolve_march_plan
 
+        # measure="block"/"ray": K2 sized from the trajectory's actual max
+        # window (exact — serving renders only ds.poses against the frozen
+        # grid), not the geometric band bound; the n_winmax escape below
+        # catches anything that still exceeds it (march2.py docstring)
         k2, march_group, march_variant = resolve_march_plan(
             isettings, self.tables.z_lo, self.tables.z_hi,
             ds.poses, ds.intrinsics, ds.H, ds.W,
-            k2_override=cfg.infer_window_candidates,
+            k2_override=(getattr(self, "_k2_override", None)
+                         or cfg.infer_window_candidates),
             march_group=cfg.infer_march_group if use_blocks else 1,
-            march_variant=cfg.infer_march_variant)
+            march_variant=cfg.infer_march_variant,
+            measure=(("block" if use_blocks else "ray")
+                     if use_compact else None))
+        self.k2 = k2
         from ..ops.march2 import ensure_variant_tables, needed_variant_tables
 
         self.tables = ensure_variant_tables(
@@ -307,7 +316,7 @@ class InferenceSession:
             else:
                 buf = (img * 255).astype(jnp.uint8).reshape(-1)
             return (buf, out["n_active"], out.get("n_stage2", 0),
-                    out.get("n_spts", 0))
+                    out.get("n_spts", 0), out.get("n_winmax", 0))
 
         def make_render(fmt: str):
             @jax.jit
@@ -318,7 +327,7 @@ class InferenceSession:
                     prev_enc, has_prev = carry
                     pose, auds, eye, idx, valid = inp
                     enc_a = smooth_enc(auds, prev_enc, has_prev, params)
-                    buf, n_act, n_s2, n_sp = render_frame(
+                    buf, n_act, n_s2, n_sp, n_wm = render_frame(
                         params, packed, tables, occ, pose, enc_a, eye, idx,
                         torso_params, torso_packed, fmt)
                     # padded tail slots (valid == 0) must NOT advance the
@@ -328,13 +337,15 @@ class InferenceSession:
                     # on the chunk size (round-2 review, weak item 6)
                     carry_enc = jnp.where(valid > 0, enc_a, prev_enc)
                     carry_has = jnp.maximum(has_prev, valid)
-                    return (carry_enc, carry_has), (buf, n_act, n_s2, n_sp)
+                    return (carry_enc, carry_has), (buf, n_act, n_s2, n_sp,
+                                                    n_wm)
 
-                (enc_final, _), (bufs, n_acts, n_s2s, n_sps) = jax.lax.scan(
+                (enc_final, _), (bufs, n_acts, n_s2s, n_sps,
+                                 n_wms) = jax.lax.scan(
                     body, (prev_enc, has_prev),
                     (poses, auds_c, eyes_c, idxs_c, valid_c))
                 return (bufs, n_acts, jnp.max(n_s2s), jnp.max(n_sps),
-                        enc_final)
+                        jnp.max(n_wms), enc_final)
 
             return render_chunk
 
@@ -374,25 +385,25 @@ class InferenceSession:
                              torso_packed, poses_s, enc_s, eyes_s, idxs_s):
                     def body(carry, inp):
                         pose, enc_a, eye, idx = inp
-                        buf, n_act, n_s2, n_sp = render_frame(
+                        buf, n_act, n_s2, n_sp, n_wm = render_frame(
                             params, packed, tables, occ, pose, enc_a, eye,
                             idx, torso_params, torso_packed, fmt)
-                        return carry, (buf, n_act, n_s2, n_sp)
+                        return carry, (buf, n_act, n_s2, n_sp, n_wm)
 
                     _, outs = jax.lax.scan(
                         body, 0, (poses_s, enc_s, eyes_s, idxs_s))
                     return outs
 
                 rep = (P(),) * 6
-                bufs, n_acts, n_s2s, n_sps = shard_map(
+                bufs, n_acts, n_s2s, n_sps, n_wms = shard_map(
                     shard_fn, mesh=mesh,
                     in_specs=rep + (P("dp"), P("dp"), P("dp"), P("dp")),
-                    out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                    out_specs=(P("dp"),) * 5,
                     check_rep=False,
                 )(params, packed, tables, occ, torso_params, torso_packed,
                   poses, enc_all, eyes_c, idxs_c)
                 return (bufs, n_acts, jnp.max(n_s2s), jnp.max(n_sps),
-                        enc_final)
+                        jnp.max(n_wms), enc_final)
 
             return render_chunk
 
@@ -478,9 +489,27 @@ class InferenceSession:
         queue: deque = deque()
 
         def consume():
-            base, count, bufs_dev, acts_dev, s2_dev, sp_dev = queue.popleft()
+            (base, count, bufs_dev, acts_dev, s2_dev, sp_dev,
+             wm_dev) = queue.popleft()
             bufs = np.asarray(bufs_dev)
             acts = np.asarray(acts_dev)
+            if int(wm_dev) > self.k2:
+                # WINDOW-TRUNCATION ESCAPE: a frame needed more march
+                # candidates than K2 — those rays lost their far-side
+                # samples (the silent −11 dB class of the round-3 K2 find,
+                # ops/march2.py). Rebuild with the observed demand + margin
+                # at the next chunk boundary, overriding even an explicit
+                # infer_window_candidates (quality first; the reference's
+                # alive-ray marcher never truncates, renderer.py:503-548).
+                want_k2 = int(wm_dev) + 4
+                want_k2 += want_k2 % 2
+                if want_k2 > max(self.k2, self._pending_k2 or 0):
+                    print(f"[WARN] chunk at frame {base}: a window needs "
+                          f"{int(wm_dev)} march candidates > K2={self.k2} "
+                          f"(truncated rays lose far-side samples); "
+                          f"rebuilding with K2={want_k2} at the next chunk "
+                          f"boundary")
+                    self._pending_k2 = want_k2
             if (not self._s2_warned
                     and int(s2_dev) > self.stage2_budget):
                 print(f"[WARN] chunk at frame {base}: {int(s2_dev)} stage-2 "
@@ -596,10 +625,12 @@ class InferenceSession:
 
         try:
             for base in range(start, n, C):
-                if self._pending_budget or self._pending_sample:
+                if (self._pending_budget or self._pending_sample
+                        or self._pending_k2):
                     if ((self._pending_budget or 0) > self.budget
                             or (self._pending_sample or 0)
-                            > self.sample_budget):
+                            > self.sample_budget
+                            or (self._pending_k2 or 0) > self.k2):
                         # adaptive rebuild at the chunk boundary: drain the
                         # queued chunks (their program is being replaced),
                         # then recompile with the larger budget(s) — once
@@ -610,9 +641,12 @@ class InferenceSession:
                             self._budget_override = self._pending_budget
                         if (self._pending_sample or 0) > self.sample_budget:
                             self._sample_override = self._pending_sample
+                        if (self._pending_k2 or 0) > self.k2:
+                            self._k2_override = self._pending_k2
                         self._compile_render()
                         render = self._get_render(fmt)
                     self._pending_budget = self._pending_sample = None
+                    self._pending_k2 = None
                 count = min(C, n - base)
                 # pad the tail chunk by repeating its last frame; padded
                 # slots carry valid=0 so they render (static chunk shape)
@@ -631,7 +665,7 @@ class InferenceSession:
                     valid_c = jnp.asarray([1.0 if j < count else 0.0
                                            for j in range(C)], jnp.float32)
                 with ph("dispatch"):
-                    bufs, n_acts, n_s2, n_sp, prev_enc = render(
+                    bufs, n_acts, n_s2, n_sp, n_wm, prev_enc = render(
                         self.infer_params, self.packed, self.tables,
                         self.occ, poses, auds_c, prev_enc, has_prev,
                         eyes_c, idxs_c, valid_c, self.torso_params,
@@ -639,7 +673,7 @@ class InferenceSession:
                     has_prev = jnp.float32(1.0)
                     if hasattr(bufs, "copy_to_host_async"):
                         bufs.copy_to_host_async()
-                queue.append((base, count, bufs, n_acts, n_s2, n_sp))
+                queue.append((base, count, bufs, n_acts, n_s2, n_sp, n_wm))
                 if len(queue) >= 2:
                     with ph("fetch+sink"):
                         consume()

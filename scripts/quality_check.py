@@ -165,14 +165,27 @@ def main():
     budget = res * res
     K2 = args.k2
     if not K2:
-        from lzzx_nerf_tpu.ops.march2 import window_candidates_for_scene
+        from lzzx_nerf_tpu.ops.march2 import (measured_window_candidates,
+                                              window_candidates_for_scene)
         from lzzx_nerf_tpu.utils.rays import min_corner_dz
 
         poses = np.stack([ds.pose(i) for i in range(ds.num_frames)])
-        K2 = window_candidates_for_scene(
+        K2_geo = window_candidates_for_scene(
             np.asarray(tables.z_lo), np.asarray(tables.z_hi), dt,
             min_dz=min_corner_dz(poses, ds.intrinsics, res, res))
-        print(f"adaptive K2={K2} (grid {grid}, dt {dt:.4f})")
+        # the guard runs BOTH the block and per-ray serving paths at one
+        # K2 — take the larger of the two trajectory measurements (serving
+        # itself uses its path's own measurement, session.py)
+        isettings_k = dataclasses.replace(settings, max_steps=args.samples)
+        K2 = min(K2_geo, max(
+            measured_window_candidates(
+                isettings_k, tables.z_lo, tables.z_hi, poses,
+                ds.intrinsics, res, res, block=True),
+            measured_window_candidates(
+                isettings_k, tables.z_lo, tables.z_hi, poses,
+                ds.intrinsics, res, res, block=False)))
+        print(f"adaptive K2={K2} (grid {grid}, dt {dt:.4f}, "
+              f"geometric bound {K2_geo})")
     staged = dict(stage_split=8,
                   stage2_budget=max(1024, int(budget * 0.375) // 1024 * 1024))
 

@@ -224,7 +224,8 @@ def test_render_rays_compact_minimal_bitmask(tiny_field=None):
     mini = render_rays_compact(field.apply, params, settings, state, o, d,
                                enc_a, jnp.zeros(4), jnp.asarray([0.25]), bg,
                                use_bitmask=True, minimal=True, **kw)
-    assert set(mini.keys()) == {"image", "weights_sum", "n_active"}
+    assert set(mini.keys()) == {"image", "weights_sum", "n_active",
+                                "n_winmax"}
     np.testing.assert_allclose(np.asarray(mini["image"]),
                                np.asarray(full["image"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(mini["weights_sum"]),
@@ -1281,3 +1282,118 @@ def test_window_analysis_exact_grid64():
                                        atol=2e-4)
             checked += 1
     assert checked > 20  # the fan must genuinely hit the scene
+
+
+def test_measured_window_candidates_bit_exact_vs_geometric():
+    """Trajectory-measured K2 (measured_window_candidates) must cover every
+    window the serving renderers produce for the measured poses: marching
+    with K2=measured yields the SAME sample sets as the geometric-bound K2
+    (the round-3 truncation find showed an under-sized K2 silently cuts
+    far-side samples — this pins the measured value on the safe side),
+    while being <= the geometric bound (the point of measuring)."""
+    from lzzx_nerf_tpu.ops.march2 import (column_bitmasks_neighborhood,
+                                          measured_window_candidates,
+                                          window_candidates_for_scene)
+    from lzzx_nerf_tpu.ops.march2 import march_rays_window_bitmask_nb
+    from lzzx_nerf_tpu.render.state import RenderSettings
+    from lzzx_nerf_tpu.utils.rays import get_rays, min_corner_dz
+
+    occ, _, _ = _scene()
+    settings = RenderSettings(grid_size=GRID, dt=DT, max_steps=8,
+                              aabb=tuple(np.asarray(AABB)))
+    tables = build_inference_tables(occ, BOUND, variants=())
+    res = 32
+    intr = (res / 0.7, res / 0.7, res / 2, res / 2)
+    # three trajectory poses: frontal + two yawed (portrait-like)
+    poses = []
+    for yaw in (-0.25, 0.0, 0.25):
+        c, s = np.cos(yaw), np.sin(yaw)
+        p = np.eye(4, dtype=np.float32)
+        p[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        p[:3, 3] = p[:3, :3] @ np.array([0, 0, -2.5], np.float32)
+        poses.append(p)
+    poses = np.stack(poses)
+
+    k2_geo = window_candidates_for_scene(
+        np.asarray(tables.z_lo), np.asarray(tables.z_hi), DT,
+        min_dz=min_corner_dz(poses, intr, res, res))
+    k2_meas = measured_window_candidates(
+        settings, tables.z_lo, tables.z_hi, poses, intr, res, res,
+        block=False, pose_batch=2)
+    assert k2_meas <= k2_geo  # the measurement must actually tighten here
+
+    nbmask = column_bitmasks_neighborhood(occ)
+    for p in poses:
+        rays = get_rays(jnp.asarray(p)[None], intr, res, res, N=-1)
+        o = rays["rays_o"][0]
+        d = rays["rays_d"][0]
+        nears, fars = near_far_from_aabb(o, d, AABB, settings.min_near)
+        win = ray_windows(o, d, nears, fars, tables.z_lo, tables.z_hi,
+                          BOUND, DT)
+        valid = win.active
+        m_ref = march_rays_window_bitmask_nb(
+            o, d, win.t_start, win.t_end, valid, nbmask, BOUND, DT,
+            k2_geo, 8)
+        m_meas = march_rays_window_bitmask_nb(
+            o, d, win.t_start, win.t_end, valid, nbmask, BOUND, DT,
+            k2_meas, 8)
+        assert int(np.asarray(m_ref.mask).sum()) > 50
+        np.testing.assert_array_equal(np.asarray(m_ref.mask),
+                                      np.asarray(m_meas.mask))
+        np.testing.assert_allclose(np.asarray(m_ref.ts),
+                                   np.asarray(m_meas.ts), atol=1e-5)
+        # the renderers' runtime escape quantity must stay within K2
+        act = np.asarray(win.active)
+        steps = np.ceil((np.asarray(win.t_end)[act]
+                         - np.asarray(win.t_start)[act]) / DT)
+        n_winmax = int(steps.max()) + 1
+        assert n_winmax <= k2_meas
+
+    # block measurement covers the block-geometry windows the same way
+    k2_blk = measured_window_candidates(
+        settings, tables.z_lo, tables.z_hi, poses, intr, res, res,
+        block=True, pose_batch=3)
+    for p in poses:
+        rays = get_rays(jnp.asarray(p)[None], intr, res, res, N=-1)
+        d4 = rays["rays_d"][0].reshape(res // 2, 2, res // 2, 2, 3)
+        dc = d4.transpose(0, 2, 1, 3, 4).reshape(-1, 4, 3).mean(axis=1)
+        dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True)
+        oc = jnp.broadcast_to(rays["rays_o"][0][0], dc.shape)
+        nears, fars = near_far_from_aabb(oc, dc, AABB, settings.min_near)
+        win = ray_windows(oc, dc, nears, fars, tables.z_lo, tables.z_hi,
+                          BOUND, DT, pad_steps=3.0)
+        act = np.asarray(win.active)
+        steps = np.ceil((np.asarray(win.t_end)[act]
+                         - np.asarray(win.t_start)[act]) / DT)
+        assert act.any()
+        assert int(steps.max()) + 1 <= k2_blk
+
+
+def test_resolve_march_plan_measured_k2():
+    """resolve_march_plan(measure=...) returns the measured K2 when it is
+    tighter than the geometric bound, keeps the geometric bound as cap,
+    and leaves an explicit k2_override untouched."""
+    from lzzx_nerf_tpu.ops.march2 import resolve_march_plan
+    from lzzx_nerf_tpu.render.state import RenderSettings
+
+    occ, _, _ = _scene()
+    settings = RenderSettings(grid_size=GRID, dt=DT, max_steps=8,
+                              aabb=tuple(np.asarray(AABB)))
+    tables = build_inference_tables(occ, BOUND, variants=())
+    res = 32
+    intr = (res / 0.7, res / 0.7, res / 2, res / 2)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.5
+    logs = []
+    k2_geo, _, _ = resolve_march_plan(
+        settings, tables.z_lo, tables.z_hi, pose[None], intr, res, res,
+        log=logs.append)
+    k2_m, _, _ = resolve_march_plan(
+        settings, tables.z_lo, tables.z_hi, pose[None], intr, res, res,
+        measure="ray", log=logs.append)
+    assert k2_m <= k2_geo
+    assert any("measured" in m for m in logs)
+    k2_o, _, _ = resolve_march_plan(
+        settings, tables.z_lo, tables.z_hi, pose[None], intr, res, res,
+        k2_override=999, measure="ray", log=logs.append)
+    assert k2_o == 999

@@ -1414,3 +1414,51 @@ def test_filtered_sink_preserves_frame_order():
     assert [int(f[0, 0, 0]) for f in inner.frames] == [10, 20, 30]
     assert [int(f[0, 0, 1]) for f in inner.frames] == [1, 2, 3]
     assert sink.count == 3
+
+
+def test_session_window_k2_escape_rebuild(session_workspace, capsys):
+    """Window-truncation escape: a frame whose window needs more march
+    candidates than the compiled K2 must warn, rebuild with the observed
+    demand (+margin) at the next chunk boundary, and keep streaming every
+    frame — post-rebuild frames identical to a correctly-sized session.
+    This is the runtime guard for the round-3 K2-truncation find (a
+    too-small K2 silently cuts far-side samples, −11 dB at grid 128;
+    ops/march2.py); the reference's alive-ray marcher never truncates
+    (renderer.py:503-548)."""
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+
+    data, ws = session_workspace
+    rng = np.random.default_rng(13)
+    feats = rng.standard_normal((6, 16, 29)).astype(np.float32)
+
+    def run(k2_override):
+        cfg = Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                     infer_samples=8, infer_chunk=2, budget_frac=1.0,
+                     infer_window_candidates=k2_override)
+        s = InferenceSession(cfg)
+        s.load_model(data, ws)
+        n = s.set_audio_features(feats)
+        got = {}
+        s.run(max_frames=n, on_frame=lambda i, buf: got.__setitem__(i, buf))
+        return s, got
+
+    # k2_override=0 -> trajectory-measured K2 (resolve_march_plan): the
+    # correctly-sized control; it must never trip its own escape
+    s_ok, ok = run(0)
+    out_ok = capsys.readouterr().out
+    assert "march candidates > K2" not in out_ok
+    assert "trajectory-measured window candidates" in out_ok
+
+    s_tiny, tiny = run(8)   # deliberately below the scene's need (12)
+    out = capsys.readouterr().out
+    assert "march candidates > K2" in out and "rebuilding with K2=" in out
+    assert sorted(tiny) == list(range(6))        # no frames dropped
+    assert s_tiny.k2 > 8                          # the rebuild actually ran
+    # frames after the rebuild (chunk 2+: frames 4..5) march the full
+    # window again — identical to the measured-K2 session. (Whether the
+    # truncated EARLY frames differ visibly is scene-dependent — this toy
+    # head is opaque enough that early termination hides the cut; the
+    # trained-oracle quality guard is where truncation damage is measured,
+    # scripts/quality_check.py variant H.)
+    np.testing.assert_array_equal(tiny[5], ok[5])
