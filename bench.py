@@ -104,9 +104,9 @@ def main():
                          "3x3-neighborhood march (exact for any "
                          "direction); negative = dilated single-column "
                          "mask with group=|n| (-2 is the fast -2 dB mode)")
-    ap.add_argument("--march-variant", default="quad",
+    ap.add_argument("--march-variant", default="quadw",
                     choices=["wslice", "nb_first", "zband", "zband4",
-                             "quad"],
+                             "quad", "quadw"],
                     help="group-2 block-march select variant (all "
                          "sample-exact, tests/test_march2.py): wslice = "
                          "word-pair pre-reduce + flat 50-way select; "

@@ -244,16 +244,25 @@ class Config:
     # select math). Full-frame bench A/B (PERF.md round 3): wslice 32.89
     # / zband 30.37 / zband4 28.00 FPS — the amortized pre-reduce stages
     # cost more than the narrower per-candidate select saves; wslice
-    # stays ahead of zband/zband4. "quad" (default) = directional
-    # quadrant-anchored fetch (march_rays_window_bitmask_nb_block_quad):
-    # the half-step anchor makes the fetch-to-candidate drift one-sided,
-    # so a signed 4x4 window (32-way select) replaces the 5x5 (50-way)
-    # with NO added pre-reduce stage — the structural reason it wins
-    # where zband/zband4 lost. TPU A/B (back to back): quad 33.47 /
-    # wslice 32.37 FPS torso-composited @512²; grid-128 guard +0.00 dB
-    # (PERF.md round 3). Envelope-gated: resolve_march_plan falls back
-    # to wslice beyond nb_blockq_drift_cells (<=2 fwd, <=1 back).
-    infer_march_variant: str = "quad"
+    # stays ahead of zband/zband4. "quad" = directional quadrant-anchored
+    # fetch (march_rays_window_bitmask_nb_block_quad): the half-step
+    # anchor makes the fetch-to-candidate drift one-sided, so a signed
+    # 4x4 window (32-way select) replaces the 5x5 (50-way) with NO added
+    # pre-reduce stage — the structural reason it wins where zband/zband4
+    # lost. TPU A/B (back to back): quad 33.47 / wslice 32.37 FPS
+    # torso-composited @512²; grid-128 guard +0.00 dB (PERF.md round 3).
+    # "quadw" (default) = quad with the word-pair selection BAKED INTO
+    # THE TABLE (column_bitmasks_quadrant_words, indexed by (quadrant, x,
+    # y, z-word)): the profiler showed quad's cost was the data MOVEMENT
+    # around the [*, 64]-word fetch result (a physical transpose + copies
+    # ~21% of the frame), not the select math; the z-word-indexed table
+    # halves the fetched bytes and deletes the pre-reduce stage and its
+    # intermediates. Sample-identical to quad (bit-for-bit tests), same
+    # anchor, same envelope. TPU A/B (back to back): quadw 35.45 / quad
+    # 30.70 FPS torso-composited @512² (PERF.md round 3). Envelope-gated:
+    # resolve_march_plan falls back to wslice beyond
+    # nb_blockq_drift_cells (<=2 fwd, <=1 back).
+    infer_march_variant: str = "quadw"
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;
     # chunking divides it (the reference batches 32 frames per wave,

@@ -62,6 +62,12 @@ class InferenceTables(NamedTuple):
                                # (column_bitmasks_quadrant), for the
                                # directional block marcher; None unless
                                # "quad" in build variants (16.8 MB @128)
+    col_quadwmask: jnp.ndarray = None
+                               # [4*H*H*(H//32), 32] uint32, the quadrant
+                               # table additionally indexed by z-word
+                               # (column_bitmasks_quadrant_words) — the
+                               # production variant "quadw"; None unless
+                               # "quadw" in build variants (33.5 MB @128)
 
 
 class CompactSet(NamedTuple):
@@ -305,6 +311,35 @@ def column_bitmasks_quadrant(occ: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(quads, axis=0)
 
 
+def column_bitmasks_quadrant_words(occ: jnp.ndarray) -> jnp.ndarray:
+    """occ [CAS, H, H, H] -> [4*H*H*(H/32), 32] uint32: the quadrant table
+    (column_bitmasks_quadrant) additionally indexed by the Z WORD, so one
+    fetched row carries exactly the {w0, w0+1} word pair of all 16 signed-
+    window columns — row (q*H*H + x*H + y)*W32 + w0, field nb*2 + i =
+    column nb's z-word w0+i (word W32 reads as 0).
+
+    Why: the profiler showed the quad march's cost is NOT the select math
+    but the DATA MOVEMENT around the 64-word fetched rows — at 512² the
+    [540672, 64] fetch result (138 MB) was relaid twice (a 4.0 ms physical
+    transpose + 1.3/0.6 ms copies) before the word-pair pre-reduce even
+    ran (~7.7 ms/frame of u32 layout churn vs 1.0 ms of gather and 2.4 ms
+    of select — scripts/profile_frame.py). Baking the word-pair selection
+    into the table halves the fetched bytes and deletes the pre-reduce
+    stage and its intermediates; the per-candidate select reads the
+    fetched row directly (j2 = nb*2 + (word - w0)). Same exactness
+    envelope as "quad" (the anchor math is untouched). Table is W32x the
+    quadrant table's rows at half the row width: 33.5 MB at H=128 — fine
+    for HBM, and gather cost is row-count x full-rate, which is unchanged
+    (one row per (block, group) either way)."""
+    H = occ.shape[1]
+    W32 = H // 32
+    qt = column_bitmasks_quadrant(occ).reshape(4 * H * H, 16, W32)
+    padded = jnp.pad(qt, ((0, 0), (0, 0), (0, 1)))     # word W32 -> 0
+    w = jnp.stack([padded[:, :, w0:w0 + 2] for w0 in range(W32)],
+                  axis=1)                              # [4H², W32, 16, 2]
+    return w.reshape(4 * H * H * W32, 32)
+
+
 def build_inference_tables(occ: jnp.ndarray, bound: float,
                            dilate_intervals: int = 2,
                            dilate_mask: int = 1,
@@ -326,16 +361,20 @@ def build_inference_tables(occ: jnp.ndarray, bound: float,
         col_nb5mask=(column_bitmasks_neighborhood5(occ)
                      if "nb5" in variants else None),
         col_quadmask=(column_bitmasks_quadrant(occ)
-                      if "quad" in variants else None))
+                      if "quad" in variants else None),
+        col_quadwmask=(column_bitmasks_quadrant_words(occ)
+                       if "quadw" in variants else None))
 
 
 def needed_variant_tables(march_group: int,
                           march_variant: str) -> Tuple[str, ...]:
     """Which optional block tables a resolved march plan consumes: only
-    the group-2 block marchers use them (quad -> col_quadmask, every
-    other variant -> col_nb5mask); groups 1/3 and the fast modes march
-    from the always-built col_nbmask / col_bitmask."""
+    the group-2 block marchers use them (quadw -> col_quadwmask, quad ->
+    col_quadmask, every other variant -> col_nb5mask); groups 1/3 and the
+    fast modes march from the always-built col_nbmask / col_bitmask."""
     if march_group == 2:
+        if march_variant == "quadw":
+            return ("quadw",)
         return ("quad",) if march_variant == "quad" else ("nb5",)
     return ()
 
@@ -351,6 +390,8 @@ def ensure_variant_tables(tables: InferenceTables, occ: jnp.ndarray,
         upd["col_nb5mask"] = jax.jit(column_bitmasks_neighborhood5)(occ)
     if "quad" in need and tables.col_quadmask is None:
         upd["col_quadmask"] = jax.jit(column_bitmasks_quadrant)(occ)
+    if "quadw" in need and tables.col_quadwmask is None:
+        upd["col_quadwmask"] = jax.jit(column_bitmasks_quadrant_words)(occ)
     return tables._replace(**upd) if upd else tables
 
 
@@ -684,6 +725,14 @@ def march_rays_window_bitmask_nb_block(
         fails. Rays whose |d_x| (or |d_y|) is below the block centre's
         sign resolution drift at most ±angular <= 1 cell, which the
         {-1, 0} slots of EITHER sign's window cover.
+      "quadw": quad with the word-pair selection BAKED INTO THE TABLE
+        (column_bitmasks_quadrant_words, indexed by (quadrant, x, y,
+        z-word)): the fetched 32-word row is exactly the {w0, w0+1} pair
+        of all 16 columns, so the pre-reduce stage and its [*, NF*W32]
+        intermediate disappear — the profiler showed that tensor's
+        relayouts (not the select, not the fetch) were ~21% of the 512²
+        frame (scripts/profile_frame.py). Same anchor, same directional
+        envelope, sample-identical to "quad".
       "nb_first": select the neighbor column (25 -> W32 words), then the
         z word (W32 -> 1).
       "zband": extend the pre-reduce one step — funnel-shift each
@@ -710,9 +759,17 @@ def march_rays_window_bitmask_nb_block(
     B = rays_o.shape[0]
     Bb = B // 4
     assert B % 4 == 0
-    NF = 16 if variant == "quad" else 25   # columns per fetched row
-    W32 = col_mask.shape[1] // NF
-    H = W32 * 32
+    if variant == "quadw":
+        # z-word-indexed quadrant table: [4*H*H*(H//32), 32]; recover H
+        # from the row count (8*rows = H^3)
+        H = int(round((8 * col_mask.shape[0]) ** (1.0 / 3.0)))
+        W32 = H // 32
+        assert 4 * H * H * W32 == col_mask.shape[0] and col_mask.shape[1] == 32
+        NF = 16
+    else:
+        NF = 16 if variant == "quad" else 25   # columns per fetched row
+        W32 = col_mask.shape[1] // NF
+        H = W32 * 32
     group = 2
     # trace-time sanity on the lattice/grid relation (data-independent part
     # of the envelope): production dt gives sqrt(3) cells per step
@@ -742,7 +799,7 @@ def march_rays_window_bitmask_nb_block(
     # (see docstring).
     o_blk = rays_o.reshape(Bb, 4, 3).mean(axis=1)          # == shared origin
     gk = jnp.arange(G, dtype=jnp.float32) * group + (
-        0.5 if variant == "quad" else group / 2.0)
+        0.5 if variant in ("quad", "quadw") else group / 2.0)
     t_g = t0_block[:, None] + gk[None] * dt                # [Bb, G]
     pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
     pg = jnp.clip(pg, -bound, bound)
@@ -752,17 +809,28 @@ def march_rays_window_bitmask_nb_block(
         jnp.int32)
     gz = jnp.clip((pg[..., 2] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
         jnp.int32)                                         # [Bb, G]
-    if variant == "quad":
+    w0 = jnp.clip(jnp.maximum(gz - 3, 0) >> 5, 0, W32 - 1)  # [Bb, G]
+    if variant in ("quad", "quadw"):
         # per-block direction quadrant selects the signed-window slice
         sx = jnp.where(d_center[:, 0] < 0, -1, 1).astype(jnp.int32)  # [Bb]
         sy = jnp.where(d_center[:, 1] < 0, -1, 1).astype(jnp.int32)
         q = ((sx < 0).astype(jnp.int32) * 2
              + (sy < 0).astype(jnp.int32))                 # [Bb]
         idx = q[:, None] * (H * H) + gx * H + gy
+        if variant == "quadw":
+            # z-word-indexed rows: the {w0, w0+1} pair per column comes
+            # straight from the gather — no word-pair pre-reduce, no
+            # [*, NF*W32] intermediate (profile_frame.py: that tensor's
+            # relayouts were ~21% of the frame)
+            idx = idx * W32 + w0
     else:
         idx = gx * H + gy
-    rows = jnp.take(col_mask, idx.reshape(-1),
-                    axis=0).reshape(Bb, 1, G, 1, NF, W32)  # ray/slot bcast
+    if variant == "quadw":
+        rows_q = jnp.take(col_mask, idx.reshape(-1),
+                          axis=0).reshape(Bb, 1, G, 1, 32)
+    else:
+        rows = jnp.take(col_mask, idx.reshape(-1),
+                        axis=0).reshape(Bb, 1, G, 1, NF, W32)  # bcast dims
 
     # ---- per-candidate exact cells on each ray's OWN lattice
     kg = (jnp.arange(G, dtype=jnp.float32)[:, None] * group
@@ -777,7 +845,7 @@ def march_rays_window_bitmask_nb_block(
     cxb = cx.reshape(Bb, 4, G, group)
     cyb = cy.reshape(Bb, 4, G, group)
     czb = cz.reshape(Bb, 4, G, group)
-    if variant == "quad":
+    if variant in ("quad", "quadw"):
         # signed offset -> canonical window index i = sign*(c - g) + 1 in
         # 0..3 (the {-1, 0, +1, +2}*sign window)
         ix = jnp.clip(sx[:, None, None, None]
@@ -831,14 +899,23 @@ def march_rays_window_bitmask_nb_block(
             wsel = jnp.sum(jnp.where(nmask, fields, jnp.uint32(0)),
                            axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
         bit = off
+    elif variant == "quadw":
+        # the fetched row IS the word pair per column (nb*2 + i layout):
+        # one flat 32-way select per candidate, nothing amortised
+        widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
+        j2 = nb * 2 + widx                                 # [Bb, 4, G, group]
+        fmask = (j2[..., None]
+                 == jnp.arange(32, dtype=jnp.int32))       # [Bb,4,G,g,32]
+        wsel = jnp.sum(
+            jnp.where(fmask, rows_q, jnp.uint32(0)),
+            axis=-1, dtype=jnp.uint32)                     # [Bb, 4, G, group]
     elif variant in ("wslice", "quad"):
         # stage 0 (amortised over the block's 8 candidates): per (block,
         # group) keep only the 2 z-words that can contain any candidate —
         # the group's z span is |dt|*|dz| + angular <= ~2.1 cells (quad:
         # [-1.3, +3] around gz), so all candidate words lie in {w0, w0+1}
         # with w0 = (zf-3)>>5 (7 cells < 32 can cross at most one word
-        # boundary)
-        w0 = jnp.clip(jnp.maximum(gz - 3, 0) >> 5, 0, W32 - 1)  # [Bb, G]
+        # boundary; w0 hoisted above for the quadw fetch index)
         # wm [Bb,1,G,1,1,2,W32]: word-pair one-hot; rows2[..., n, i] =
         # rows[..., n, w0+i]
         wm = ((w0[:, None, :, None, None, None, None]
@@ -1239,7 +1316,7 @@ def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
                     "exceeds the ±1 envelope for this camera/grid — using "
                     "the ±2 block-shared march")
                 march_group = 2
-        if march_group == 2 and march_variant == "quad":
+        if march_group == 2 and march_variant in ("quad", "quadw"):
             fwd, back = nb_blockq_drift_cells(*geo)
             if fwd > 2.0 or back > 1.0:
                 log(f"[INFO] quadrant march drift ({fwd:.2f} fwd, "

@@ -744,7 +744,8 @@ def render_rays_compact_blocks(
         # select vs wslice's 50-way at the same row count (march2.py
         # docstring; envelope gated by resolve_march_plan via
         # nb_blockq_drift_cells) — fetches from the signed-window table
-        tbl = (tables.col_quadmask if march_variant == "quad"
+        tbl = (tables.col_quadwmask if march_variant == "quadw"
+               else tables.col_quadmask if march_variant == "quad"
                else tables.col_nb5mask)
         m = march_rays_window_bitmask_nb_block(
             ro, rd, t_start, t_end, slot_valid, t0_blk, dc,

@@ -1,13 +1,21 @@
 """Profile the real 512² serving frame program with jax.profiler.
 
-Builds the exact render_frame of bench.py (same shapes -> compile-cache hit),
-traces a few frames, and prints the top device ops from the captured
-.xplane.pb via tensorboard_plugin_profile's raw converter.
+Builds the DEFAULT operating-point render (block path, quad march, staged
+early-termination eval, measured K2, budget 0.375 — the same program
+bench.py times), traces a few frames, and prints the top device ops from
+the captured .xplane.pb via tensorboard_plugin_profile's raw converter.
+Use this for the REAL per-op cost map: isolated phase programs
+(scripts/phasebench2.py) fuse/schedule differently from the full frame
+(PERF.md "isolation lies").
+
+Usage: python scripts/profile_frame.py [--torso] [--top 25]
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
+import json
 import os
 import sys
 
@@ -17,6 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--grid", type=int, default=128)
+    ap.add_argument("--samples", type=int, default=16)
+    ap.add_argument("--stage-split", type=int, default=8)
+    ap.add_argument("--budget-frac", type=float, default=0.375)
+    ap.add_argument("--stage2-frac", type=float, default=0.375)
+    ap.add_argument("--march-variant", default="quadw")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -24,44 +43,59 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from __graft_entry__ import _build
-    from lzzx_nerf_tpu.ops.march2 import build_inference_tables
-    from lzzx_nerf_tpu.render import render_rays_compact
+    from lzzx_nerf_tpu.models.nerf import make_fused_apply
+    from lzzx_nerf_tpu.ops.march2 import (build_inference_tables,
+                                          ensure_variant_tables,
+                                          needed_variant_tables,
+                                          resolve_march_plan)
+    from lzzx_nerf_tpu.render import render_rays_compact_blocks
     from lzzx_nerf_tpu.utils import get_rays
 
-    res, S, K2 = 512, 8, 40
-    settings, occ, field, params = _build(res=res, grid=128, max_steps=S)
-    budget = max(1024, int(0.5 * res * res) // 1024 * 1024)
+    res, S = args.res, args.samples
+    settings, occ, field, params = _build(res=res, grid=args.grid,
+                                          max_steps=S)
+    budget = max(1024, int(args.budget_frac * res * res) // 1024 * 1024)
+    s2_budget = max(1024, int(budget * args.stage2_frac) // 1024 * 1024)
     pose = jnp.asarray(np.array(
         [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
         np.float32))[None]
     intr = (res / 0.6, res / 0.6, res / 2, res / 2)
     rays = get_rays(pose, intr, res, res, N=-1)
-    rays_o, rays_d = rays["rays_o"][0], rays["rays_d"][0]
+    ray_o_origin = rays["rays_o"][0][0]
+    rays_d = rays["rays_d"][0]
     bg = jnp.ones((res * res, 3))
     packed = jax.jit(lambda p: field.apply(p, method="bake_tables",
                                            dtype=jnp.bfloat16))(params)
-    tables = jax.jit(lambda o: build_inference_tables(o, settings.bound))(
-        occ.occ)
+    tables = jax.jit(
+        lambda o: build_inference_tables(o, settings.bound, variants=()))(
+            occ.occ)
+    k2, group, variant = resolve_march_plan(
+        settings, tables.z_lo, tables.z_hi, np.asarray(pose), intr, res, res,
+        march_group=2, march_variant=args.march_variant, measure="block",
+        log=lambda m: print(f"# {m}", file=sys.stderr))
+    tables = ensure_variant_tables(tables, occ.occ,
+                                   needed_variant_tables(group, variant))
+    print(f"# plan: K2={k2} group={group} variant={variant} budget={budget} "
+          f"s2={s2_budget}", file=sys.stderr)
+    ap16 = make_fused_apply(field, packed)
 
     @jax.jit
     def render_frame(params, packed, tables, occ, auds, eye):
         enc_a = field.apply(params, auds, method="encode_audio")
         c = params["params"]["individual_codes"][0]
-
-        def apply_packed(p, *a, **kw):
-            return field.apply(p, *a, packed=packed, **kw)
-
-        out = render_rays_compact(apply_packed, params, settings, occ,
-                                  rays_o, rays_d, enc_a, c, eye, bg,
-                                  budget=budget, window_candidates=K2,
-                                  tables=tables, minimal=True)
+        out = render_rays_compact_blocks(
+            ap16, params, settings, occ, ray_o_origin, rays_d, res, res,
+            enc_a, c, eye, bg, budget=budget, window_candidates=k2,
+            tables=tables, stage_split=args.stage_split,
+            stage2_budget=s2_budget, march_group=group,
+            march_variant=variant)
         return (jnp.clip(out["image"], 0, 1) * 255).astype(jnp.uint8)
 
     auds = jnp.zeros((8, 16, 1024))
     eye = jnp.asarray([0.25])
     img = render_frame(params, packed, tables, occ, auds, eye)
     np.asarray(img)
-    print("warm; tracing...")
+    print("warm; tracing...", file=sys.stderr)
 
     logdir = "/tmp/jaxprof"
     os.system(f"rm -rf {logdir}")
@@ -71,40 +105,37 @@ def main():
             img = render_frame(params, packed, tables, occ, auds, eye)
         jax.block_until_ready(img)
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(20):
         img = render_frame(params, packed, tables, occ, auds, eye)
     jax.block_until_ready(img)
-    print(f"10 frames (no fetch): {(time.perf_counter()-t0)/10*1000:.1f} "
+    print(f"20 frames (no fetch): {(time.perf_counter()-t0)/20*1000:.2f} "
           "ms/frame")
 
     xp = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-    print("xplane files:", xp)
     if not xp:
+        print("no xplane captured", file=sys.stderr)
         return
-    try:
-        from tensorflow.python.profiler import profiler_client  # noqa
-    except Exception:
-        pass
-    # parse with the plugin's convert helpers
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
+    # parse the xplane proto directly — the tensorboard_plugin_profile
+    # converter is incompatible with the installed TF in this image
+    from collections import defaultdict
 
-        params_ = {"tqx": "out:json;"}
-        data, _ = r2t.xspace_to_tool_data(xp, "op_profile", params_)
-        open("/tmp/jaxprof/op_profile.json", "w").write(
-            data if isinstance(data, str) else data.decode())
-        print("wrote /tmp/jaxprof/op_profile.json")
-    except Exception as e:
-        print("op_profile failed:", type(e).__name__, e)
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2 as pb
 
-        data, _ = r2t.xspace_to_tool_data(xp, "hlo_stats", {})
-        out = data if isinstance(data, str) else data.decode()
-        open("/tmp/jaxprof/hlo_stats.json", "w").write(out)
-        print("wrote /tmp/jaxprof/hlo_stats.json", len(out))
-    except Exception as e:
-        print("hlo_stats failed:", type(e).__name__, e)
+    sp = pb.XSpace()
+    sp.ParseFromString(open(xp[0], "rb").read())
+    plane = [p for p in sp.planes if p.name == "/device:TPU:0"][0]
+    emeta = {m.id: m.name for m in plane.event_metadata.values()}
+    line = [l for l in plane.lines if l.name == "XLA Ops"][0]
+    agg = defaultdict(float)
+    for ev in line.events:
+        agg[emeta.get(ev.metadata_id, "?")] += ev.duration_ps
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    total = sum(agg.values())
+    print(f"\ntotal device op time {total/1e6/5:.0f} us/frame (5 traced)")
+    for name, t in rows[:args.top]:
+        print(f"{t/1e6/5:9.1f} us {100*t/total:5.1f}%  "
+              f"{name[:120]}")
+    _ = json  # keep import for ad-hoc edits
 
 
 if __name__ == "__main__":

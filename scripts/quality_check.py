@@ -62,9 +62,9 @@ def main():
                          "variant J (0 disables J). Compaction is bit-exact "
                          "while the masked points fit the slots; J verifies "
                          "that end-to-end on the trained oracle")
-    ap.add_argument("--march-variant", default="quad",
+    ap.add_argument("--march-variant", default="quadw",
                     choices=["wslice", "nb_first", "zband", "zband4",
-                             "quad"],
+                             "quad", "quadw"],
                     help="block-march select variant for J (the candidate "
                          "production point; B/C keep wslice)")
     args = ap.parse_args()
@@ -160,6 +160,13 @@ def main():
                                              dtype=jnp.bfloat16))(params)
     tables = jax.jit(lambda o: build_inference_tables(o, settings.bound))(
         occ.occ)
+    # variant J marches with --march-variant; default tables carry only
+    # nb5 + quad — build the one J needs (e.g. quadw's z-word table)
+    from lzzx_nerf_tpu.ops.march2 import (ensure_variant_tables,
+                                          needed_variant_tables)
+
+    tables = ensure_variant_tables(
+        tables, occ.occ, needed_variant_tables(2, args.march_variant))
     # full budget: quality isolation (overflow is a separate, warned-about
     # failure mode); stage-2 budget at the serving fraction
     budget = res * res

@@ -1219,6 +1219,16 @@ def test_block_marchers_exact_grid64_multiword():
     np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(vq.ts),
                                atol=1e-5)
 
+    # quadw at MULTI-WORD grids: the z-word row index (idx*W32 + w0) and
+    # the in-row word pair must agree with quad's pre-reduce bit-for-bit
+    from lzzx_nerf_tpu.ops.march2 import column_bitmasks_quadrant_words
+    qw = column_bitmasks_quadrant_words(occ)
+    vw = march_rays_window_bitmask_nb_block(
+        ro, rd, t0, t1, sv, t0_blk, dc, qw, bound, dt, K2, S,
+        variant="quadw")
+    np.testing.assert_array_equal(np.asarray(vq.mask), np.asarray(vw.mask))
+    np.testing.assert_array_equal(np.asarray(vq.ts), np.asarray(vw.ts))
+
 
 def test_window_analysis_exact_grid64():
     """ray_windows' multi-probe z-band analysis + adaptive K2 at grid 64
@@ -1397,3 +1407,75 @@ def test_resolve_march_plan_measured_k2():
         settings, tables.z_lo, tables.z_hi, pose[None], intr, res, res,
         k2_override=999, measure="ray", log=logs.append)
     assert k2_o == 999
+
+
+def test_quadw_march_identical_to_quad():
+    """variant="quadw" (z-word-indexed table, no word-pair pre-reduce —
+    the profiler-driven data-movement fix) must reproduce variant="quad"
+    BIT-FOR-BIT and the exhaustive marcher sample-for-sample on every
+    scenario the quad suite covers: pinhole camera blocks, randomized
+    scattered-blob occupancy, and sign-straddling near-axial blocks."""
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_quadrant, column_bitmasks_quadrant_words,
+        march_rays_window_bitmask_nb_block)
+
+    rng = np.random.default_rng(7)
+
+    def check(occ, ro, rd, t0, t1, sv, t0_blk, dc, K2, S):
+        qt = column_bitmasks_quadrant(occ)
+        qw = column_bitmasks_quadrant_words(occ)
+        ref = march_rays_window(ro, rd, t0, t1, sv, occ, BOUND, DT, K2, S)
+        vq = march_rays_window_bitmask_nb_block(
+            ro, rd, t0, t1, sv, t0_blk, dc, qt, BOUND, DT, K2, S,
+            variant="quad")
+        vw = march_rays_window_bitmask_nb_block(
+            ro, rd, t0, t1, sv, t0_blk, dc, qw, BOUND, DT, K2, S,
+            variant="quadw")
+        np.testing.assert_array_equal(np.asarray(vq.mask),
+                                      np.asarray(vw.mask))
+        np.testing.assert_array_equal(np.asarray(vq.ts), np.asarray(vw.ts))
+        np.testing.assert_array_equal(np.asarray(ref.mask),
+                                      np.asarray(vw.mask))
+        np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(vw.ts),
+                                   atol=1e-5)
+        return int(np.asarray(vw.mask).sum())
+
+    # camera blocks on the ellipsoid scene
+    occ, _, _ = _scene()
+    total = 0
+    for z, fs in ((-2.5, 0.6), (-3.5, 0.4)):
+        ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(
+            occ, z=z, fov_scale=fs)
+        total += check(occ, ro, rd, t0, t1, sv, t0_blk, dc, 40, 16)
+    assert total > 100
+
+    # randomized scattered blobs
+    occ_np = np.zeros((GRID, GRID, GRID), bool)
+    for _ in range(12):
+        c = rng.integers(4, GRID - 4, 3)
+        r = rng.integers(2, 5)
+        x, y, z = np.ogrid[:GRID, :GRID, :GRID]
+        occ_np |= ((x - c[0]) ** 2 + (y - c[1]) ** 2
+                   + (z - c[2]) ** 2) < r ** 2
+    occ = jnp.asarray(occ_np)[None]
+    ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(occ)
+    assert check(occ, ro, rd, t0, t1, sv, t0_blk, dc, 48, 16) > 20
+
+    # sign-straddling near-axial block, worst lattice phases
+    occ_np = np.zeros((GRID, GRID, GRID), bool)
+    occ_np[14:18, 14:18, 10:22] = True
+    occ = jnp.asarray(occ_np)[None]
+    d = np.array([[1e-3, 1e-3, 1], [-1e-3, 1e-3, 1],
+                  [1e-3, -1e-3, 1], [-1e-3, -1e-3, 1]], np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.tile(np.array([[0.01, 0.01, -2.5]], np.float32), (4, 1))
+    dc = d.mean(0)
+    dc /= np.linalg.norm(dc)
+    t_start = np.full(4, 1.5, np.float32)
+    t_start[1] += 0.7 * DT
+    t_start[3] += 0.3 * DT
+    n = check(occ, jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_start),
+              jnp.full(4, 4.0, jnp.float32), jnp.ones(4, bool),
+              jnp.asarray([1.5], jnp.float32), jnp.asarray(dc)[None],
+              40, 16)
+    assert n > 4
