@@ -106,7 +106,7 @@ def main():
                          "mask with group=|n| (-2 is the fast -2 dB mode)")
     ap.add_argument("--march-variant", default="quadw",
                     choices=["wslice", "nb_first", "zband", "zband4",
-                             "quad", "quadw"],
+                             "quad", "quadw", "quadwx", "nb5w"],
                     help="group-2 block-march select variant (all "
                          "sample-exact, tests/test_march2.py): wslice = "
                          "word-pair pre-reduce + flat 50-way select; "
@@ -115,7 +115,12 @@ def main():
                          "per word + 7-way select (least select math); "
                          "quad = directional quadrant-anchored fetch "
                          "(signed 4x4 window, 32-way select, no added "
-                         "pre-reduce)")
+                         "pre-reduce); quadw = quad with the word pair "
+                         "baked into the table; quadwx = quadw with sy "
+                         "folded into row WIDTH (halves gather rows past "
+                         "the TPU row-count cliff, quadwgather.py); nb5w "
+                         "= symmetric 5x5 word-baked table (any-direction "
+                         "envelope, 50-way select)")
     ap.add_argument("--fused", type=int, default=1, choices=[0, 1, 2],
                     help="field-MLP evaluation: 1 = folded-weight XLA "
                          "decomposition (default, measured fastest), 2 = "

@@ -65,9 +65,24 @@ class InferenceTables(NamedTuple):
     col_quadwmask: jnp.ndarray = None
                                # [4*H*H*(H//32), 32] uint32, the quadrant
                                # table additionally indexed by z-word
-                               # (column_bitmasks_quadrant_words) — the
-                               # production variant "quadw"; None unless
-                               # "quadw" in build variants (33.5 MB @128)
+                               # (column_bitmasks_quadrant_words); None
+                               # unless "quadw" in build variants
+                               # (33.5 MB @128)
+    col_quadwxmask: jnp.ndarray = None
+                               # [2*H*H*(H//32), 64] uint32, the quadw
+                               # table with the sy quadrant folded into row
+                               # WIDTH (column_bitmasks_quadrant_words_xfold)
+                               # — the production variant "quadwx": same
+                               # bytes as quadw but the row count stays
+                               # under the TPU gather row-count cliff
+                               # (scripts/quadwgather.py); None unless
+                               # "quadwx" in build variants (33.5 MB @128)
+    col_nb5wmask: jnp.ndarray = None
+                               # [H*H*(H//32), 50] uint32, the symmetric
+                               # 5x5 neighborhood additionally indexed by
+                               # z-word (column_bitmasks_neighborhood5_words)
+                               # — variant "nb5w"; None unless "nb5w" in
+                               # build variants (13.1 MB @128)
 
 
 class CompactSet(NamedTuple):
@@ -340,6 +355,56 @@ def column_bitmasks_quadrant_words(occ: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(4 * H * H * W32, 32)
 
 
+def column_bitmasks_quadrant_words_xfold(occ: jnp.ndarray) -> jnp.ndarray:
+    """occ [CAS, H, H, H] -> [2*H*H*(H//32), 64] uint32: the quadw table
+    (column_bitmasks_quadrant_words) with the SY quadrant folded into row
+    WIDTH — row (qx*H*H + x*H + y)*W32 + w0 with qx = (sign_x < 0), width
+    [sy=+1's 32 fields | sy=-1's 32 fields], each half laid out exactly
+    like a quadw row (field nb*2 + i).
+
+    Why: the TPU gather's full-rate zone is bounded by ROW COUNT (~400M
+    rows/s up to ~196k rows, ~95M beyond — scripts/quadwgather.py round-3
+    sweep; width is free up to ~116 u32). The quadw table's 4*H*H*W32 =
+    262144 rows at H=128 sit past the cliff, making its fetch the single
+    largest march cost (5.6 of ~8 ms); this layout keeps identical bytes
+    but 131072 rows x 64 wide — measured 431M rows/s, the sweep's fastest
+    point. The per-block sy half-selection is ONE cheap where over the
+    un-broadcast fetch result ([Bb, G, 32] out), not a wider per-candidate
+    select — the 32-way select math is untouched. Same anchor, same
+    directional envelope, bit-identical samples to "quadw"/"quad"."""
+    H = occ.shape[1]
+    W32 = H // 32
+    qw = column_bitmasks_quadrant_words(occ).reshape(4, H * H * W32, 32)
+    # quadrant order (column_bitmasks_quadrant): 0=(+,+) 1=(+,-) 2=(-,+)
+    # 3=(-,-); fold sy pairs into width per sx half
+    return jnp.concatenate([
+        jnp.concatenate([qw[0], qw[1]], axis=1),
+        jnp.concatenate([qw[2], qw[3]], axis=1),
+    ], axis=0)
+
+
+def column_bitmasks_neighborhood5_words(occ: jnp.ndarray) -> jnp.ndarray:
+    """occ [CAS, H, H, H] -> [H*H*(H//32), 50] uint32: the symmetric 5x5
+    neighborhood table (column_bitmasks_neighborhood5) additionally indexed
+    by the Z WORD — row (x*H + y)*W32 + w0, field nb*2 + i = neighbor nb's
+    z-word w0+i (word W32 reads as 0).
+
+    The "nb5w" marcher variant: like quadw it deletes the word-pair
+    pre-reduce and its relayout churn, but keeps the SYMMETRIC ±2 envelope
+    (midpoint anchor, any ray direction — no quadrant logic, no
+    directional drift gate in resolve_march_plan). 65536 rows x 50 wide at
+    H=128 — both inside the gather full-rate zone (scripts/quadwgather.py:
+    405M rows/s measured at this exact shape); the trade is a 50-way
+    per-candidate select vs the quad family's 32-way."""
+    H = occ.shape[1]
+    W32 = H // 32
+    nt = column_bitmasks_neighborhood5(occ).reshape(H * H, 25, W32)
+    padded = jnp.pad(nt, ((0, 0), (0, 0), (0, 1)))     # word W32 -> 0
+    w = jnp.stack([padded[:, :, w0:w0 + 2] for w0 in range(W32)],
+                  axis=1)                              # [H², W32, 25, 2]
+    return w.reshape(H * H * W32, 50)
+
+
 def build_inference_tables(occ: jnp.ndarray, bound: float,
                            dilate_intervals: int = 2,
                            dilate_mask: int = 1,
@@ -363,19 +428,23 @@ def build_inference_tables(occ: jnp.ndarray, bound: float,
         col_quadmask=(column_bitmasks_quadrant(occ)
                       if "quad" in variants else None),
         col_quadwmask=(column_bitmasks_quadrant_words(occ)
-                       if "quadw" in variants else None))
+                       if "quadw" in variants else None),
+        col_quadwxmask=(column_bitmasks_quadrant_words_xfold(occ)
+                        if "quadwx" in variants else None),
+        col_nb5wmask=(column_bitmasks_neighborhood5_words(occ)
+                      if "nb5w" in variants else None))
 
 
 def needed_variant_tables(march_group: int,
                           march_variant: str) -> Tuple[str, ...]:
     """Which optional block tables a resolved march plan consumes: only
-    the group-2 block marchers use them (quadw -> col_quadwmask, quad ->
-    col_quadmask, every other variant -> col_nb5mask); groups 1/3 and the
+    the group-2 block marchers use them (quadwx/quadw/quad/nb5w -> their
+    own table, every other variant -> col_nb5mask); groups 1/3 and the
     fast modes march from the always-built col_nbmask / col_bitmask."""
     if march_group == 2:
-        if march_variant == "quadw":
-            return ("quadw",)
-        return ("quad",) if march_variant == "quad" else ("nb5",)
+        if march_variant in ("quadwx", "quadw", "quad", "nb5w"):
+            return (march_variant,)
+        return ("nb5",)
     return ()
 
 
@@ -392,6 +461,12 @@ def ensure_variant_tables(tables: InferenceTables, occ: jnp.ndarray,
         upd["col_quadmask"] = jax.jit(column_bitmasks_quadrant)(occ)
     if "quadw" in need and tables.col_quadwmask is None:
         upd["col_quadwmask"] = jax.jit(column_bitmasks_quadrant_words)(occ)
+    if "quadwx" in need and tables.col_quadwxmask is None:
+        upd["col_quadwxmask"] = jax.jit(
+            column_bitmasks_quadrant_words_xfold)(occ)
+    if "nb5w" in need and tables.col_nb5wmask is None:
+        upd["col_nb5wmask"] = jax.jit(
+            column_bitmasks_neighborhood5_words)(occ)
     return tables._replace(**upd) if upd else tables
 
 
@@ -733,6 +808,21 @@ def march_rays_window_bitmask_nb_block(
         relayouts (not the select, not the fetch) were ~21% of the 512²
         frame (scripts/profile_frame.py). Same anchor, same directional
         envelope, sample-identical to "quad".
+      "quadwx": quadw fetched from the sy-width-folded table
+        (column_bitmasks_quadrant_words_xfold, [2*H*H*W32, 64]): the
+        quadw table's 4*H*H*W32 rows sit past the TPU gather's row-count
+        cliff at H=128 (~95M vs ~400M rows/s — scripts/quadwgather.py),
+        which made the FETCH the march's dominant cost. Halving rows by
+        carrying both sy quadrants per row keeps the gather in the
+        full-rate zone; the per-BLOCK sy half is then selected by one
+        cheap where on the un-broadcast [Bb, G, 64] fetch result before
+        the unchanged 32-way per-candidate select. Bit-identical samples
+        to "quadw"/"quad"; same anchor and directional envelope.
+      "nb5w": the symmetric 5x5 envelope with the word pair baked into
+        the table (column_bitmasks_neighborhood5_words, [H*H*W32, 50]):
+        wslice's midpoint anchor and any-direction ±2 coverage, quadw's
+        no-pre-reduce fetch, rows/width both inside the gather full-rate
+        zone. 50-way select; sample-identical to "wslice"/"nb_first".
       "nb_first": select the neighbor column (25 -> W32 words), then the
         z word (W32 -> 1).
       "zband": extend the pre-reduce one step — funnel-shift each
@@ -766,6 +856,18 @@ def march_rays_window_bitmask_nb_block(
         W32 = H // 32
         assert 4 * H * H * W32 == col_mask.shape[0] and col_mask.shape[1] == 32
         NF = 16
+    elif variant == "quadwx":
+        # sy-width-folded quadw table: [2*H*H*(H//32), 64] (16*rows = H^3)
+        H = int(round((16 * col_mask.shape[0]) ** (1.0 / 3.0)))
+        W32 = H // 32
+        assert 2 * H * H * W32 == col_mask.shape[0] and col_mask.shape[1] == 64
+        NF = 16
+    elif variant == "nb5w":
+        # z-word-indexed symmetric 5x5 table: [H*H*(H//32), 50]
+        H = int(round((32 * col_mask.shape[0]) ** (1.0 / 3.0)))
+        W32 = H // 32
+        assert H * H * W32 == col_mask.shape[0] and col_mask.shape[1] == 50
+        NF = 25
     else:
         NF = 16 if variant == "quad" else 25   # columns per fetched row
         W32 = col_mask.shape[1] // NF
@@ -799,7 +901,7 @@ def march_rays_window_bitmask_nb_block(
     # (see docstring).
     o_blk = rays_o.reshape(Bb, 4, 3).mean(axis=1)          # == shared origin
     gk = jnp.arange(G, dtype=jnp.float32) * group + (
-        0.5 if variant in ("quad", "quadw") else group / 2.0)
+        0.5 if variant in ("quad", "quadw", "quadwx") else group / 2.0)
     t_g = t0_block[:, None] + gk[None] * dt                # [Bb, G]
     pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
     pg = jnp.clip(pg, -bound, bound)
@@ -810,24 +912,42 @@ def march_rays_window_bitmask_nb_block(
     gz = jnp.clip((pg[..., 2] / bound + 1.0) * 0.5 * H, 0, H - 1).astype(
         jnp.int32)                                         # [Bb, G]
     w0 = jnp.clip(jnp.maximum(gz - 3, 0) >> 5, 0, W32 - 1)  # [Bb, G]
-    if variant in ("quad", "quadw"):
+    if variant in ("quad", "quadw", "quadwx"):
         # per-block direction quadrant selects the signed-window slice
         sx = jnp.where(d_center[:, 0] < 0, -1, 1).astype(jnp.int32)  # [Bb]
         sy = jnp.where(d_center[:, 1] < 0, -1, 1).astype(jnp.int32)
         q = ((sx < 0).astype(jnp.int32) * 2
              + (sy < 0).astype(jnp.int32))                 # [Bb]
-        idx = q[:, None] * (H * H) + gx * H + gy
-        if variant == "quadw":
-            # z-word-indexed rows: the {w0, w0+1} pair per column comes
-            # straight from the gather — no word-pair pre-reduce, no
-            # [*, NF*W32] intermediate (profile_frame.py: that tensor's
-            # relayouts were ~21% of the frame)
-            idx = idx * W32 + w0
+        if variant == "quadwx":
+            # sy lives in the row's width half, sx in the index
+            idx = ((sx < 0).astype(jnp.int32)[:, None] * (H * H)
+                   + gx * H + gy) * W32 + w0
+        else:
+            idx = q[:, None] * (H * H) + gx * H + gy
+            if variant == "quadw":
+                # z-word-indexed rows: the {w0, w0+1} pair per column comes
+                # straight from the gather — no word-pair pre-reduce, no
+                # [*, NF*W32] intermediate (profile_frame.py: that tensor's
+                # relayouts were ~21% of the frame)
+                idx = idx * W32 + w0
     else:
         idx = gx * H + gy
+        if variant == "nb5w":
+            idx = idx * W32 + w0
     if variant == "quadw":
         rows_q = jnp.take(col_mask, idx.reshape(-1),
                           axis=0).reshape(Bb, 1, G, 1, 32)
+    elif variant == "quadwx":
+        # one where on the UN-BROADCAST fetch result picks the block's sy
+        # half — O(Bb*G*32), not part of the per-candidate select
+        rows64 = jnp.take(col_mask, idx.reshape(-1),
+                          axis=0).reshape(Bb, G, 64)
+        rows_q = jnp.where((sy < 0)[:, None, None],
+                           rows64[..., 32:], rows64[..., :32]
+                           ).reshape(Bb, 1, G, 1, 32)
+    elif variant == "nb5w":
+        rows_w = jnp.take(col_mask, idx.reshape(-1),
+                          axis=0).reshape(Bb, 1, G, 1, 50)
     else:
         rows = jnp.take(col_mask, idx.reshape(-1),
                         axis=0).reshape(Bb, 1, G, 1, NF, W32)  # bcast dims
@@ -845,7 +965,7 @@ def march_rays_window_bitmask_nb_block(
     cxb = cx.reshape(Bb, 4, G, group)
     cyb = cy.reshape(Bb, 4, G, group)
     czb = cz.reshape(Bb, 4, G, group)
-    if variant in ("quad", "quadw"):
+    if variant in ("quad", "quadw", "quadwx"):
         # signed offset -> canonical window index i = sign*(c - g) + 1 in
         # 0..3 (the {-1, 0, +1, +2}*sign window)
         ix = jnp.clip(sx[:, None, None, None]
@@ -899,7 +1019,7 @@ def march_rays_window_bitmask_nb_block(
             wsel = jnp.sum(jnp.where(nmask, fields, jnp.uint32(0)),
                            axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
         bit = off
-    elif variant == "quadw":
+    elif variant in ("quadw", "quadwx"):
         # the fetched row IS the word pair per column (nb*2 + i layout):
         # one flat 32-way select per candidate, nothing amortised
         widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
@@ -908,6 +1028,16 @@ def march_rays_window_bitmask_nb_block(
                  == jnp.arange(32, dtype=jnp.int32))       # [Bb,4,G,g,32]
         wsel = jnp.sum(
             jnp.where(fmask, rows_q, jnp.uint32(0)),
+            axis=-1, dtype=jnp.uint32)                     # [Bb, 4, G, group]
+    elif variant == "nb5w":
+        # symmetric word-baked row: flat 50-way select (25 neighbors x 2
+        # words), nothing amortised — the nb5 analogue of quadw
+        widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
+        j2 = nb * 2 + widx                                 # [Bb, 4, G, group]
+        fmask = (j2[..., None]
+                 == jnp.arange(50, dtype=jnp.int32))       # [Bb,4,G,g,50]
+        wsel = jnp.sum(
+            jnp.where(fmask, rows_w, jnp.uint32(0)),
             axis=-1, dtype=jnp.uint32)                     # [Bb, 4, G, group]
     elif variant in ("wslice", "quad"):
         # stage 0 (amortised over the block's 8 candidates): per (block,
@@ -1316,7 +1446,7 @@ def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
                     "exceeds the ±1 envelope for this camera/grid — using "
                     "the ±2 block-shared march")
                 march_group = 2
-        if march_group == 2 and march_variant in ("quad", "quadw"):
+        if march_group == 2 and march_variant in ("quad", "quadw", "quadwx"):
             fwd, back = nb_blockq_drift_cells(*geo)
             if fwd > 2.0 or back > 1.0:
                 log(f"[INFO] quadrant march drift ({fwd:.2f} fwd, "

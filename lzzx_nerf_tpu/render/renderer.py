@@ -744,8 +744,10 @@ def render_rays_compact_blocks(
         # select vs wslice's 50-way at the same row count (march2.py
         # docstring; envelope gated by resolve_march_plan via
         # nb_blockq_drift_cells) — fetches from the signed-window table
-        tbl = (tables.col_quadwmask if march_variant == "quadw"
+        tbl = (tables.col_quadwxmask if march_variant == "quadwx"
+               else tables.col_quadwmask if march_variant == "quadw"
                else tables.col_quadmask if march_variant == "quad"
+               else tables.col_nb5wmask if march_variant == "nb5w"
                else tables.col_nb5mask)
         m = march_rays_window_bitmask_nb_block(
             ro, rd, t_start, t_end, slot_valid, t0_blk, dc,

@@ -1229,6 +1229,28 @@ def test_block_marchers_exact_grid64_multiword():
     np.testing.assert_array_equal(np.asarray(vq.mask), np.asarray(vw.mask))
     np.testing.assert_array_equal(np.asarray(vq.ts), np.asarray(vw.ts))
 
+    # quadwx at MULTI-WORD grids: the sy-width-folded row (sx in the
+    # index, sy picked from the row's 32-word halves) must agree with
+    # quadw bit-for-bit
+    from lzzx_nerf_tpu.ops.march2 import column_bitmasks_quadrant_words_xfold
+    qwx = column_bitmasks_quadrant_words_xfold(occ)
+    vwx = march_rays_window_bitmask_nb_block(
+        ro, rd, t0, t1, sv, t0_blk, dc, qwx, bound, dt, K2, S,
+        variant="quadwx")
+    np.testing.assert_array_equal(np.asarray(vw.mask), np.asarray(vwx.mask))
+    np.testing.assert_array_equal(np.asarray(vw.ts), np.asarray(vwx.ts))
+
+    # nb5w at MULTI-WORD grids: the z-word-indexed symmetric table must
+    # agree with wslice (same midpoint anchor, same ±2 envelope)
+    from lzzx_nerf_tpu.ops.march2 import column_bitmasks_neighborhood5_words
+    n5w = column_bitmasks_neighborhood5_words(occ)
+    v5w = march_rays_window_bitmask_nb_block(
+        ro, rd, t0, t1, sv, t0_blk, dc, n5w, bound, dt, K2, S,
+        variant="nb5w")
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(v5w.mask))
+    np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(v5w.ts),
+                               atol=1e-5)
+
 
 def test_window_analysis_exact_grid64():
     """ray_windows' multi-probe z-band analysis + adaptive K2 at grid 64
@@ -1422,6 +1444,10 @@ def test_quadw_march_identical_to_quad():
     rng = np.random.default_rng(7)
 
     def check(occ, ro, rd, t0, t1, sv, t0_blk, dc, K2, S):
+        from lzzx_nerf_tpu.ops.march2 import (
+            column_bitmasks_neighborhood5_words,
+            column_bitmasks_quadrant_words_xfold)
+
         qt = column_bitmasks_quadrant(occ)
         qw = column_bitmasks_quadrant_words(occ)
         ref = march_rays_window(ro, rd, t0, t1, sv, occ, BOUND, DT, K2, S)
@@ -1437,6 +1463,23 @@ def test_quadw_march_identical_to_quad():
         np.testing.assert_array_equal(np.asarray(ref.mask),
                                       np.asarray(vw.mask))
         np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(vw.ts),
+                                   atol=1e-5)
+        # quadwx: sy-width-folded table, bit-identical to quadw
+        qwx = column_bitmasks_quadrant_words_xfold(occ)
+        vwx = march_rays_window_bitmask_nb_block(
+            ro, rd, t0, t1, sv, t0_blk, dc, qwx, BOUND, DT, K2, S,
+            variant="quadwx")
+        np.testing.assert_array_equal(np.asarray(vw.mask),
+                                      np.asarray(vwx.mask))
+        np.testing.assert_array_equal(np.asarray(vw.ts), np.asarray(vwx.ts))
+        # nb5w: symmetric word-baked table, exhaustive-exact like wslice
+        n5w = column_bitmasks_neighborhood5_words(occ)
+        v5w = march_rays_window_bitmask_nb_block(
+            ro, rd, t0, t1, sv, t0_blk, dc, n5w, BOUND, DT, K2, S,
+            variant="nb5w")
+        np.testing.assert_array_equal(np.asarray(ref.mask),
+                                      np.asarray(v5w.mask))
+        np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(v5w.ts),
                                    atol=1e-5)
         return int(np.asarray(vw.mask).sum())
 
