@@ -104,7 +104,7 @@ def main():
                          "3x3-neighborhood march (exact for any "
                          "direction); negative = dilated single-column "
                          "mask with group=|n| (-2 is the fast -2 dB mode)")
-    ap.add_argument("--march-variant", default="quadw",
+    ap.add_argument("--march-variant", default="nb5w",
                     choices=["wslice", "nb_first", "zband", "zband4",
                              "quad", "quadw", "quadwx", "nb5w"],
                     help="group-2 block-march select variant (all "

@@ -251,18 +251,28 @@ class Config:
     # pre-reduce stage — the structural reason it wins where zband/zband4
     # lost. TPU A/B (back to back): quad 33.47 / wslice 32.37 FPS
     # torso-composited @512²; grid-128 guard +0.00 dB (PERF.md round 3).
-    # "quadw" (default) = quad with the word-pair selection BAKED INTO
-    # THE TABLE (column_bitmasks_quadrant_words, indexed by (quadrant, x,
-    # y, z-word)): the profiler showed quad's cost was the data MOVEMENT
+    # "quadw" = quad with the word-pair selection BAKED INTO THE TABLE
+    # (column_bitmasks_quadrant_words, indexed by (quadrant, x, y,
+    # z-word)): the profiler showed quad's cost was the data MOVEMENT
     # around the [*, 64]-word fetch result (a physical transpose + copies
     # ~21% of the frame), not the select math; the z-word-indexed table
     # halves the fetched bytes and deletes the pre-reduce stage and its
     # intermediates. Sample-identical to quad (bit-for-bit tests), same
     # anchor, same envelope. TPU A/B (back to back): quadw 35.45 / quad
     # 30.70 FPS torso-composited @512² (PERF.md round 3). Envelope-gated:
-    # resolve_march_plan falls back to wslice beyond
-    # nb_blockq_drift_cells (<=2 fwd, <=1 back).
-    infer_march_variant: str = "quadw"
+    # resolve_march_plan falls back to nb5w beyond nb_blockq_drift_cells
+    # (<=2 fwd, <=1 back). "nb5w" (default) = the SYMMETRIC 5x5
+    # neighborhood with the word pair baked into the table
+    # (column_bitmasks_neighborhood5_words, [H*H*W32, 50]): quadw's
+    # 262144-row table sits past the TPU gather row-count cliff at grid
+    # 128 (~95M vs ~400M rows/s, scripts/quadwgather.py) — nb5w keeps the
+    # no-pre-reduce fetch inside the full-rate zone AND drops the
+    # directional envelope gate (any-direction ±2 coverage, like wslice).
+    # TPU A/B (same session back to back): nb5w 36.61 / quadw 35.45 /
+    # quadwx 34.93 FPS torso-composited @512²; quality guard J −0.02 dB =
+    # the serving baseline delta, i.e. the marcher itself adds nothing
+    # (PERF.md round 3 session 2).
+    infer_march_variant: str = "nb5w"
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;
     # chunking divides it (the reference batches 32 frames per wave,

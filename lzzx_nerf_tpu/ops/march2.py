@@ -796,7 +796,7 @@ def march_rays_window_bitmask_nb_block(
         phase's dominant VPU cost, PERF.md round-3 phase budget). Its
         envelope is DIRECTIONAL (nb_blockq_drift_cells): forward
         1.5*step*|d_xy| + angular <= 2 and backward 0.5*step*|d_xy| +
-        angular <= 1; resolve_march_plan steps quad -> wslice when it
+        angular <= 1; resolve_march_plan steps quad -> nb5w when it
         fails. Rays whose |d_x| (or |d_y|) is below the block centre's
         sign resolution drift at most ±angular <= 1 cell, which the
         {-1, 0} slots of EITHER sign's window cover.
@@ -1402,8 +1402,9 @@ def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
     unless k2_override is nonzero), and the block-march group/variant
     after stepping down whenever this geometry exceeds the variant's
     exactness drift envelope (3 -> 2 -> per-ray via nb_block3_drift_cells
-    <= 1 / nb_block_drift_cells <= 2; variant "quad" -> "wslice" via
-    nb_blockq_drift_cells (forward <= 2, backward <= 1)). Shared by
+    <= 1 / nb_block_drift_cells <= 2; variant "quad"/"quadw"/"quadwx" ->
+    "nb5w" via nb_blockq_drift_cells (forward <= 2, backward <= 1)).
+    Shared by
     serving/session.py and cli.run_test so both paths choose the same
     marcher; pass march_group=1 to skip the envelope checks (non-block
     callers). measure="block"/"ray": tighten K2 to the trajectory-measured
@@ -1451,8 +1452,9 @@ def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
             if fwd > 2.0 or back > 1.0:
                 log(f"[INFO] quadrant march drift ({fwd:.2f} fwd, "
                     f"{back:.2f} back) exceeds the signed window for this "
-                    "camera/grid — using the ±2 block-shared march")
-                march_variant = "wslice"
+                    "camera/grid — using the symmetric ±2 block-shared "
+                    "march")
+                march_variant = "nb5w"
         if march_group == 2:
             drift = nb_block_drift_cells(*geo)
             if drift > 2.0:

@@ -62,9 +62,9 @@ def main():
                          "variant J (0 disables J). Compaction is bit-exact "
                          "while the masked points fit the slots; J verifies "
                          "that end-to-end on the trained oracle")
-    ap.add_argument("--march-variant", default="quadw",
+    ap.add_argument("--march-variant", default="nb5w",
                     choices=["wslice", "nb_first", "zband", "zband4",
-                             "quad", "quadw"],
+                             "quad", "quadw", "quadwx", "nb5w"],
                     help="block-march select variant for J (the candidate "
                          "production point; B/C keep wslice)")
     args = ap.parse_args()

@@ -571,7 +571,7 @@ def _block_march_inputs(occ, H=32, W=32, z=-2.5, fov_scale=0.6,
 
 
 @pytest.mark.parametrize("variant", ["wslice", "nb_first", "zband",
-                                     "zband4"])
+                                     "zband4", "nb5w"])
 def test_nb_block_march_exact_camera_blocks(variant):
     """The block-shared 5x5-neighborhood marcher must reproduce the
     per-candidate EXACT marcher sample-for-sample on real pinhole-camera
@@ -579,10 +579,12 @@ def test_nb_block_march_exact_camera_blocks(variant):
     1b proof obligation, for EVERY select variant (they differ only in
     VPU cost, never in the tested bit)."""
     from lzzx_nerf_tpu.ops.march2 import (
-        column_bitmasks_neighborhood5, march_rays_window_bitmask_nb_block)
+        column_bitmasks_neighborhood5, column_bitmasks_neighborhood5_words,
+        march_rays_window_bitmask_nb_block)
 
     occ, _, _ = _scene()
-    nb5 = column_bitmasks_neighborhood5(occ)
+    nb5 = (column_bitmasks_neighborhood5_words(occ) if variant == "nb5w"
+           else column_bitmasks_neighborhood5(occ))
     K2, S = 40, 16
     for z, fs in ((-2.5, 0.6), (-1.8, 0.9), (-3.5, 0.4)):
         ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(
@@ -600,12 +602,13 @@ def test_nb_block_march_exact_camera_blocks(variant):
 
 
 @pytest.mark.parametrize("variant", ["wslice", "nb_first", "zband",
-                                     "zband4"])
+                                     "zband4", "nb5w"])
 def test_nb_block_march_exact_random_scenes(variant):
     """Same exactness over randomized occupancy (scattered blobs), where
     windows fragment and many blocks deactivate."""
     from lzzx_nerf_tpu.ops.march2 import (
-        column_bitmasks_neighborhood5, march_rays_window_bitmask_nb_block)
+        column_bitmasks_neighborhood5, column_bitmasks_neighborhood5_words,
+        march_rays_window_bitmask_nb_block)
 
     rng = np.random.default_rng(3)
     occ_np = np.zeros((GRID, GRID, GRID), bool)
@@ -616,7 +619,8 @@ def test_nb_block_march_exact_random_scenes(variant):
         occ_np |= ((x - c[0]) ** 2 + (y - c[1]) ** 2
                    + (z - c[2]) ** 2) < r ** 2
     occ = jnp.asarray(occ_np)[None]
-    nb5 = column_bitmasks_neighborhood5(occ)
+    nb5 = (column_bitmasks_neighborhood5_words(occ) if variant == "nb5w"
+           else column_bitmasks_neighborhood5(occ))
     ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(occ)
     K2, S = 48, 16
     v2 = march_rays_window(ro, rd, t0, t1, sv, occ, BOUND, DT, K2, S)
@@ -758,8 +762,8 @@ def test_quad_block_march_sign_straddling_block():
 def test_quad_drift_envelope_and_plan_fallback():
     """nb_blockq_drift_cells: forward bound must exceed the symmetric
     block bound (1.5 vs 1.0 steps) and resolve_march_plan must step
-    quad -> wslice when the signed window fails while the ±2 envelope
-    still holds."""
+    quad -> nb5w (the symmetric word-baked marcher) when the signed
+    window fails while the ±2 envelope still holds."""
     from lzzx_nerf_tpu.ops.march2 import (nb_block_drift_cells,
                                           nb_blockq_drift_cells,
                                           resolve_march_plan)
@@ -800,7 +804,7 @@ def test_quad_drift_envelope_and_plan_fallback():
     # window, or the fallback branch below silently loses coverage
     assert f2 > 2.0 or b2 > 1.0, (
         "test geometry no longer trips the quad gate — steepen it", f2, b2)
-    assert mv == "wslice", (logs, f2, b2)
+    assert mv == "nb5w", (logs, f2, b2)
 
 
 def test_nb_block_march_fetch_centering_edge_geometry():
