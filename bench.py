@@ -106,7 +106,8 @@ def main():
                          "mask with group=|n| (-2 is the fast -2 dB mode)")
     ap.add_argument("--march-variant", default="nb5w",
                     choices=["wslice", "nb_first", "zband", "zband4",
-                             "quad", "quadw", "quadwx", "nb5w"],
+                             "quad", "quadw", "quadwx", "nb5w", "nb5wz",
+                             "nb5wz4"],
                     help="group-2 block-march select variant (all "
                          "sample-exact, tests/test_march2.py): wslice = "
                          "word-pair pre-reduce + flat 50-way select; "

@@ -271,7 +271,9 @@ class Config:
     # TPU A/B (same session back to back): nb5w 36.61 / quadw 35.45 /
     # quadwx 34.93 FPS torso-composited @512²; quality guard J −0.02 dB =
     # the serving baseline delta, i.e. the marcher itself adds nothing
-    # (PERF.md round 3 session 2).
+    # (PERF.md round 3 session 2). "nb5wz"/"nb5wz4" (zband stages on the
+    # nb5w fetch) measured 34.19/30.23 vs 36.49 same-session — rejected,
+    # kept parity-tested opt-in.
     infer_march_variant: str = "nb5w"
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;

@@ -444,6 +444,8 @@ def needed_variant_tables(march_group: int,
     if march_group == 2:
         if march_variant in ("quadwx", "quadw", "quad", "nb5w"):
             return (march_variant,)
+        if march_variant in ("nb5wz", "nb5wz4"):
+            return ("nb5w",)
         return ("nb5",)
     return ()
 
@@ -823,6 +825,11 @@ def march_rays_window_bitmask_nb_block(
         wslice's midpoint anchor and any-direction ±2 coverage, quadw's
         no-pre-reduce fetch, rows/width both inside the gather full-rate
         zone. 50-way select; sample-identical to "wslice"/"nb_first".
+      "nb5wz"/"nb5wz4": the zband/zband4 select stages on the nb5w fetch
+        — the word-pair stage (zband's 0a) comes free from the table, so
+        only the funnel shift (and the 4-per-word pack for nb5wz4) stay
+        amortised; per-candidate select is 25-way single words (nb5wz)
+        or 7-way + shifts (nb5wz4). Same bits, same envelope.
       "nb_first": select the neighbor column (25 -> W32 words), then the
         z word (W32 -> 1).
       "zband": extend the pre-reduce one step — funnel-shift each
@@ -862,7 +869,7 @@ def march_rays_window_bitmask_nb_block(
         W32 = H // 32
         assert 2 * H * H * W32 == col_mask.shape[0] and col_mask.shape[1] == 64
         NF = 16
-    elif variant == "nb5w":
+    elif variant in ("nb5w", "nb5wz", "nb5wz4"):
         # z-word-indexed symmetric 5x5 table: [H*H*(H//32), 50]
         H = int(round((32 * col_mask.shape[0]) ** (1.0 / 3.0)))
         W32 = H // 32
@@ -932,7 +939,7 @@ def march_rays_window_bitmask_nb_block(
                 idx = idx * W32 + w0
     else:
         idx = gx * H + gy
-        if variant == "nb5w":
+        if variant in ("nb5w", "nb5wz", "nb5wz4"):
             idx = idx * W32 + w0
     if variant == "quadw":
         rows_q = jnp.take(col_mask, idx.reshape(-1),
@@ -945,7 +952,7 @@ def march_rays_window_bitmask_nb_block(
         rows_q = jnp.where((sy < 0)[:, None, None],
                            rows64[..., 32:], rows64[..., :32]
                            ).reshape(Bb, 1, G, 1, 32)
-    elif variant == "nb5w":
+    elif variant in ("nb5w", "nb5wz", "nb5wz4"):
         rows_w = jnp.take(col_mask, idx.reshape(-1),
                           axis=0).reshape(Bb, 1, G, 1, 50)
     else:
@@ -1039,6 +1046,36 @@ def march_rays_window_bitmask_nb_block(
         wsel = jnp.sum(
             jnp.where(fmask, rows_w, jnp.uint32(0)),
             axis=-1, dtype=jnp.uint32)                     # [Bb, 4, G, group]
+    elif variant in ("nb5wz", "nb5wz4"):
+        # zband on the nb5w fetch: the word-pair stage-0a comes FREE from
+        # the table (row field nb*2+i = neighbor nb's word w0+i), so only
+        # the funnel shift (0b) and optional pack (0c) remain amortised;
+        # the per-candidate select halves (25-way single words) or drops
+        # to 7-way + shifts (nb5wz4)
+        base = jnp.maximum(gz - 3, 0)                       # [Bb, G]
+        s = (base & 31).astype(jnp.uint32)[:, None, :, None, None]
+        rw = rows_w.reshape(Bb, 1, G, 1, 25, 2)
+        lo, hi = rw[..., 0], rw[..., 1]
+        fields = jnp.where(
+            s > 0, (lo >> s) | (hi << (jnp.uint32(32) - s)), lo)
+        fields = fields & jnp.uint32(0x7F)                  # [Bb,1,G,1,25]
+        off = jnp.clip(czb - base[:, None, :, None], 0, 6).astype(jnp.uint32)
+        if variant == "nb5wz4":
+            f4 = jnp.pad(fields, [(0, 0)] * 4 + [(0, 3)])
+            f4 = f4.reshape(Bb, 1, G, 1, 7, 4)
+            sh = (jnp.arange(4, dtype=jnp.uint32) * 7)
+            packed7 = jnp.sum(f4 << sh, axis=-1,
+                              dtype=jnp.uint32)             # [Bb,1,G,1,7]
+            nmask = ((nb >> 2)[..., None]
+                     == jnp.arange(7, dtype=jnp.int32))
+            wsel = jnp.sum(jnp.where(nmask, packed7, jnp.uint32(0)),
+                           axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
+            off = off + jnp.uint32(7) * (nb & 3).astype(jnp.uint32)
+        else:
+            nmask = nb[..., None] == jnp.arange(25, dtype=jnp.int32)
+            wsel = jnp.sum(jnp.where(nmask, fields, jnp.uint32(0)),
+                           axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
+        bit = off
     elif variant in ("wslice", "quad"):
         # stage 0 (amortised over the block's 8 candidates): per (block,
         # group) keep only the 2 z-words that can contain any candidate —

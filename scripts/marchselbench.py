@@ -129,10 +129,11 @@ def main():
     # ---- baseline marches + the row-count-cliff fixes (quadwx: sy folded
     # into row width, [2H²W32, 64]; nb5w: symmetric word-baked,
     # [H²W32, 50] — both inside the gather full-rate zone)
-    for v in ("quadw", "quad", "wslice", "quadwx", "nb5w"):
+    for v in ("quadw", "quad", "wslice", "quadwx", "nb5w", "nb5wz",
+              "nb5wz4"):
         tbl = (tqw if v == "quadw" else tq if v == "quad"
                else tables.col_quadwxmask if v == "quadwx"
-               else tables.col_nb5wmask if v == "nb5w"
+               else tables.col_nb5wmask if v.startswith("nb5w")
                else tables.col_nb5mask)
         ms = chain_time(march_q(v), args + (tbl,))
         print(f"march {v:8s}: {ms:7.2f} ms", flush=True)

@@ -571,7 +571,7 @@ def _block_march_inputs(occ, H=32, W=32, z=-2.5, fov_scale=0.6,
 
 
 @pytest.mark.parametrize("variant", ["wslice", "nb_first", "zband",
-                                     "zband4", "nb5w"])
+                                     "zband4", "nb5w", "nb5wz", "nb5wz4"])
 def test_nb_block_march_exact_camera_blocks(variant):
     """The block-shared 5x5-neighborhood marcher must reproduce the
     per-candidate EXACT marcher sample-for-sample on real pinhole-camera
@@ -583,7 +583,8 @@ def test_nb_block_march_exact_camera_blocks(variant):
         march_rays_window_bitmask_nb_block)
 
     occ, _, _ = _scene()
-    nb5 = (column_bitmasks_neighborhood5_words(occ) if variant == "nb5w"
+    nb5 = (column_bitmasks_neighborhood5_words(occ)
+           if variant.startswith("nb5w")
            else column_bitmasks_neighborhood5(occ))
     K2, S = 40, 16
     for z, fs in ((-2.5, 0.6), (-1.8, 0.9), (-3.5, 0.4)):
@@ -602,7 +603,7 @@ def test_nb_block_march_exact_camera_blocks(variant):
 
 
 @pytest.mark.parametrize("variant", ["wslice", "nb_first", "zband",
-                                     "zband4", "nb5w"])
+                                     "zband4", "nb5w", "nb5wz", "nb5wz4"])
 def test_nb_block_march_exact_random_scenes(variant):
     """Same exactness over randomized occupancy (scattered blobs), where
     windows fragment and many blocks deactivate."""
@@ -619,7 +620,8 @@ def test_nb_block_march_exact_random_scenes(variant):
         occ_np |= ((x - c[0]) ** 2 + (y - c[1]) ** 2
                    + (z - c[2]) ** 2) < r ** 2
     occ = jnp.asarray(occ_np)[None]
-    nb5 = (column_bitmasks_neighborhood5_words(occ) if variant == "nb5w"
+    nb5 = (column_bitmasks_neighborhood5_words(occ)
+           if variant.startswith("nb5w")
            else column_bitmasks_neighborhood5(occ))
     ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(occ)
     K2, S = 48, 16
