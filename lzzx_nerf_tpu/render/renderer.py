@@ -785,7 +785,10 @@ def render_rays_compact_blocks(
                               T_thresh=settings.T_thresh)
         image_c, wsum_c = comp.image, comp.weights_sum
 
-    # scatter per BLOCK: 16-wide rows (4 rays x (rgb + wsum))
+    # scatter per BLOCK: 16-wide rows (4 rays x (rgb + wsum)). A per-RAY
+    # direct-to-pixel scatter (4-wide rows, no un-blocking transpose) was
+    # measured at 35.09 vs 36.5 FPS same-session — the narrow scatter rows
+    # cost more than the ~0.8 ms (H/2, W/2, 2, 2) relayout they delete.
     tgt = jnp.where(cs.slot_valid, cs.ray_idx, NB)
     payload = jnp.concatenate(
         [image_c.reshape(budget_b, 12),
