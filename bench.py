@@ -122,6 +122,12 @@ def main():
                          "the TPU row-count cliff, quadwgather.py); nb5w "
                          "= symmetric 5x5 word-baked table (any-direction "
                          "envelope, 50-way select)")
+    ap.add_argument("--interp-bf16", action="store_true",
+                    help="bilinear-combine the gathered bf16 triplane rows "
+                         "in bf16 and convert only the [B, 36] features "
+                         "(ops/packed_triplane.packed_lookup interp_dtype) "
+                         "— A/B probe for the [786432, 58] f32 "
+                         "materialization the profiler flagged")
     ap.add_argument("--fused", type=int, default=1, choices=[0, 1, 2],
                     help="field-MLP evaluation: 1 = folded-weight XLA "
                          "decomposition (default, measured fastest), 2 = "
@@ -229,8 +235,10 @@ def main():
         else:
             from lzzx_nerf_tpu.models.nerf import make_fused_apply
 
-            apply_packed = make_fused_apply(field, packed,
-                                            use_kernel=args.fused == 2)
+            apply_packed = make_fused_apply(
+                field, packed, use_kernel=args.fused == 2,
+                interp_dtype=(jnp.bfloat16 if args.interp_bf16
+                              else jnp.float32))
 
         frame_bg = bg
         if torso is not None:

@@ -116,10 +116,13 @@ class NeRFField(nn.Module):
             )
 
     def encode_x(self, xyz: jnp.ndarray,
-                 packed: Optional[dict] = None) -> jnp.ndarray:
+                 packed: Optional[dict] = None,
+                 interp_dtype=jnp.float32) -> jnp.ndarray:
         """[N, 3] in [-bound, bound] -> [N, 36] triplane features
         (reference network.py:208-223). `packed` (from bake_tables) skips
-        the in-graph bake — for inference, where params are static."""
+        the in-graph bake — for inference, where params are static.
+        interp_dtype: serving-only bilinear-combine dtype
+        (ops/packed_triplane.packed_lookup); dense encoder only."""
         xy = xyz[:, :2]
         yz = xyz[:, 1:]
         xz = jnp.concatenate([xyz[:, :1], xyz[:, 2:]], axis=-1)
@@ -127,13 +130,16 @@ class NeRFField(nn.Module):
             pk = packed or {}
             f_xy = dense_triplane_encode(self.dense_planes["xy"], xy,
                                          self.dense_spec, self.bound,
-                                         packed=pk.get("xy"))
+                                         packed=pk.get("xy"),
+                                         interp_dtype=interp_dtype)
             f_yz = dense_triplane_encode(self.dense_planes["yz"], yz,
                                          self.dense_spec, self.bound,
-                                         packed=pk.get("yz"))
+                                         packed=pk.get("yz"),
+                                         interp_dtype=interp_dtype)
             f_xz = dense_triplane_encode(self.dense_planes["xz"], xz,
                                          self.dense_spec, self.bound,
-                                         packed=pk.get("xz"))
+                                         packed=pk.get("xz"),
+                                         interp_dtype=interp_dtype)
         else:
             f_xy = grid_encode(xy, self.encoder_xy, self.spec, self.bound)
             f_yz = grid_encode(yz, self.encoder_yz, self.spec, self.bound)
@@ -243,7 +249,8 @@ class NeRFField(nn.Module):
 
 
 def make_fused_apply(field: "NeRFField", packed: dict, tile: int = 2048,
-                     use_kernel: bool = False):
+                     use_kernel: bool = False,
+                     interp_dtype=jnp.float32):
     """field.apply-compatible closure for the serving hot path that runs the
     MLP stack through the folded-weight decomposition (ops/fused_field.py):
     per-frame constants (audio code, ind code, eye) fold into the weights,
@@ -277,7 +284,8 @@ def make_fused_apply(field: "NeRFField", packed: dict, tile: int = 2048,
                 "the fused serving apply has no uncertainty head; use the "
                 "full flax apply (training path) for "
                 "compute_uncertainty=True")
-        enc_x = field.apply(p, pts, packed=packed, method="encode_x")
+        enc_x = field.apply(p, pts, packed=packed, method="encode_x",
+                            interp_dtype=interp_dtype)
         fw = fold_frame_weights(extract_field_weights(p), enc_a, c, e)
         if use_kernel and on_tpu:
             sigma, color = fused_field_eval(fw, enc_x, dirs, tile=tile,

@@ -133,26 +133,40 @@ def bake_packed(levels: Sequence[jnp.ndarray], spec: DenseTriplaneSpec,
 
 
 def packed_lookup(packed: jnp.ndarray, xy01: jnp.ndarray,
-                  spec: DenseTriplaneSpec) -> jnp.ndarray:
+                  spec: DenseTriplaneSpec,
+                  interp_dtype=jnp.float32) -> jnp.ndarray:
     """Bilinear multiresolution features via one gather row per point.
 
     packed: [pack_res², packed_dim] from bake_packed.
     xy01: [B, 2] coordinates in [0, 1] (points outside produce zeros).
-    Returns [B, output_dim] (level-major channel order)."""
+    Returns [B, output_dim] f32 (level-major channel order).
+
+    interp_dtype: dtype of the per-point interpolation arithmetic. The
+    default keeps reference-f32 math (a bf16 serving table upcasts right
+    after the gather). jnp.bfloat16 keeps the gathered rows in bf16
+    through the corner combine and converts only the [B, output_dim]
+    result — the profiler showed the f32 materialization of the
+    [786432, 58] row tensor (3 planes x ~320 us + relayout copies) in
+    the 512² frame; bf16 weights quantize the bilinear fractions to 8
+    mantissa bits (≤1/256-cell positional error) on features that are
+    already bf16-quantized. Serving-only; gate any default change on the
+    quality guard."""
     P = spec.pack_res
     in_bounds = jnp.all((xy01 >= 0.0) & (xy01 <= 1.0), axis=-1)
     u = jnp.clip(xy01, 0.0, 1.0)
 
     pc = jnp.clip(jnp.floor(u * P), 0, P - 1).astype(jnp.int32)     # [B, 2]
     rows = jnp.take(packed, pc[:, 0] * P + pc[:, 1], axis=0)
-    rows = rows.astype(jnp.float32)
+    rows = rows.astype(interp_dtype)
 
     outs = []
     offset = 0
     for r, C in zip(spec.resolutions, spec.channels):
         cell = jnp.clip(jnp.floor(u * r), 0, r - 1).astype(jnp.int32)
+        # fractions computed in f32 (exact), then cast once for the combine
         frac = u * r - cell.astype(jnp.float32)          # [B, 2]
-        fx, fy = frac[:, :1], frac[:, 1:]
+        fx = frac[:, :1].astype(interp_dtype)
+        fy = frac[:, 1:].astype(interp_dtype)
         if r <= spec.pack_res:
             c00 = rows[:, offset + 0 * C: offset + 1 * C]
             c10 = rows[:, offset + 1 * C: offset + 2 * C]
@@ -167,8 +181,8 @@ def packed_lookup(packed: jnp.ndarray, xy01: jnp.ndarray,
             pts = [rows[:, offset + k * C: offset + (k + 1) * C]
                    for k in range(n * n)]
             offset += n * n * C
-            px = (cell[:, :1] - pc[:, :1] * ratio).astype(jnp.float32)
-            py = (cell[:, 1:] - pc[:, 1:] * ratio).astype(jnp.float32)
+            px = (cell[:, :1] - pc[:, :1] * ratio).astype(jnp.int32)
+            py = (cell[:, 1:] - pc[:, 1:] * ratio).astype(jnp.int32)
 
             def sel(dx, dy):
                 # point index (px+dx, py+dy) in [0, n)²; mask-sum over the
@@ -177,7 +191,7 @@ def packed_lookup(packed: jnp.ndarray, xy01: jnp.ndarray,
                 for i in range(n):
                     for j in range(n):
                         m = ((px == (i - dx)) & (py == (j - dy))).astype(
-                            jnp.float32)
+                            interp_dtype)
                         acc = acc + m * pts[i * n + j]
                 return acc
 
@@ -191,7 +205,7 @@ def packed_lookup(packed: jnp.ndarray, xy01: jnp.ndarray,
             + c01 * (1 - fx) * fy
             + c11 * fx * fy
         )
-    out = jnp.concatenate(outs, axis=-1)
+    out = jnp.concatenate(outs, axis=-1).astype(jnp.float32)
     return jnp.where(in_bounds[:, None], out, 0.0)
 
 
@@ -202,6 +216,7 @@ def dense_triplane_encode(
     bound: float = 1.0,
     packed: jnp.ndarray | None = None,
     dtype=jnp.float32,
+    interp_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Full encode: map [-bound,bound] -> [0,1], bake (unless a prebaked
     table is supplied) and look up."""
@@ -212,7 +227,7 @@ def dense_triplane_encode(
         # off its fast (~300M rows/s) path (measured: 3x slower)
         packed = jax.lax.optimization_barrier(packed)
     u = (xy + bound) / (2.0 * bound)
-    return packed_lookup(packed, u, spec)
+    return packed_lookup(packed, u, spec, interp_dtype=interp_dtype)
 
 
 def _mxu_lookup_consts(spec: DenseTriplaneSpec):
