@@ -230,6 +230,14 @@ def main():
         c = params["params"]["individual_codes"][0]
 
         if args.fused == 0:
+            if args.interp_bf16:
+                # the plain flax apply has no interp_dtype plumbing —
+                # refuse rather than record a mislabeled A/B point
+                raise SystemExit(
+                    "--interp-bf16 requires the folded apply "
+                    "(--fused 1/2); --fused 0 would silently run f32 "
+                    "interpolation")
+
             def apply_packed(p, *a, **kw):
                 return field.apply(p, *a, packed=packed, **kw)
         else:

@@ -141,6 +141,12 @@ class NeRFField(nn.Module):
                                          packed=pk.get("xz"),
                                          interp_dtype=interp_dtype)
         else:
+            if interp_dtype != jnp.float32:
+                # the hash path has no reduced-precision interp — refuse
+                # rather than silently run f32 under a bf16 request
+                raise ValueError(
+                    "interp_dtype is only supported by the dense "
+                    f"(packed-triplane) encoder, not {self.encoder!r}")
             f_xy = grid_encode(xy, self.encoder_xy, self.spec, self.bound)
             f_yz = grid_encode(yz, self.encoder_yz, self.spec, self.bound)
             f_xz = grid_encode(xz, self.encoder_xz, self.spec, self.bound)

@@ -72,11 +72,13 @@ class InferenceTables(NamedTuple):
                                # [2*H*H*(H//32), 64] uint32, the quadw
                                # table with the sy quadrant folded into row
                                # WIDTH (column_bitmasks_quadrant_words_xfold)
-                               # — the production variant "quadwx": same
-                               # bytes as quadw but the row count stays
-                               # under the TPU gather row-count cliff
-                               # (scripts/quadwgather.py); None unless
-                               # "quadwx" in build variants (33.5 MB @128)
+                               # — variant "quadwx": same bytes as quadw
+                               # but the row count stays under the TPU
+                               # gather row-count cliff
+                               # (scripts/quadwgather.py). Measured-
+                               # rejected at the frame level (PERF.md);
+                               # None unless "quadwx" in build variants
+                               # (33.5 MB @128)
     col_nb5wmask: jnp.ndarray = None
                                # [H*H*(H//32), 50] uint32, the symmetric
                                # 5x5 neighborhood additionally indexed by
@@ -754,6 +756,50 @@ def march_rays_window_bitmask_nb(
     return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt, mask=mask)
 
 
+def _zband_select_from_pairs(pairs: jnp.ndarray, base: jnp.ndarray,
+                             czb: jnp.ndarray, nb: jnp.ndarray,
+                             pack: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """zband stages 0b/0c + the per-candidate select, shared by the
+    nb5-table variants (zband/zband4: word pairs from the wslice-style
+    pre-reduce) and the nb5w-table variants (nb5wz/nb5wz4: word pairs
+    straight from the z-word-indexed row).
+
+    pairs: [Bb, 1, G, 1, 25, 2] uint32 — neighbor nb's {w0, w0+1} z-words.
+    base:  [Bb, G] — the 7-cell band start max(gz-3, 0); all candidate
+           z's lie in [base, base+6] (group z-span ~2.1 cells + rounding).
+    czb:   [Bb, 4, G, group] candidate z cells.
+    nb:    [Bb, 4, G, group] neighbor index in 0..24.
+    pack:  False -> 25-way single-word select (zband/nb5wz);
+           True  -> pack 4 neighbors' 7-bit bands per word, 7-way select
+           + shift by 7*(nb&3) (zband4/nb5wz4).
+    Returns (wsel, bit) for the final (wsel >> bit) & 1 occupancy test."""
+    Bb, G = pairs.shape[0], pairs.shape[2]
+    # stage 0b: funnel-shift each neighbor's word pair down to the 7-bit
+    # band starting at `base` — ONE word per neighbor answers every
+    # candidate of the group
+    s = (base & 31).astype(jnp.uint32)[:, None, :, None, None]
+    lo, hi = pairs[..., 0], pairs[..., 1]
+    fields = jnp.where(s > 0, (lo >> s) | (hi << (jnp.uint32(32) - s)), lo)
+    fields = fields & jnp.uint32(0x7F)                      # [Bb,1,G,1,25]
+    off = jnp.clip(czb - base[:, None, :, None], 0, 6).astype(jnp.uint32)
+    if pack:
+        # stage 0c: pack 4 neighbors' bands per word (4*7 = 28 bits)
+        f4 = jnp.pad(fields, [(0, 0)] * 4 + [(0, 3)])
+        f4 = f4.reshape(Bb, 1, G, 1, 7, 4)
+        sh = jnp.arange(4, dtype=jnp.uint32) * 7
+        packed7 = jnp.sum(f4 << sh, axis=-1,
+                          dtype=jnp.uint32)                 # [Bb,1,G,1,7]
+        nmask = (nb >> 2)[..., None] == jnp.arange(7, dtype=jnp.int32)
+        wsel = jnp.sum(jnp.where(nmask, packed7, jnp.uint32(0)),
+                       axis=-1, dtype=jnp.uint32)           # [Bb,4,G,group]
+        off = off + jnp.uint32(7) * (nb & 3).astype(jnp.uint32)
+    else:
+        nmask = nb[..., None] == jnp.arange(25, dtype=jnp.int32)
+        wsel = jnp.sum(jnp.where(nmask, fields, jnp.uint32(0)),
+                       axis=-1, dtype=jnp.uint32)           # [Bb,4,G,group]
+    return wsel, off
+
+
 def march_rays_window_bitmask_nb_block(
     rays_o: jnp.ndarray,       # [4*Bb, 3] block-major (4 rays per 2x2 block)
     rays_d: jnp.ndarray,       # [4*Bb, 3]
@@ -998,34 +1044,8 @@ def march_rays_window_bitmask_nb_block(
         rows2 = jnp.sum(
             jnp.where(wm, rows[..., :, None, :], jnp.uint32(0)),
             axis=-1, dtype=jnp.uint32)                      # [Bb,1,G,1,25,2]
-        # stage 0b: funnel-shift each neighbor's word pair down to the
-        # 7-bit band starting at `base` — all candidate z's lie in
-        # [base, base+6] (group z-span ~2.1 cells + rounding), so ONE word
-        # per neighbor answers every candidate
-        s = (base & 31).astype(jnp.uint32)[:, None, :, None, None]
-        lo, hi = rows2[..., 0], rows2[..., 1]
-        fields = jnp.where(
-            s > 0, (lo >> s) | (hi << (jnp.uint32(32) - s)), lo)
-        fields = fields & jnp.uint32(0x7F)                  # [Bb,1,G,1,25]
-        off = jnp.clip(czb - base[:, None, :, None], 0, 6).astype(jnp.uint32)
-        if variant == "zband4":
-            # stage 0c: pack 4 neighbors' bands per word (4*7 = 28 bits)
-            f4 = fields.reshape(Bb, 1, G, 1, 25)
-            f4 = jnp.pad(f4, [(0, 0)] * 4 + [(0, (-f4.shape[-1]) % 4)])
-            f4 = f4.reshape(Bb, 1, G, 1, -1, 4)
-            sh = (jnp.arange(4, dtype=jnp.uint32) * 7)
-            packed7 = jnp.sum(f4 << sh, axis=-1,
-                              dtype=jnp.uint32)             # [Bb,1,G,1,7]
-            nmask = ((nb >> 2)[..., None]
-                     == jnp.arange(packed7.shape[-1], dtype=jnp.int32))
-            wsel = jnp.sum(jnp.where(nmask, packed7, jnp.uint32(0)),
-                           axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
-            off = off + jnp.uint32(7) * (nb & 3).astype(jnp.uint32)
-        else:
-            nmask = nb[..., None] == jnp.arange(25, dtype=jnp.int32)
-            wsel = jnp.sum(jnp.where(nmask, fields, jnp.uint32(0)),
-                           axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
-        bit = off
+        wsel, bit = _zband_select_from_pairs(rows2, base, czb, nb,
+                                             pack=variant == "zband4")
     elif variant in ("quadw", "quadwx"):
         # the fetched row IS the word pair per column (nb*2 + i layout):
         # one flat 32-way select per candidate, nothing amortised
@@ -1053,29 +1073,9 @@ def march_rays_window_bitmask_nb_block(
         # the per-candidate select halves (25-way single words) or drops
         # to 7-way + shifts (nb5wz4)
         base = jnp.maximum(gz - 3, 0)                       # [Bb, G]
-        s = (base & 31).astype(jnp.uint32)[:, None, :, None, None]
-        rw = rows_w.reshape(Bb, 1, G, 1, 25, 2)
-        lo, hi = rw[..., 0], rw[..., 1]
-        fields = jnp.where(
-            s > 0, (lo >> s) | (hi << (jnp.uint32(32) - s)), lo)
-        fields = fields & jnp.uint32(0x7F)                  # [Bb,1,G,1,25]
-        off = jnp.clip(czb - base[:, None, :, None], 0, 6).astype(jnp.uint32)
-        if variant == "nb5wz4":
-            f4 = jnp.pad(fields, [(0, 0)] * 4 + [(0, 3)])
-            f4 = f4.reshape(Bb, 1, G, 1, 7, 4)
-            sh = (jnp.arange(4, dtype=jnp.uint32) * 7)
-            packed7 = jnp.sum(f4 << sh, axis=-1,
-                              dtype=jnp.uint32)             # [Bb,1,G,1,7]
-            nmask = ((nb >> 2)[..., None]
-                     == jnp.arange(7, dtype=jnp.int32))
-            wsel = jnp.sum(jnp.where(nmask, packed7, jnp.uint32(0)),
-                           axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
-            off = off + jnp.uint32(7) * (nb & 3).astype(jnp.uint32)
-        else:
-            nmask = nb[..., None] == jnp.arange(25, dtype=jnp.int32)
-            wsel = jnp.sum(jnp.where(nmask, fields, jnp.uint32(0)),
-                           axis=-1, dtype=jnp.uint32)       # [Bb,4,G,group]
-        bit = off
+        wsel, bit = _zband_select_from_pairs(
+            rows_w.reshape(Bb, 1, G, 1, 25, 2), base, czb, nb,
+            pack=variant == "nb5wz4")
     elif variant in ("wslice", "quad"):
         # stage 0 (amortised over the block's 8 candidates): per (block,
         # group) keep only the 2 z-words that can contain any candidate —

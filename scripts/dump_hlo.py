@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--stage-split", type=int, default=8)
     ap.add_argument("--budget-frac", type=float, default=0.375)
     ap.add_argument("--stage2-frac", type=float, default=0.375)
-    ap.add_argument("--march-variant", default="quadw")
+    ap.add_argument("--march-variant", default="nb5w")
     ap.add_argument("--out", default="/tmp/frame_hlo.txt")
     args = ap.parse_args()
 

@@ -64,7 +64,8 @@ def main():
                          "that end-to-end on the trained oracle")
     ap.add_argument("--march-variant", default="nb5w",
                     choices=["wslice", "nb_first", "zband", "zband4",
-                             "quad", "quadw", "quadwx", "nb5w"],
+                             "quad", "quadw", "quadwx", "nb5w", "nb5wz",
+                             "nb5wz4"],
                     help="block-march select variant for J (the candidate "
                          "production point; B/C keep wslice)")
     args = ap.parse_args()

@@ -1246,16 +1246,20 @@ def test_block_marchers_exact_grid64_multiword():
     np.testing.assert_array_equal(np.asarray(vw.mask), np.asarray(vwx.mask))
     np.testing.assert_array_equal(np.asarray(vw.ts), np.asarray(vwx.ts))
 
-    # nb5w at MULTI-WORD grids: the z-word-indexed symmetric table must
-    # agree with wslice (same midpoint anchor, same ±2 envelope)
+    # nb5w family at MULTI-WORD grids: the z-word-indexed symmetric table
+    # must agree with wslice (same midpoint anchor, same ±2 envelope).
+    # nb5wz/nb5wz4 additionally exercise the cross-word funnel shift on a
+    # REAL hi word (at GRID=32 the pair's hi half is always the zero pad)
     from lzzx_nerf_tpu.ops.march2 import column_bitmasks_neighborhood5_words
     n5w = column_bitmasks_neighborhood5_words(occ)
-    v5w = march_rays_window_bitmask_nb_block(
-        ro, rd, t0, t1, sv, t0_blk, dc, n5w, bound, dt, K2, S,
-        variant="nb5w")
-    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(v5w.mask))
-    np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(v5w.ts),
-                               atol=1e-5)
+    for variant in ("nb5w", "nb5wz", "nb5wz4"):
+        v5w = march_rays_window_bitmask_nb_block(
+            ro, rd, t0, t1, sv, t0_blk, dc, n5w, bound, dt, K2, S,
+            variant=variant)
+        np.testing.assert_array_equal(np.asarray(ref.mask),
+                                      np.asarray(v5w.mask), err_msg=variant)
+        np.testing.assert_allclose(np.asarray(ref.ts), np.asarray(v5w.ts),
+                                   atol=1e-5, err_msg=variant)
 
 
 def test_window_analysis_exact_grid64():
