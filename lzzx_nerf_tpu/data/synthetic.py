@@ -34,6 +34,7 @@ class SyntheticTalkingHead:
     radius_amp: float = 0.08
     cam_dist: float = 2.5
     seed: int = 0
+    torso: bool = False            # add a shoulders plate (torso-stage target)
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -96,18 +97,47 @@ class SyntheticTalkingHead:
         lam = np.clip(np.einsum("hwc,c->hw", n, light), 0.1, 1.0)
         tint = np.array([0.8, 0.6 + 0.3 * self.eye_area[f], 0.55])
         img = np.ones((H, W, 3), np.float32)
+        if self.torso:
+            img = self._torso_plate(f)
         img[hit] = (lam[hit, None] * tint).astype(np.float32)
         return {"image": img, "mask": hit}
+
+    def _torso_plate(self, f: int) -> np.ndarray:
+        """Torso-over-background composite: a rounded-shoulders plate in the
+        lower third whose horizontal offset follows the camera azimuth and
+        whose color breathes with the audio amplitude — a signal the
+        TorsoField (screen-xy + pose + per-frame code) can actually learn.
+        Mirrors the dataset's bg_torso composite (provider.py:292-295)."""
+        H, W = self.H, self.W
+        i, j = np.meshgrid((np.arange(W) + 0.5) / W,
+                           (np.arange(H) + 0.5) / H, indexing="xy")
+        xoff = 0.08 * np.sin(self.azimuths[f] / np.deg2rad(20.0) * np.pi / 2)
+        # shoulders: a super-ellipse centered below the frame bottom
+        sx, sy = (i - 0.5 - xoff) / 0.42, (j - 1.15) / 0.55
+        inside = sx ** 2 + sy ** 2 < 1.0
+        shade = np.clip(1.0 - 0.6 * (sx ** 2 + sy ** 2), 0.2, 1.0)
+        tint = np.array([0.25, 0.3 + 0.1 * self.amplitude[f], 0.45],
+                        np.float32)
+        img = np.ones((H, W, 3), np.float32)
+        img[inside] = (shade[inside, None] * tint).astype(np.float32)
+        return img
 
     def frame(self, f: int) -> Dict[str, np.ndarray]:
         """Batch dict in trainer layout."""
         rendered = self._render_analytic(f)
         face_mask = rendered["mask"]
+        out_extra = {}
+        if self.torso:
+            # head stage renders over the torso composite; torso stage
+            # regresses the composite itself (trainer.py:404-455)
+            out_extra["bg_torso_color"] = self._torso_plate(f)
         return {
             "image": rendered["image"],
-            "bg_color": np.ones((self.H, self.W, 3), np.float32),
+            "bg_color": (out_extra["bg_torso_color"] if self.torso
+                         else np.ones((self.H, self.W, 3), np.float32)),
             "face_mask": face_mask,
             "pose": self.pose(f),
+            **out_extra,
             "auds": np.asarray(
                 get_audio_features(self.aud_features, self.att_mode, f)),
             "eye": np.asarray([self.eye_area[f]], np.float32),
