@@ -737,12 +737,30 @@ def run_test(cfg) -> None:
     # marcher that is never used (mirror of session.py's use_blocks gate)
     use_blocks = (use_compact and cfg.infer_block == 2 and ds.H % 2 == 0
                   and ds.W % 2 == 0 and budget % 4 == 0)
+    # the K2 trajectory measurement must see the SAME rays render_frame
+    # casts: fold the learned per-frame camera refinement into the measured
+    # poses (rays_o += dT, rays_d @= dR  <=>  R' = dR^T R, t' = t + dT) —
+    # the fixed margin inside the measurement need not absorb a large
+    # learned shift (round-3 advisor finding)
+    measure_poses = ds.poses
+    if cfg.train_camera and "camera_dT" in infer_params["params"]:
+        from .utils.pose import euler_angles_to_matrix
+
+        dT = np.asarray(infer_params["params"]["camera_dT"])
+        dR = np.asarray(euler_angles_to_matrix(
+            jnp.asarray(infer_params["params"]["camera_dR"])
+            / 180.0 * jnp.pi + 1e-8))
+        measure_poses = np.array(ds.poses, copy=True)
+        n = len(measure_poses)
+        measure_poses[:, :3, :3] = np.einsum(
+            "nij,nik->njk", dR[:n], measure_poses[:, :3, :3])
+        measure_poses[:, :3, 3] += dT[:n]
     if use_compact:
         from .ops.march2 import resolve_march_plan
 
         k2, march_group, march_variant = resolve_march_plan(
-            isettings, tables.z_lo, tables.z_hi, ds.poses, ds.intrinsics,
-            ds.H, ds.W, k2_override=k2,
+            isettings, tables.z_lo, tables.z_hi, measure_poses,
+            ds.intrinsics, ds.H, ds.W, k2_override=k2,
             march_group=march_group if use_blocks else 1,
             march_variant=march_variant, log=trainer.log,
             measure="block" if use_blocks else "ray")

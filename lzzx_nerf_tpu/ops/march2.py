@@ -36,6 +36,39 @@ import jax.numpy as jnp
 
 from .march import MarchResult, _first_s_select, occ_lookup
 
+# Round-3 advisor finding: the word-pair selects below CLIP (word - w0)
+# into {0,1}; a candidate outside the group's assumed ~2.1-cell z-span
+# would silently read the WRONG word and corrupt samples without signal.
+# The envelope analysis says this cannot happen for any valid geometry,
+# but regressions must fail loudly: tests flip this flag, run the block
+# marchers over the exactness-suite scenes, and assert the violation
+# counter stayed zero (tests/test_march2.py::test_word_pair_envelope_*).
+# Off in production — the callback would serialize the hot path.
+DEBUG_WORD_ENVELOPE = False
+_word_envelope_violations = 0
+
+
+def reset_word_envelope_violations() -> None:
+    global _word_envelope_violations
+    _word_envelope_violations = 0
+
+
+def word_envelope_violations() -> int:
+    return _word_envelope_violations
+
+
+def _word_pair_index(word, w0b, live):
+    """clip(word - w0, 0, 1), with an optional loud envelope check."""
+    delta = word - w0b
+    if DEBUG_WORD_ENVELOPE:
+        def _cb(c):
+            global _word_envelope_violations
+            _word_envelope_violations += int(c)
+
+        jax.debug.callback(
+            _cb, jnp.sum(((delta < 0) | (delta > 1)) & live))
+    return jnp.clip(delta, 0, 1)
+
 
 class RayWindow(NamedTuple):
     t_start: jnp.ndarray   # [N]
@@ -1033,6 +1066,8 @@ def march_rays_window_bitmask_nb_block(
 
     word = czb >> 5
     bit = (czb & 31).astype(jnp.uint32)
+    live = (((t_cand < t_end[:, None, None]) & slot_valid[:, None, None])
+            .reshape(Bb, 4, G, group) if DEBUG_WORD_ENVELOPE else None)
     if variant in ("zband", "zband4"):
         # stage 0a (amortised like wslice): the 2 words that can contain
         # any of the group's candidates
@@ -1049,7 +1084,7 @@ def march_rays_window_bitmask_nb_block(
     elif variant in ("quadw", "quadwx"):
         # the fetched row IS the word pair per column (nb*2 + i layout):
         # one flat 32-way select per candidate, nothing amortised
-        widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
+        widx = _word_pair_index(word, w0[:, None, :, None], live)
         j2 = nb * 2 + widx                                 # [Bb, 4, G, group]
         fmask = (j2[..., None]
                  == jnp.arange(32, dtype=jnp.int32))       # [Bb,4,G,g,32]
@@ -1059,7 +1094,7 @@ def march_rays_window_bitmask_nb_block(
     elif variant == "nb5w":
         # symmetric word-baked row: flat 50-way select (25 neighbors x 2
         # words), nothing amortised — the nb5 analogue of quadw
-        widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
+        widx = _word_pair_index(word, w0[:, None, :, None], live)
         j2 = nb * 2 + widx                                 # [Bb, 4, G, group]
         fmask = (j2[..., None]
                  == jnp.arange(50, dtype=jnp.int32))       # [Bb,4,G,g,50]
@@ -1093,7 +1128,7 @@ def march_rays_window_bitmask_nb_block(
             axis=-1, dtype=jnp.uint32)                     # [Bb,1,G,1,NF,2]
         # flat 2*NF-way select (50 symmetric / 32 quad): index = nb*2 +
         # (word - w0), clipped into range
-        widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
+        widx = _word_pair_index(word, w0[:, None, :, None], live)
         j2 = nb * 2 + widx                                 # [Bb, 4, G, group]
         fmask = (j2[..., None]
                  == jnp.arange(2 * NF, dtype=jnp.int32))   # [Bb,4,G,g,2NF]
@@ -1257,6 +1292,9 @@ def march_rays_window_bitmask_nb_block3(
 
     word = czb >> 5
     bit = (czb & 31).astype(jnp.uint32)
+    live = (((t_cand4 < t_end.reshape(Bb, 4)[..., None, None])
+             & slot_valid.reshape(Bb, 4)[..., None, None])
+            if DEBUG_WORD_ENVELOPE else None)
     # word-pair pre-reduce (same trick as the ±2 wslice variant): the
     # group's z span is <= ~2.5 cells, so all candidate words lie in
     # {w0, w0+1} with w0 = (gz-2)>>5 (5 cells < 32 cross at most one
@@ -1268,7 +1306,7 @@ def march_rays_window_bitmask_nb_block3(
     rows2 = jnp.sum(
         jnp.where(wm, rows[..., :, None, :], jnp.uint32(0)),
         axis=-1, dtype=jnp.uint32)                         # [Bb,1,G,1,9,2]
-    widx = jnp.clip(word - w0[:, None, :, None], 0, 1)
+    widx = _word_pair_index(word, w0[:, None, :, None], live)
     j2 = nb * 2 + widx                                     # [Bb, 4, G, group]
     fmask = (j2[..., None]
              == jnp.arange(18, dtype=jnp.int32))           # [Bb,4,G,g,18]

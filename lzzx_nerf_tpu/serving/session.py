@@ -490,10 +490,10 @@ class InferenceSession:
 
         def consume():
             (base, count, bufs_dev, acts_dev, s2_dev, sp_dev,
-             wm_dev) = queue.popleft()
+             wm_dev, chunk_k2) = queue.popleft()
             bufs = np.asarray(bufs_dev)
             acts = np.asarray(acts_dev)
-            if int(wm_dev) > self.k2:
+            if int(wm_dev) > chunk_k2:
                 # WINDOW-TRUNCATION ESCAPE: a frame needed more march
                 # candidates than K2 — those rays lost their far-side
                 # samples (the silent −11 dB class of the round-3 K2 find,
@@ -505,11 +505,19 @@ class InferenceSession:
                 want_k2 += want_k2 % 2
                 if want_k2 > max(self.k2, self._pending_k2 or 0):
                     print(f"[WARN] chunk at frame {base}: a window needs "
-                          f"{int(wm_dev)} march candidates > K2={self.k2} "
+                          f"{int(wm_dev)} march candidates > K2={chunk_k2} "
                           f"(truncated rays lose far-side samples); "
                           f"rebuilding with K2={want_k2} at the next chunk "
                           f"boundary")
                     self._pending_k2 = want_k2
+                else:
+                    # a later chunk already triggered (or completed) the
+                    # rebuild; this earlier-compiled chunk still STREAMED
+                    # truncated frames — say so instead of passing silently
+                    print(f"[WARN] chunk at frame {base}: {count} frame(s) "
+                          f"streamed truncated (compiled at K2={chunk_k2}, "
+                          f"needed {int(wm_dev)}) before the K2 rebuild "
+                          f"takes effect")
             if (not self._s2_warned
                     and int(s2_dev) > self.stage2_budget):
                 print(f"[WARN] chunk at frame {base}: {int(s2_dev)} stage-2 "
@@ -673,7 +681,13 @@ class InferenceSession:
                     has_prev = jnp.float32(1.0)
                     if hasattr(bufs, "copy_to_host_async"):
                         bufs.copy_to_host_async()
-                queue.append((base, count, bufs, n_acts, n_s2, n_sp, n_wm))
+                # carry the K2 this chunk's program was COMPILED with: a
+                # rebuild between enqueue and consume raises self.k2, and
+                # comparing wm against the new value would let a chunk that
+                # rendered truncated under the old K2 pass silently
+                # (round-3 advisor finding)
+                queue.append((base, count, bufs, n_acts, n_s2, n_sp, n_wm,
+                              self.k2))
                 if len(queue) >= 2:
                     with ph("fetch+sink"):
                         consume()

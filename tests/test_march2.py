@@ -634,6 +634,55 @@ def test_nb_block_march_exact_random_scenes(variant):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("variant", ["quadw", "nb5w"])
+def test_word_pair_envelope_holds(variant):
+    """The word-pair selects in the quadw/nb5w block marchers CLIP
+    (word - w0) into {0,1} on the hot path — a candidate outside the
+    group's assumed ~2.1-cell z-span would silently read the WRONG word
+    (round-3 advisor finding, march2.py word-pair comment). Flip the
+    debug flag, run the block marchers over the exactness-suite scenes
+    (camera fovs + fragmented random occupancy), and assert the
+    violation counter stayed zero — envelope regressions now fail
+    loudly here instead of corrupting samples in production."""
+    from lzzx_nerf_tpu.ops import march2
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_neighborhood5_words, column_bitmasks_quadrant_words,
+        march_rays_window_bitmask_nb_block,
+        reset_word_envelope_violations, word_envelope_violations)
+
+    scenes = []
+    occ, _, _ = _scene()
+    scenes.append(occ)
+    rng = np.random.default_rng(3)
+    occ_np = np.zeros((GRID, GRID, GRID), bool)
+    for _ in range(12):
+        c = rng.integers(4, GRID - 4, 3)
+        r = rng.integers(2, 5)
+        x, y, z = np.ogrid[:GRID, :GRID, :GRID]
+        occ_np |= ((x - c[0]) ** 2 + (y - c[1]) ** 2
+                   + (z - c[2]) ** 2) < r ** 2
+    scenes.append(jnp.asarray(occ_np)[None])
+
+    reset_word_envelope_violations()
+    march2.DEBUG_WORD_ENVELOPE = True
+    try:
+        K2, S = 48, 16
+        for occ in scenes:
+            table = (column_bitmasks_neighborhood5_words(occ)
+                     if variant == "nb5w"
+                     else column_bitmasks_quadrant_words(occ))
+            for z, fs in ((-2.5, 0.6), (-1.8, 0.9)):
+                ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(
+                    occ, z=z, fov_scale=fs)
+                v = march_rays_window_bitmask_nb_block(
+                    ro, rd, t0, t1, sv, t0_blk, dc, table, BOUND, DT,
+                    K2, S, variant=variant)
+                jax.block_until_ready(v.mask)
+    finally:
+        march2.DEBUG_WORD_ENVELOPE = False
+    assert word_envelope_violations() == 0
+
+
 def test_quadrant_table_blocks_match_exact_columns():
     """column_bitmasks_quadrant: field (ix*4 + iy) of quadrant
     q = 2*(sx<0) + (sy<0) must equal the exact z-bitstring of column

@@ -42,11 +42,62 @@ def test_sh_encode_matches_golden():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-@pytest.mark.parametrize("degree", [1, 2, 3, 4])
+@pytest.mark.parametrize("degree", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_sh_degrees(degree):
     d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
     out = ops.sh_encode(d, degree)
     assert out.shape == (1, degree * degree)
+
+
+@pytest.mark.parametrize("degree", [4, 5, 6, 7, 8])
+def test_sh_orthonormality(degree):
+    """Monte-Carlo Gram matrix over the sphere must be the identity:
+    an independent check of every normalisation constant and polynomial in
+    the degree-5..8 extension (shencoder.cu:28-123 envelope) — a typo in
+    any coefficient or term breaks a whole row/column."""
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((200_000, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    Y = np.asarray(ops.sh_encode(jnp.asarray(d, jnp.float64), degree))
+    gram = 4.0 * np.pi * (Y.T @ Y) / len(d)
+    np.testing.assert_allclose(gram, np.eye(degree * degree),
+                               atol=5e-2)
+
+
+def test_sh_high_degree_golden_values():
+    """Spot goldens transcribed from the CUDA kernel's closed forms
+    (shencoder.cu:74-123): output index / direction / value triples."""
+    inv = 1.0 / np.sqrt(3.0)
+    dirs = np.array([[0.0, 0.0, 1.0],
+                     [1.0, 0.0, 0.0],
+                     [inv, inv, inv]], np.float64)
+    Y = np.asarray(ops.sh_encode(jnp.asarray(dirs), 8))
+    x = y = z = inv
+    x2 = y2 = z2 = 1.0 / 3.0
+    x4 = y4 = z4 = 1.0 / 9.0
+    x6 = y6 = z6 = 1.0 / 27.0
+    # l=4, m=0 at +z: 3*(-30z2+35z4+3)/(16 sqrt(pi)) with z=1
+    assert abs(Y[0, 20] - (-3.1735664074561294 + 3.7024941420321507
+                           + 0.31735664074561293)) < 1e-6
+    # l=6, m=0 at +z
+    assert abs(Y[0, 42] - (6.6747662381009842 - 20.024298714302954
+                           + 14.684485723822165 - 0.31784601133814211)) < 1e-6
+    # l=8 (degree 8) m=0 at +z: outputs[56]
+    assert abs(Y[0, 56] - 0.068284276912004949 * (315.0 - 693.0 + 429.0
+                                                  - 35.0)) < 1e-6
+    # l=4, m=4 at +x: outputs[24] = 3 sqrt(35) x4 /(16 sqrt(pi))
+    assert abs(Y[1, 24] - 0.62583573544917614) < 1e-6
+    # l=6 sectoral at +x: outputs[48] = sqrt(6006) x6 / (64 sqrt(pi))
+    assert abs(Y[1, 48] - 0.6831841051919143) < 1e-6
+    # diagonal direction, a mixed term: outputs[26] = 3 sqrt(385) xyz(x2-y2)
+    assert abs(Y[2, 26] - 8.3026492595241645 * x * y * z * (x2 - y2)) < 1e-6
+    # outputs[54] = 3 sqrt(70) xyz (-110 z2 + 143 z4 + 15)/(32 sqrt(pi))
+    want = 0.44253269244498261 * x * y * z * (-110.0 * z2 + 143.0 * z4 + 15.0)
+    assert abs(Y[2, 54] - want) < 1e-6
+    # outputs[63] (l=7 sectoral) at the diagonal
+    want = 0.70716273252459627 * x * (-35.0 * x2 * y4 + 21.0 * x4 * y2
+                                      - x6 + 7.0 * y6)
+    assert abs(Y[2, 63] - want) < 1e-6
 
 
 # ---------- hash / tiled grid encoder ----------
