@@ -1,6 +1,8 @@
 """End-to-end training tests on the synthetic dataset (BASELINE config #4
 scaled down): loss must drop and PSNR rise after a few hundred steps."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -190,6 +192,124 @@ def test_lpips_pretrained_loader(tmp_path, monkeypatch):
     img = np.clip(np.random.default_rng(0).uniform(0, 1, (64, 64, 3)), 0, 1)
     m2.update(img, img)
     assert m2.measure() < 1e-6
+
+
+LPIPS_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                             "lpips_fixture.npz")
+LPIPS_FIXTURE_SHA256 = (
+    "6117475acb86799b0e5cde7d286cebc09c8dee810d843544e9d56deb5038e455")
+
+
+def test_lpips_fixture_checksum():
+    """The committed fixture must be byte-exact (scripts/make_lpips_fixture.py
+    provenance): drift or corruption fails loudly here before any test that
+    consumes it."""
+    import hashlib
+
+    digest = hashlib.sha256(open(LPIPS_FIXTURE, "rb").read()).hexdigest()
+    assert digest == LPIPS_FIXTURE_SHA256
+
+
+def test_lpips_fixture_forward_backward():
+    """The REAL criterion (load_weights -> _features -> lpips) runs forward
+    AND backward with the shipped fixture: finite distance, zero at identity,
+    finite nonzero gradient through the predicted image (VERDICT r3 item 5 —
+    previously the finetune-lips loss had never executed its actual
+    criterion in CI, only the fixed-seed random backbone)."""
+    from lzzx_nerf_tpu.train import lpips as lpips_mod
+
+    params = lpips_mod.load_weights(LPIPS_FIXTURE)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    d = lpips_mod.lpips(params, x, y)
+    assert d.shape == (2,) and np.isfinite(np.asarray(d)).all()
+    assert float(jnp.max(lpips_mod.lpips(params, x, x))) < 1e-6
+
+    g = jax.grad(lambda x: jnp.mean(lpips_mod.lpips(params, x, y)))(x)
+    ga = np.asarray(g)
+    assert np.isfinite(ga).all() and np.abs(ga).max() > 0
+
+
+def test_finetune_lips_runs_real_criterion_with_fixture(tmp_path, monkeypatch):
+    """End-to-end lips finetune through the CLI with the fixture as the
+    pretrained npz: the provenance gate passes WITHOUT --allow_rand_lpips,
+    the step jits and executes the LPIPS term forward/backward, and the log
+    records the pretrained provenance."""
+    from conftest import make_toy_dataset
+    from lzzx_nerf_tpu import cli
+    from lzzx_nerf_tpu.config import Config
+
+    monkeypatch.setenv("LZZX_LPIPS_NPZ", LPIPS_FIXTURE)
+    data = make_toy_dataset(tmp_path / "data")
+    cfg = Config(path=data, workspace=str(tmp_path / "ws"),
+                 asr_model="deepspeech", grid_size=32, max_steps=8,
+                 num_rays=1024, iters=2, finetune_lips=True, patch_size=1,
+                 lips_crop=32)
+    cli.run_train(cfg)
+    log = open(tmp_path / "ws" / "log_ngp.txt").read()
+    assert "pretrained" in log and "lpips_fixture.npz" in log
+    assert "RANDOM" not in log
+
+
+def test_export_lpips_from_alexnet_checkpoint(tmp_path):
+    """export_lpips.py --alexnet-ckpt: a torchvision-layout AlexNet
+    state_dict converts to the npz layout train/lpips.py loads (OIHW->HWIO,
+    uniform heads absent a lins checkpoint; calibrated heads with one) —
+    VERDICT r3 item 5's no-`lpips`-package export path."""
+    import subprocess
+    import sys
+
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    sd = {}
+    for fi, (o, i, k, _) in zip((0, 3, 6, 8, 10), shapes):
+        sd[f"features.{fi}.weight"] = torch.tensor(
+            rng.standard_normal((o, i, k, k)).astype(np.float32))
+        sd[f"features.{fi}.bias"] = torch.tensor(
+            rng.standard_normal(o).astype(np.float32))
+    ck = tmp_path / "alexnet.pth"
+    torch.save(sd, ck)
+    lins = {f"lin{i}.model.1.weight": torch.tensor(
+        rng.uniform(0, 1, (1, s[0], 1, 1)).astype(np.float32))
+        for i, s in enumerate(shapes)}
+    lck = tmp_path / "lins.pth"
+    torch.save(lins, lck)
+
+    out = tmp_path / "lpips_alex.npz"
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "export_lpips.py")
+    r = subprocess.run([sys.executable, script, "--alexnet-ckpt", str(ck),
+                        "--lpips-ckpt", str(lck), "--out", str(out)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    from lzzx_nerf_tpu.train import lpips as lpips_mod
+
+    params = lpips_mod.load_weights(str(out))
+    assert params["conv0"].shape == (11, 11, 3, 64)
+    np.testing.assert_allclose(
+        np.asarray(params["conv1"]),
+        np.transpose(sd["features.3.weight"].numpy(), (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        np.asarray(params["lin2"]),
+        lins["lin2.model.1.weight"].numpy().reshape(-1))
+    # the loaded weights drive the real criterion
+    x = jnp.zeros((1, 32, 32, 3))
+    assert float(lpips_mod.lpips(params, x, x)[0]) < 1e-6
+
+    # without a lins ckpt: uniform heads + loud note
+    out2 = tmp_path / "feat.npz"
+    r2 = subprocess.run([sys.executable, script, "--alexnet-ckpt", str(ck),
+                         "--out", str(out2)],
+                        capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr
+    assert "NOT calibrated" in r2.stdout
+    p2 = lpips_mod.load_weights(str(out2))
+    np.testing.assert_allclose(np.asarray(p2["lin0"]),
+                               np.full(64, 1 / 64, np.float32))
 
 
 def test_lpips_explicit_bad_path_raises(tmp_path, monkeypatch):
