@@ -68,6 +68,14 @@ def main():
                              "nb5wz4"],
                     help="block-march select variant for J (the candidate "
                          "production point; B/C keep wslice)")
+    ap.add_argument("--load-state", default="",
+                    help="production_state.pkl from "
+                         "scripts/train_production.py: SKIP the in-script "
+                         "training and guard the serving paths on the "
+                         "production-trained params (EMA, like serving) + "
+                         "occupancy instead — the oracle regenerates "
+                         "consistent GT at --res from the state's "
+                         "frames/audio meta")
     args = ap.parse_args()
 
     import jax
@@ -91,61 +99,92 @@ def main():
                                       render_rays_compact_blocks)
     from lzzx_nerf_tpu.train import TrainState, build_optimizer, make_train_step
 
-    res, grid = args.res, args.grid
-    ds = SyntheticTalkingHead(num_frames=16, H=res, W=res)
-    dt = marching_dt(1.0, grid, 16, 1)
-    aabb = (-1.0, -0.5, -1.0, 1.0, 0.5, 1.0)
-    settings = RenderSettings(bound=1.0, cascade=1, grid_size=grid,
-                              max_steps=16, dt=dt,
-                              num_cand=num_candidates(aabb, 0.05, dt),
-                              aabb=aabb)
-    occ = init_occupancy_state(settings)
-    occ = occ._replace(occ=jnp.ones_like(occ.occ))
+    res = args.res
+    if args.load_state:
+        import pickle
 
-    field = NeRFField(audio_in_dim=ds.audio_dim, ind_num=64)
-    b0 = ds.frame(0)
-    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
-                        jnp.ones((4, 3)) / 3 ** 0.5, jnp.asarray(b0["auds"]),
-                        jnp.zeros(4), jnp.asarray([0.25]), method="init_all")
-    tx = build_optimizer(1e-2, 1e-3, args.steps)
-    state = TrainState.create(params, tx)
-    # train through the production policy: full path during the grid
-    # warmup, ray-compacted after (Config.train_budget_frac /
-    # train_compact_warmup defaults)
-    common = dict(H=res, W=res, intrinsics=ds.intrinsics, num_rays=4096,
-                  iters=args.steps, ind_dim=4, ema_interval=500)
-    step_full = jax.jit(make_train_step(field, settings, tx, **common))
-    step_compact = jax.jit(make_train_step(field, settings, tx,
-                                           train_budget=3072, **common))
-    warmup = args.warmup
+        from lzzx_nerf_tpu.render.state import OccupancyState
 
-    from lzzx_nerf_tpu.render import make_density_grid_update
+        with open(args.load_state, "rb") as f:
+            stpkl = pickle.load(f)
+        meta = stpkl["meta"]
+        grid = int(meta["grid"])
+        dt = float(meta["dt"])
+        aabb = tuple(float(x) for x in meta["aabb"])
+        settings = RenderSettings(bound=1.0, cascade=1, grid_size=grid,
+                                  max_steps=16, dt=dt,
+                                  num_cand=num_candidates(aabb, 0.05, dt),
+                                  aabb=aabb)
+        occ = OccupancyState(**{k: jnp.asarray(v)
+                                for k, v in stpkl["occ"].items()})
+        # the oracle regenerates consistent GT at any res; same frame
+        # count/audio stream as training (train_production.py)
+        ds = SyntheticTalkingHead(num_frames=int(meta["frames"]),
+                                  H=res, W=res, torso=True)
+        field = NeRFField(audio_in_dim=ds.audio_dim,
+                          ind_num=max(64, int(meta["frames"])))
+        # the serving session consumes the EMA params — guard those
+        params = {"params": jax.tree.map(jnp.asarray, stpkl["head_ema"])}
+        print(f"loaded trained state {args.load_state} "
+              f"(head_iters={meta.get('head_iters')}, "
+              f"final_psnr={meta.get('final_psnr')})")
+    else:
+        grid = args.grid
+        ds = SyntheticTalkingHead(num_frames=16, H=res, W=res)
+        dt = marching_dt(1.0, grid, 16, 1)
+        aabb = (-1.0, -0.5, -1.0, 1.0, 0.5, 1.0)
+        settings = RenderSettings(bound=1.0, cascade=1, grid_size=grid,
+                                  max_steps=16, dt=dt,
+                                  num_cand=num_candidates(aabb, 0.05, dt),
+                                  aabb=aabb)
+        occ = init_occupancy_state(settings)
+        occ = occ._replace(occ=jnp.ones_like(occ.occ))
 
-    grid_refresh = make_density_grid_update(field, settings)
+        field = NeRFField(audio_in_dim=ds.audio_dim, ind_num=64)
+        b0 = ds.frame(0)
+        params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                            jnp.ones((4, 3)) / 3 ** 0.5,
+                            jnp.asarray(b0["auds"]),
+                            jnp.zeros(4), jnp.asarray([0.25]),
+                            method="init_all")
+        tx = build_optimizer(1e-2, 1e-3, args.steps)
+        state = TrainState.create(params, tx)
+        # train through the production policy: full path during the grid
+        # warmup, ray-compacted after (Config.train_budget_frac /
+        # train_compact_warmup defaults)
+        common = dict(H=res, W=res, intrinsics=ds.intrinsics, num_rays=4096,
+                      iters=args.steps, ind_dim=4, ema_interval=500)
+        step_full = jax.jit(make_train_step(field, settings, tx, **common))
+        step_compact = jax.jit(make_train_step(field, settings, tx,
+                                               train_budget=3072, **common))
+        warmup = args.warmup
 
-    rng = jax.random.PRNGKey(0)
-    t0 = time.time()
-    # device-resident frames: a per-step host upload costs more than the
-    # step itself on the tunneled chip
-    frames_dev = [jax.device_put({k: jnp.asarray(v)
-                                  for k, v in ds.frame(i).items()})
-                  for i in range(ds.num_frames)]
-    for it in range(args.steps):
-        batch = frames_dev[it % ds.num_frames]
-        if it % 16 == 0:
-            occ = grid_refresh(state.params, occ, batch["auds"],
-                               batch.get("eye"), rng, state.step)
-        step = step_full if it < warmup else step_compact
-        state, metrics = step(state, occ, batch, rng)
-        if it % args.log_every == 0:
-            print(f"step {it}: loss={float(metrics['loss']):.5f} "
-                  f"({it / max(time.time() - t0, 1e-9):.1f} it/s)",
-                  flush=True)
+        from lzzx_nerf_tpu.render import make_density_grid_update
+
+        grid_refresh = make_density_grid_update(field, settings)
+
+        rng = jax.random.PRNGKey(0)
+        t0 = time.time()
+        # device-resident frames: a per-step host upload costs more than the
+        # step itself on the tunneled chip
+        frames_dev = [jax.device_put({k: jnp.asarray(v)
+                                      for k, v in ds.frame(i).items()})
+                      for i in range(ds.num_frames)]
+        for it in range(args.steps):
+            batch = frames_dev[it % ds.num_frames]
+            if it % 16 == 0:
+                occ = grid_refresh(state.params, occ, batch["auds"],
+                                   batch.get("eye"), rng, state.step)
+            step = step_full if it < warmup else step_compact
+            state, metrics = step(state, occ, batch, rng)
+            if it % args.log_every == 0:
+                print(f"step {it}: loss={float(metrics['loss']):.5f} "
+                      f"({it / max(time.time() - t0, 1e-9):.1f} it/s)",
+                      flush=True)
+        params = state.params
 
     # ---- render the three paths on held-out-ish frames
     from lzzx_nerf_tpu.utils import get_rays
-
-    params = state.params
     if args.save_state:
         import pickle
 
@@ -368,7 +407,9 @@ def main():
     bsepts = float(np.mean(scores["B_serving_S8"]))
     cpts = float(np.mean(scores["C_serving_block"]))
     dpts = float(np.mean(scores["D_block_f32tab"]))
-    print(f"\nPSNR vs GT after {args.steps} steps @{res}²:")
+    provenance = (f"trained state {args.load_state}" if args.load_state
+                  else f"after {args.steps} steps")
+    print(f"\nPSNR vs GT {provenance} @{res}²:")
     print(f"  A parity  (S=16, fp32, exhaustive)          : {a:6.2f} dB")
     print(f"  B serving (S=16 staged, bf16, bitmask)      : {bsepts:6.2f} dB "
           f"(delta {bsepts - a:+.2f})")
