@@ -83,6 +83,16 @@ def main():
                          "to (chunk-1) x 40 ms for its chunk's audio to "
                          "arrive, then one chunk render + d2h fetch — "
                          "chunk is the latency/throughput knob")
+    ap.add_argument("--latency-live", action="store_true",
+                    help="REAL-TIME simulation: audio arrives at the 25 fps "
+                         "wall clock, each chunk dispatches the moment its "
+                         "audio is complete (copy_to_host_async immediately "
+                         "after), and frames are fetched as they become "
+                         "ready — reports the measured per-frame audio->"
+                         "frame-on-host latency distribution and whether "
+                         "the pipeline kept up with real time (the sub-"
+                         "100 ms operating-point demonstration; use "
+                         "--chunk 1)")
     ap.add_argument("--pix-fmt", choices=["yuv420p", "rgb24"],
                     default="yuv420p",
                     help="frame layout pushed to the encoder; yuv420p halves "
@@ -452,6 +462,58 @@ def main():
           f"n_active={max_act}/{budget}, n_stage2={max_s2}"
           + (f", n_spts={max_sp}/{staged_sb}" if staged_sb else ""),
           file=sys.stderr)
+
+    if args.latency_live:
+        # REAL-TIME schedule: frame f's audio is complete at f*40 ms on the
+        # wall clock; a chunk dispatches when its LAST frame's audio is in
+        # (live serving is sync-per-chunk — the pipeline cannot run ahead
+        # of audio that does not exist yet). Latency(f) = frame-on-host
+        # time - audio-complete time. This measures the true end-to-end
+        # operating point including the tunnel's d2h leg, which
+        # copy_to_host_async overlaps with the next chunk's compute.
+        cadence = 1.0 / 25.0
+        n_meas = min(64, n_chunks * C) // C * C
+        pending = deque()
+        lats = {}
+        late_dispatch = 0
+        t0 = time.perf_counter()
+        for k in range(n_meas // C):
+            t_ready = (k * C + C - 1) * cadence   # chunk audio complete
+            now = time.perf_counter() - t0
+            if now < t_ready:
+                time.sleep(t_ready - now)
+            else:
+                late_dispatch += now > t_ready + 0.004
+            img, _, _, _ = render_chunk(params, packed, tables, occ,
+                                        aud_stream[k % n_chunks],
+                                        eyes[k % n_chunks], tparams,
+                                        torso_packed)
+            img.copy_to_host_async()
+            pending.append((k, img))
+            while pending and pending[0][1].is_ready():
+                kk, im = pending.popleft()
+                np.asarray(im)
+                t_host = time.perf_counter() - t0
+                for i in range(C):
+                    lats[kk * C + i] = t_host - (kk * C + i) * cadence
+        while pending:
+            kk, im = pending.popleft()
+            np.asarray(im)
+            t_host = time.perf_counter() - t0
+            for i in range(C):
+                lats[kk * C + i] = t_host - (kk * C + i) * cadence
+        total = time.perf_counter() - t0
+        vals = 1000.0 * np.asarray([lats[f] for f in sorted(lats)])
+        sustained = len(lats) / total
+        print(f"# latency-live (chunk={C}, 25 fps audio): "
+              f"audio->host p50={np.percentile(vals, 50):.0f} ms "
+              f"p95={np.percentile(vals, 95):.0f} ms "
+              f"max={vals.max():.0f} ms over {len(lats)} frames; "
+              f"pipeline output {sustained:.1f} fps "
+              f"({'kept up with' if late_dispatch == 0 else f'{late_dispatch} late dispatches vs'} "
+              f"the real-time schedule). run_live/--asr adds the attention "
+              f"right context on top (att=2: +3 frames = +120 ms; att=1: "
+              f"+0)", file=sys.stderr)
 
     if args.latency:
         # sync per-chunk latency: dispatch -> all C frames on host, no
