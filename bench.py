@@ -117,7 +117,7 @@ def main():
     ap.add_argument("--march-variant", default="nb5w",
                     choices=["wslice", "nb_first", "zband", "zband4",
                              "quad", "quadw", "quadwx", "nb5w", "nb5wz",
-                             "nb5wz4"],
+                             "nb5wz4", "nb5wp"],
                     help="group-2 block-march select variant (all "
                          "sample-exact, tests/test_march2.py): wslice = "
                          "word-pair pre-reduce + flat 50-way select; "

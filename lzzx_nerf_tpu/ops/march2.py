@@ -479,7 +479,7 @@ def needed_variant_tables(march_group: int,
     if march_group == 2:
         if march_variant in ("quadwx", "quadw", "quad", "nb5w"):
             return (march_variant,)
-        if march_variant in ("nb5wz", "nb5wz4"):
+        if march_variant in ("nb5wz", "nb5wz4", "nb5wp"):
             return ("nb5w",)
         return ("nb5",)
     return ()
@@ -948,7 +948,7 @@ def march_rays_window_bitmask_nb_block(
         W32 = H // 32
         assert 2 * H * H * W32 == col_mask.shape[0] and col_mask.shape[1] == 64
         NF = 16
-    elif variant in ("nb5w", "nb5wz", "nb5wz4"):
+    elif variant in ("nb5w", "nb5wz", "nb5wz4", "nb5wp"):
         # z-word-indexed symmetric 5x5 table: [H*H*(H//32), 50]
         H = int(round((32 * col_mask.shape[0]) ** (1.0 / 3.0)))
         W32 = H // 32
@@ -1018,7 +1018,7 @@ def march_rays_window_bitmask_nb_block(
                 idx = idx * W32 + w0
     else:
         idx = gx * H + gy
-        if variant in ("nb5w", "nb5wz", "nb5wz4"):
+        if variant in ("nb5w", "nb5wz", "nb5wz4", "nb5wp"):
             idx = idx * W32 + w0
     if variant == "quadw":
         rows_q = jnp.take(col_mask, idx.reshape(-1),
@@ -1031,6 +1031,26 @@ def march_rays_window_bitmask_nb_block(
         rows_q = jnp.where((sy < 0)[:, None, None],
                            rows64[..., 32:], rows64[..., :32]
                            ).reshape(Bb, 1, G, 1, 32)
+    elif variant == "nb5wp":
+        # Pallas select: the whole per-candidate test + first-S scan runs
+        # in one kernel on the RAW fetched rows (ops/march_select_pallas).
+        # Bit-exact to "nb5w" (same anchors, same fetch, same clip
+        # semantics); parity-tested through the same block-exactness suite.
+        from .march_select_pallas import march_select_pallas
+
+        rows_flat = jnp.take(col_mask, idx.reshape(-1), axis=0)
+        sel = march_select_pallas(
+            rows_flat, gx, gy, w0, rays_o, rays_d, t_start, t_end,
+            slot_valid, bound, dt, H, num_cand, max_samples)
+        mask = sel >= 0
+        sel_k = jnp.where(mask, sel, 0).astype(jnp.float32)
+        t_sel = t_start[:, None] + sel_k * dt
+        xyzs = jnp.clip(
+            rays_o[:, None, :] + t_sel[..., None] * rays_d[:, None, :],
+            -bound, bound)
+        deltas = jnp.where(mask, dt, 0.0)
+        return MarchResult(xyzs=xyzs, deltas=deltas, ts=t_sel + dt,
+                           mask=mask)
     elif variant in ("nb5w", "nb5wz", "nb5wz4"):
         rows_w = jnp.take(col_mask, idx.reshape(-1),
                           axis=0).reshape(Bb, 1, G, 1, 50)

@@ -1,0 +1,203 @@
+"""Pallas kernel for the block-march per-candidate select + first-S scan.
+
+The XLA nb5w select (ops/march2.py march_rays_window_bitmask_nb_block)
+evaluates the per-candidate "which of the fetched row's 50 words holds my
+bit" question as a one-hot broadcast-compare over [Bb, 4, G, group, 50]
+followed by a masked sum, and the first-S sample selection as a
+lax.top_k sort over K2 candidates — together the frame profiler's largest
+non-gather block (~4.5 ms of select/layout + ~1.6 ms of sort at 512²,
+PERF.md round-4 target map): every intermediate ([24576, 22, 50] u32
+one-hot products, [B, K2] valid masks, sort keys) is materialized in HBM.
+
+This kernel runs the identical math per 2x2-pixel block tile with every
+intermediate in VMEM/registers:
+
+- candidate cells from the ray geometry (VPU: fma + clip + int cast),
+- the 50-way word select as an in-register compare/select loop over the
+  block's fetched row (the row is loaded once per (block, group) and the
+  loop runs on [4, NBt] vectors — no HBM materialization),
+- the first-S selection as the natural sequential scan over candidates
+  (cnt/selected-slot registers) instead of a sort.
+
+HBM traffic drops to: the transposed row tensor in ([G, 50, Bb] u32 — the
+same bytes the XLA path reads), the per-ray attribute pack in
+([32, Bb] f32), and the [S*4, Bb] s32 selection indices out.
+
+Bit-exact contract: same candidate lattice (t_start + k*dt in f32), same
+clip-to-bound, same cell quantization, same nb/word/bit indexing and
+{0,1} word-pair clip as the "nb5w" variant — parity-tested against the
+exhaustive per-candidate marcher through the same tests/test_march2.py
+block-exactness suite (variant "nb5wp").
+
+Reference contract: raymarching.cu:828-939 (march_rays) — the per-ray
+DDA this whole family replaces with a static-shape candidate test.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NBT = 512          # blocks per kernel instance (lane dim = NBT)
+
+
+def _select_kernel(scal_ref, attrs_ref, anch_ref, rows_ref, sel_ref, *,
+                   H: int, bound: float, num_cand: int, max_samples: int,
+                   n_groups: int):
+    """One tile of NBT blocks (4 rays each).
+
+    scal_ref  SMEM [1, 2]  f32: (dt, unused)
+    attrs_ref VMEM [32, NBT] f32: rows 0-11 rd (x0..x3, y0..y3, z0..z3),
+              12-23 ro likewise, 24-27 t_start, 28-31 t_end (already
+              -inf where the slot is invalid)
+    anch_ref  VMEM [G, 8, NBT] i32: per group rows 0/1/2 = gx/gy/w0
+              (rows 3-7 pad to a sublane multiple)
+    rows_ref  VMEM [G, 56, NBT] u32: the fetched nb5w rows, word-major
+              (rows 50-55 pad)
+    sel_ref   VMEM [S*4, NBT] i32 out: row s*4 + r = candidate index of
+              ray r's (s+1)-th sample, -1 if none
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    dt = scal_ref[0, 0]
+
+    rdx = attrs_ref[0:4, :]
+    rdy = attrs_ref[4:8, :]
+    rdz = attrs_ref[8:12, :]
+    rox = attrs_ref[12:16, :]
+    roy = attrs_ref[16:20, :]
+    roz = attrs_ref[20:24, :]
+    ts = attrs_ref[24:28, :]
+    te = attrs_ref[28:32, :]
+
+    nbt = rdx.shape[1]
+    cnt0 = jnp.zeros((4, nbt), i32)
+    # S separate [4, NBT] carries (Mosaic has no dynamic_update_slice on
+    # loop-carried values; a tuple of registers is also what we mean)
+    sel0 = tuple(jnp.full((4, nbt), -1, i32) for _ in range(max_samples))
+
+    def cell(p):
+        # identical quantization to march2: clip pos, then
+        # clip((p/bound + 1) * 0.5 * H, 0, H-1) as int (values >= 0 so the
+        # int cast truncation == floor)
+        pc = jnp.clip(p, -bound, bound)
+        return jnp.clip((pc / bound + 1.0) * (0.5 * H), 0.0,
+                        float(H - 1)).astype(i32)
+
+    def group_body(g, carry):
+        cnt, sel = carry
+        gx = anch_ref[g, 0:1, :]                    # [1, NBT] i32
+        gy = anch_ref[g, 1:2, :]
+        w0 = anch_ref[g, 2:3, :]
+        rows_g = rows_ref[g]                        # [56, NBT] u32
+
+        for j in range(2):                          # group == 2
+            k = g * 2 + j                           # traced scalar
+            kf = k.astype(f32)
+            t = ts + kf * dt                        # [4, NBT]
+            cx = cell(rox + t * rdx)
+            cy = cell(roy + t * rdy)
+            cz = cell(roz + t * rdz)
+            nb = ((jnp.clip(cx - gx, -2, 2) + 2) * 5
+                  + (jnp.clip(cy - gy, -2, 2) + 2))
+            widx = jnp.clip((cz >> 5) - w0, 0, 1)
+            j2 = nb * 2 + widx                      # [4, NBT] in 0..49
+            bit = (cz & 31).astype(jnp.uint32)
+
+            wsel = jnp.zeros((4, nbt), jnp.uint32)
+            for w in range(50):
+                wsel = jnp.where(j2 == w, rows_g[w:w + 1, :], wsel)
+            occ = (jax.lax.shift_right_logical(wsel, bit)
+                   & jnp.uint32(1)) > 0
+            valid = occ & (t < te) & (k < num_cand)
+
+            sel = tuple(
+                jnp.where(valid & (cnt == s), k, sel[s])
+                for s in range(max_samples))
+            cnt = cnt + valid.astype(i32)
+        return cnt, sel
+
+    _, sel = jax.lax.fori_loop(0, n_groups, group_body, (cnt0, sel0))
+    for s in range(max_samples):
+        sel_ref[s * 4:(s + 1) * 4, :] = sel[s]
+
+
+def march_select_pallas(
+    rows: jnp.ndarray,         # [Bb*G, 50] u32 (raw nb5w gather output)
+    gx: jnp.ndarray,           # [Bb, G] i32 group anchor cells
+    gy: jnp.ndarray,           # [Bb, G] i32
+    w0: jnp.ndarray,           # [Bb, G] i32 anchor z-words
+    rays_o: jnp.ndarray,       # [4*Bb, 3]
+    rays_d: jnp.ndarray,       # [4*Bb, 3]
+    t_start: jnp.ndarray,      # [4*Bb]
+    t_end: jnp.ndarray,        # [4*Bb]
+    slot_valid: jnp.ndarray,   # [4*Bb] bool
+    bound: float,
+    dt: float,
+    H: int,
+    num_cand: int,
+    max_samples: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """First-S candidate indices [B, S] i32 (-1 where no sample) for the
+    nb5w block march. interpret=None auto-selects interpreter mode off-TPU
+    so CPU tests exercise the same kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = rays_d.shape[0]
+    Bb = B // 4
+    G = gx.shape[1]
+    S = max_samples
+    assert rows.shape == (Bb * G, 50), rows.shape
+
+    nbt = _NBT if Bb >= _NBT else max(128, Bb)
+    Bp = (Bb + nbt - 1) // nbt * nbt
+
+    te_eff = jnp.where(slot_valid, t_end, jnp.float32(-1e9))
+    attrs = jnp.concatenate([
+        rays_d.reshape(Bb, 4, 3).transpose(2, 1, 0).reshape(12, Bb),
+        rays_o.reshape(Bb, 4, 3).transpose(2, 1, 0).reshape(12, Bb),
+        t_start.reshape(Bb, 4).T,
+        te_eff.reshape(Bb, 4).T,
+    ], axis=0)                                         # [32, Bb]
+    anch = jnp.stack([gx.T, gy.T, w0.T], axis=1)       # [G, 3, Bb]
+    anch = jnp.pad(anch, ((0, 0), (0, 5), (0, 0)))     # [G, 8, Bb]
+    rows_t = jnp.pad(
+        rows.reshape(Bb, G, 50).transpose(1, 2, 0),    # [G, 50, Bb]
+        ((0, 0), (0, 6), (0, 0)))                      # [G, 56, Bb]
+    if Bp != Bb:
+        # padded blocks carry t_end = -inf -> all-invalid -> sel -1
+        attrs = jnp.pad(attrs, ((0, 0), (0, Bp - Bb)),
+                        constant_values=-1e9)
+        anch = jnp.pad(anch, ((0, 0), (0, 0), (0, Bp - Bb)))
+        rows_t = jnp.pad(rows_t, ((0, 0), (0, 0), (0, Bp - Bb)))
+
+    scal = jnp.asarray([[dt, 0.0]], jnp.float32)
+    kern = functools.partial(
+        _select_kernel, H=H, bound=float(bound), num_cand=num_cand,
+        max_samples=S, n_groups=G)
+    sel = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((S * 4, Bp), jnp.int32),
+        grid=(Bp // nbt,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((32, nbt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, nbt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 56, nbt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S * 4, nbt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(scal, attrs, anch, rows_t)
+
+    # [S*4, Bp] (row s*4 + r) -> [Bb, 4, S] -> [B, S]
+    return sel[:, :Bb].reshape(S, 4, Bb).transpose(2, 1, 0).reshape(B, S)

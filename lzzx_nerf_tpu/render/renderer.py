@@ -748,7 +748,7 @@ def render_rays_compact_blocks(
                else tables.col_quadwmask if march_variant == "quadw"
                else tables.col_quadmask if march_variant == "quad"
                else tables.col_nb5wmask
-               if march_variant in ("nb5w", "nb5wz", "nb5wz4")
+               if march_variant in ("nb5w", "nb5wz", "nb5wz4", "nb5wp")
                else tables.col_nb5mask)
         m = march_rays_window_bitmask_nb_block(
             ro, rd, t_start, t_end, slot_valid, t0_blk, dc,

@@ -65,7 +65,7 @@ def main():
     ap.add_argument("--march-variant", default="nb5w",
                     choices=["wslice", "nb_first", "zband", "zband4",
                              "quad", "quadw", "quadwx", "nb5w", "nb5wz",
-                             "nb5wz4"],
+                             "nb5wz4", "nb5wp"],
                     help="block-march select variant for J (the candidate "
                          "production point; B/C keep wslice)")
     ap.add_argument("--load-state", default="",

@@ -571,7 +571,8 @@ def _block_march_inputs(occ, H=32, W=32, z=-2.5, fov_scale=0.6,
 
 
 @pytest.mark.parametrize("variant", ["wslice", "nb_first", "zband",
-                                     "zband4", "nb5w", "nb5wz", "nb5wz4"])
+                                     "zband4", "nb5w", "nb5wz", "nb5wz4",
+                                     "nb5wp"])
 def test_nb_block_march_exact_camera_blocks(variant):
     """The block-shared 5x5-neighborhood marcher must reproduce the
     per-candidate EXACT marcher sample-for-sample on real pinhole-camera
@@ -603,7 +604,8 @@ def test_nb_block_march_exact_camera_blocks(variant):
 
 
 @pytest.mark.parametrize("variant", ["wslice", "nb_first", "zband",
-                                     "zband4", "nb5w", "nb5wz", "nb5wz4"])
+                                     "zband4", "nb5w", "nb5wz", "nb5wz4",
+                                     "nb5wp"])
 def test_nb_block_march_exact_random_scenes(variant):
     """Same exactness over randomized occupancy (scattered blobs), where
     windows fragment and many blocks deactivate."""
@@ -1301,7 +1303,7 @@ def test_block_marchers_exact_grid64_multiword():
     # REAL hi word (at GRID=32 the pair's hi half is always the zero pad)
     from lzzx_nerf_tpu.ops.march2 import column_bitmasks_neighborhood5_words
     n5w = column_bitmasks_neighborhood5_words(occ)
-    for variant in ("nb5w", "nb5wz", "nb5wz4"):
+    for variant in ("nb5w", "nb5wz", "nb5wz4", "nb5wp"):
         v5w = march_rays_window_bitmask_nb_block(
             ro, rd, t0, t1, sv, t0_blk, dc, n5w, bound, dt, K2, S,
             variant=variant)
