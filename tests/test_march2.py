@@ -1583,3 +1583,32 @@ def test_quadw_march_identical_to_quad():
               jnp.asarray([1.5], jnp.float32), jnp.asarray(dc)[None],
               40, 16)
     assert n > 4
+
+
+def test_nb5wp_pallas_odd_k2_and_padding():
+    """The Pallas select kernel (variant nb5wp) must stay bit-exact to
+    nb5w at an ODD candidate count (its k < num_cand guard covers the
+    half-filled last group) and at a block count below its native tile
+    (the lane-padding path feeds t_end = -inf rows that must select
+    nothing)."""
+    from lzzx_nerf_tpu.ops.march2 import (
+        column_bitmasks_neighborhood5_words,
+        march_rays_window_bitmask_nb_block)
+
+    occ, _, _ = _scene()
+    nb5w = column_bitmasks_neighborhood5_words(occ)
+    K2, S = 45, 12
+    ro, rd, t0, t1, sv, t0_blk, dc = _block_march_inputs(
+        occ, z=-2.5, fov_scale=0.6)
+    assert ro.shape[0] // 4 < 512          # exercises the pad path
+    va = march_rays_window_bitmask_nb_block(
+        ro, rd, t0, t1, sv, t0_blk, dc, nb5w, BOUND, DT, K2, S,
+        variant="nb5w")
+    vp = march_rays_window_bitmask_nb_block(
+        ro, rd, t0, t1, sv, t0_blk, dc, nb5w, BOUND, DT, K2, S,
+        variant="nb5wp")
+    np.testing.assert_array_equal(np.asarray(va.mask), np.asarray(vp.mask))
+    np.testing.assert_allclose(np.asarray(va.xyzs), np.asarray(vp.xyzs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(va.ts), np.asarray(vp.ts),
+                               atol=1e-5)
