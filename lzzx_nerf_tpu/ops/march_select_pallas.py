@@ -14,13 +14,21 @@ intermediate in VMEM/registers:
 
 - candidate cells from the ray geometry (VPU: fma + clip + int cast),
 - the 50-way word select as an in-register compare/select loop over the
-  block's fetched row (the row is loaded once per (block, group) and the
-  loop runs on [4, NBt] vectors — no HBM materialization),
+  block's fetched row (loaded once per (block, group)),
 - the first-S selection as the natural sequential scan over candidates
   (cnt/selected-slot registers) instead of a sort.
 
-HBM traffic drops to: the transposed row tensor in ([G, 50, Bb] u32 — the
-same bytes the XLA path reads), the per-ray attribute pack in
+Both candidates of a group are packed on the sublane axis ([8, NBT]
+arrays: rows 0-3 = candidate 2g for the block's 4 rays, rows 4-7 =
+candidate 2g+1) so every vector op runs at full vreg occupancy — Mosaic
+pads [4, NBT] to 8 sublanes, wasting half the ALU. The first-S scan
+keeps per-candidate sequence by splitting the running count
+(c8 = [cnt | cnt + valid_k0]) and merging the two half-selections with a
+max at the end (a (ray, slot) pair is written at most once across the
+whole scan, so max over the -1 init is exact).
+
+HBM traffic drops to: the transposed row tensor in ([G, 50, Bb] u32 —
+the same bytes the XLA path reads), the per-ray attribute pack
 ([32, Bb] f32), and the [S*4, Bb] s32 selection indices out.
 
 Bit-exact contract: same candidate lattice (t_start + k*dt in f32), same
@@ -42,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NBT = 512          # blocks per kernel instance (lane dim = NBT)
+_NBT = 1024         # blocks per kernel instance (lane dim = NBT)
 
 
 def _select_kernel(scal_ref, attrs_ref, anch_ref, rows_ref, sel_ref, *,
@@ -54,10 +62,8 @@ def _select_kernel(scal_ref, attrs_ref, anch_ref, rows_ref, sel_ref, *,
     attrs_ref VMEM [32, NBT] f32: rows 0-11 rd (x0..x3, y0..y3, z0..z3),
               12-23 ro likewise, 24-27 t_start, 28-31 t_end (already
               -inf where the slot is invalid)
-    anch_ref  VMEM [G, 8, NBT] i32: per group rows 0/1/2 = gx/gy/w0
-              (rows 3-7 pad to a sublane multiple)
-    rows_ref  VMEM [G, 56, NBT] u32: the fetched nb5w rows, word-major
-              (rows 50-55 pad)
+    anch_ref  VMEM [G, 3, NBT] i32: per group rows 0/1/2 = gx/gy/w0
+    rows_ref  VMEM [G, 50, NBT] u32: the fetched nb5w rows, word-major
     sel_ref   VMEM [S*4, NBT] i32 out: row s*4 + r = candidate index of
               ray r's (s+1)-th sample, -1 if none
     """
@@ -65,20 +71,24 @@ def _select_kernel(scal_ref, attrs_ref, anch_ref, rows_ref, sel_ref, *,
     i32 = jnp.int32
     dt = scal_ref[0, 0]
 
-    rdx = attrs_ref[0:4, :]
-    rdy = attrs_ref[4:8, :]
-    rdz = attrs_ref[8:12, :]
-    rox = attrs_ref[12:16, :]
-    roy = attrs_ref[16:20, :]
-    roz = attrs_ref[20:24, :]
-    ts = attrs_ref[24:28, :]
-    te = attrs_ref[28:32, :]
+    def two(a):                              # [4, NBT] -> [8, NBT]
+        return jnp.concatenate([a, a], axis=0)
 
-    nbt = rdx.shape[1]
+    rdx = two(attrs_ref[0:4, :])
+    rdy = two(attrs_ref[4:8, :])
+    rdz = two(attrs_ref[8:12, :])
+    rox = two(attrs_ref[12:16, :])
+    roy = two(attrs_ref[16:20, :])
+    roz = two(attrs_ref[20:24, :])
+    ts = two(attrs_ref[24:28, :])
+    te = two(attrs_ref[28:32, :])
+
+    nbt = ts.shape[1]
+    # rows 0-3 carry candidate 2g, rows 4-7 candidate 2g+1
+    off = (jax.lax.broadcasted_iota(i32, (8, nbt), 0) >= 4).astype(i32)
+    offf = off.astype(f32)
     cnt0 = jnp.zeros((4, nbt), i32)
-    # S separate [4, NBT] carries (Mosaic has no dynamic_update_slice on
-    # loop-carried values; a tuple of registers is also what we mean)
-    sel0 = tuple(jnp.full((4, nbt), -1, i32) for _ in range(max_samples))
+    sel0 = tuple(jnp.full((8, nbt), -1, i32) for _ in range(max_samples))
 
     def cell(p):
         # identical quantization to march2: clip pos, then
@@ -93,37 +103,45 @@ def _select_kernel(scal_ref, attrs_ref, anch_ref, rows_ref, sel_ref, *,
         gx = anch_ref[g, 0:1, :]                    # [1, NBT] i32
         gy = anch_ref[g, 1:2, :]
         w0 = anch_ref[g, 2:3, :]
-        rows_g = rows_ref[g]                        # [56, NBT] u32
+        rows_g = rows_ref[g]                        # [50, NBT] u32
 
-        for j in range(2):                          # group == 2
-            k = g * 2 + j                           # traced scalar
-            kf = k.astype(f32)
-            t = ts + kf * dt                        # [4, NBT]
-            cx = cell(rox + t * rdx)
-            cy = cell(roy + t * rdy)
-            cz = cell(roz + t * rdz)
-            nb = ((jnp.clip(cx - gx, -2, 2) + 2) * 5
-                  + (jnp.clip(cy - gy, -2, 2) + 2))
-            widx = jnp.clip((cz >> 5) - w0, 0, 1)
-            j2 = nb * 2 + widx                      # [4, NBT] in 0..49
-            bit = (cz & 31).astype(jnp.uint32)
+        ki = 2 * g + off                            # [8, NBT] i32
+        t = ts + (2.0 * g + offf) * dt              # [8, NBT]
+        cx = cell(rox + t * rdx)
+        cy = cell(roy + t * rdy)
+        cz = cell(roz + t * rdz)
+        nb = ((jnp.clip(cx - gx, -2, 2) + 2) * 5
+              + (jnp.clip(cy - gy, -2, 2) + 2))
+        widx = jnp.clip((cz >> 5) - w0, 0, 1)
+        j2 = nb * 2 + widx                          # [8, NBT] in 0..49
+        bit = (cz & 31).astype(jnp.uint32)
 
-            wsel = jnp.zeros((4, nbt), jnp.uint32)
-            for w in range(50):
-                wsel = jnp.where(j2 == w, rows_g[w:w + 1, :], wsel)
-            occ = (jax.lax.shift_right_logical(wsel, bit)
-                   & jnp.uint32(1)) > 0
-            valid = occ & (t < te) & (k < num_cand)
+        wsel = jnp.zeros((8, nbt), jnp.uint32)
+        for w in range(50):
+            wsel = jnp.where(j2 == w, rows_g[w:w + 1, :], wsel)
+        occ = (jax.lax.shift_right_logical(wsel, bit)
+               & jnp.uint32(1)) > 0
+        valid = occ & (t < te) & (ki < num_cand)
 
-            sel = tuple(
-                jnp.where(valid & (cnt == s), k, sel[s])
-                for s in range(max_samples))
-            cnt = cnt + valid.astype(i32)
+        v0 = valid[0:4, :].astype(i32)
+        c8 = jnp.concatenate([cnt, cnt + v0], axis=0)   # count BEFORE k
+        sel = tuple(
+            jnp.where(valid & (c8 == s), ki, sel[s])
+            for s in range(max_samples))
+        cnt = cnt + v0 + valid[4:8, :].astype(i32)
         return cnt, sel
 
-    _, sel = jax.lax.fori_loop(0, n_groups, group_body, (cnt0, sel0))
+    # static unroll: g constant per iteration lets Mosaic fold the
+    # per-group lattice constants and schedule across groups (measured
+    # faster than lax.fori_loop at G=22)
+    cnt, sel = cnt0, sel0
+    for g in range(n_groups):
+        cnt, sel = group_body(g, (cnt, sel))
     for s in range(max_samples):
-        sel_ref[s * 4:(s + 1) * 4, :] = sel[s]
+        # a (ray, slot) pair is written at most once across the scan:
+        # max over the two candidate halves recovers the single write
+        sel_ref[s * 4:(s + 1) * 4, :] = jnp.maximum(sel[s][0:4, :],
+                                                    sel[s][4:8, :])
 
 
 def march_select_pallas(
@@ -165,10 +183,7 @@ def march_select_pallas(
         te_eff.reshape(Bb, 4).T,
     ], axis=0)                                         # [32, Bb]
     anch = jnp.stack([gx.T, gy.T, w0.T], axis=1)       # [G, 3, Bb]
-    anch = jnp.pad(anch, ((0, 0), (0, 5), (0, 0)))     # [G, 8, Bb]
-    rows_t = jnp.pad(
-        rows.reshape(Bb, G, 50).transpose(1, 2, 0),    # [G, 50, Bb]
-        ((0, 0), (0, 6), (0, 0)))                      # [G, 56, Bb]
+    rows_t = rows.reshape(Bb, G, 50).transpose(1, 2, 0)  # [G, 50, Bb]
     if Bp != Bb:
         # padded blocks carry t_end = -inf -> all-invalid -> sel -1
         attrs = jnp.pad(attrs, ((0, 0), (0, Bp - Bb)),
@@ -189,9 +204,9 @@ def march_select_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((32, nbt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 8, nbt), lambda i: (0, 0, i),
+            pl.BlockSpec((G, 3, nbt), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 56, nbt), lambda i: (0, 0, i),
+            pl.BlockSpec((G, 50, nbt), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((S * 4, nbt), lambda i: (0, i),
