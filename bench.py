@@ -32,12 +32,17 @@ def main():
     ap.add_argument("--path", choices=["compact", "full"], default="compact",
                     help="compact = interval-guided ray-compacted march "
                          "(fast inference path); full = exhaustive march")
-    ap.add_argument("--budget-frac", type=float, default=0.375,
+    ap.add_argument("--budget-frac", type=float, default=None,
                     help="active-ray budget as a fraction of total rays "
-                         "(compact path). 0.375 matches Config.budget_frac: "
-                         "z-band windows leave the bench head at n_active "
-                         "69,360 of 262,144 rays; shrinking the slots cut "
-                         "the frame 39.6 -> 29.0 ms with zero overflow")
+                         "(compact path). Default: 0.375 for the synthetic "
+                         "head (matches Config.budget_frac; n_active 69,360 "
+                         "of 262,144 rays, zero overflow) — but with a "
+                         "TRAINED state the budget is AUTO-SIZED from the "
+                         "measured window activity of the bench pose, like "
+                         "the serving session's adaptive rebuild: the "
+                         "trained crust activates ~2.2x more rays than the "
+                         "ellipsoid, and benching a truncating budget would "
+                         "record a headline serving never runs")
     ap.add_argument("--k2", type=int, default=0,
                     help="window candidates per compacted ray. 0 (default) "
                          "= ADAPTIVE from the scene's longest column slab "
@@ -237,12 +242,6 @@ def main():
                   "exhaustive v1 fallback (--path full), like the serving "
                   "session's notice", file=sys.stderr)
             args.path = "full"
-    # clamp like serving/session.py: tiny --budget-frac/--res combos must not
-    # round to a zero budget (an all-background frame benches meaninglessly)
-    budget = max(1024, int(args.budget_frac * res * res) // 1024 * 1024)
-    staged_sb = (max(1024, int(budget * args.stage_split * args.sample_frac)
-                 // 1024 * 1024) if args.sample_frac > 0 else 0)
-
     if st is not None:
         # a trained camera: the first training pose + its intrinsics
         # (scaled if the bench res differs from the trained res)
@@ -269,6 +268,39 @@ def main():
     tables = jax.jit(
         lambda o: build_inference_tables(o, settings.bound, variants=()))(
             occ.occ)
+
+    # budget sizing; clamp like serving/session.py: tiny --budget-frac/--res
+    # combos must not round to a zero budget (an all-background frame
+    # benches meaninglessly). With a trained state and no explicit
+    # --budget-frac, AUTO-SIZE from the measured block-window activity of
+    # the bench pose — the serving session's adaptive rebuild converges to
+    # exactly this (cover demand, cap at the frame), and a silently
+    # truncating budget would bench a config serving never runs.
+    if args.budget_frac is None and st is not None and args.path == "compact":
+        from lzzx_nerf_tpu.ops.march2 import ray_windows as _rw
+        from lzzx_nerf_tpu.ops.ray import near_far_from_aabb as _nf
+
+        db = rays_d.reshape(res // 2, 2, res // 2, 2, 3).transpose(
+            0, 2, 1, 3, 4).reshape(res * res // 4, 4, 3)
+        dc = db.mean(axis=1)
+        dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True)
+        oc = jnp.broadcast_to(rays_o[0], dc.shape)
+        nb_, fb_ = _nf(oc, dc, jnp.asarray(settings.aabb, jnp.float32),
+                       settings.min_near)
+        win_ = _rw(oc, dc, nb_, fb_, tables.z_lo, tables.z_hi,
+                   settings.bound, settings.dt, pad_steps=3.0)
+        n_act = int(jnp.sum(win_.active)) * 4
+        budget = min(res * res // 1024 * 1024,
+                     max(1024, -(-n_act // 1024) * 1024))
+        print(f"# trained-state budget auto-sized to {budget} "
+              f"(measured window activity {n_act} rays; serving's adaptive "
+              f"rebuild converges here)", file=sys.stderr)
+    else:
+        bf = 0.375 if args.budget_frac is None else args.budget_frac
+        budget = max(1024, int(bf * res * res) // 1024 * 1024)
+    staged_sb = (max(1024, int(budget * args.stage_split * args.sample_frac)
+                 // 1024 * 1024) if args.sample_frac > 0 else 0)
+
     # resolve K2 + block-march group/variant through the SAME envelope
     # gate as serving/session.py and cli.run_test, so benched numbers
     # always correspond to a sample-exact (production) configuration

@@ -172,7 +172,15 @@ def march_select_pallas(
     S = max_samples
     assert rows.shape == (Bb * G, 50), rows.shape
 
-    nbt = _NBT if Bb >= _NBT else max(128, Bb)
+    # VMEM-aware tile: Pallas double-buffers the per-step inputs, so a
+    # tile costs ~ NBT * (2*G*(50+3)*4 B rows+anchors + ~2.4 KB attrs/out/
+    # carries). K2=82 (G=41) at NBT=1024 hit the 16 MB scoped-vmem wall
+    # (19.97M) — halve the tile until the estimate fits.
+    nbt = _NBT
+    while nbt > 128 and nbt * (424 * G + 2400) > 14_000_000:
+        nbt //= 2
+    if Bb < nbt:
+        nbt = max(128, Bb)
     Bp = (Bb + nbt - 1) // nbt * nbt
 
     te_eff = jnp.where(slot_valid, t_end, jnp.float32(-1e9))
