@@ -66,6 +66,18 @@ def main():
                          "still transmissive (0 = single pass)")
     ap.add_argument("--stage2-frac", type=float, default=0.375,
                     help="stage-2 ray budget as a fraction of the budget")
+    ap.add_argument("--eval-frac", type=float, default=None,
+                    help="post-march field-eval ray budget as a fraction of "
+                         "the window budget (0 = off): re-compacts blocks "
+                         "with >= 1 occupied march sample before the field "
+                         "eval — the window analysis over-activates ~2.6x "
+                         "on the trained crust (z-slab test vs real "
+                         "occupancy); bit-exact while real blocks fit "
+                         "(n_real diagnostic + session rebuild escape). "
+                         "Default (unset) with a trained state: AUTO-SIZED "
+                         "from the host-measured exact real-block count of "
+                         "the bench pose x1.25 "
+                         "(march2.measure_real_blocks_host)")
     ap.add_argument("--sample-frac", type=float, default=0.0,
                     help="stage-1 SAMPLE compaction budget as a fraction "
                          "of budget*stage_split point slots (0 = off): "
@@ -276,7 +288,8 @@ def main():
     # the bench pose — the serving session's adaptive rebuild converges to
     # exactly this (cover demand, cap at the frame), and a silently
     # truncating budget would bench a config serving never runs.
-    if args.budget_frac is None and st is not None and args.path == "compact":
+    win_ = db = None
+    if st is not None and args.path == "compact":
         from lzzx_nerf_tpu.ops.march2 import ray_windows as _rw
         from lzzx_nerf_tpu.ops.ray import near_far_from_aabb as _nf
 
@@ -289,6 +302,7 @@ def main():
                        settings.min_near)
         win_ = _rw(oc, dc, nb_, fb_, tables.z_lo, tables.z_hi,
                    settings.bound, settings.dt, pad_steps=3.0)
+    if args.budget_frac is None and win_ is not None:
         n_act = int(jnp.sum(win_.active)) * 4
         budget = min(res * res // 1024 * 1024,
                      max(1024, -(-n_act // 1024) * 1024))
@@ -324,6 +338,26 @@ def main():
         tables, occ.occ,
         needed_variant_tables(args.march_group if blocks else 1,
                               args.march_variant))
+    # field-eval budget: AUTO with a trained state (host-exact real-block
+    # count of the bench pose + 25% margin, the value serving's n_real
+    # escape converges to), else --eval-frac of the window budget
+    ebudget = 0
+    if blocks and args.eval_frac is None and win_ is not None \
+            and settings.cascade == 1:
+        from lzzx_nerf_tpu.ops.march2 import measure_real_blocks_host
+
+        n_real_m = 4 * measure_real_blocks_host(
+            occ.occ[0], settings.aabb, settings.min_near,
+            np.asarray(rays_o[0]), np.asarray(db),
+            win_.t_start, win_.t_end, win_.active,
+            settings.bound, settings.dt, args.k2)
+        ebudget = min(budget,
+                      max(1024, -(-int(n_real_m * 1.25) // 1024) * 1024))
+        print(f"# eval budget auto-sized to {ebudget} (host-measured "
+              f"{n_real_m} real rays of {budget} window-active)",
+              file=sys.stderr)
+    elif blocks and args.eval_frac:
+        ebudget = max(1024, int(budget * args.eval_frac) // 1024 * 1024)
     torso_packed = torso_plan = None
     if args.torso:
         from lzzx_nerf_tpu.render import build_torso_plan
@@ -406,7 +440,8 @@ def main():
                 res, res, enc_a, c, eye, frame_bg, budget=budget,
                 window_candidates=args.k2 or None, tables=tables,
                 march_group=args.march_group,
-                march_variant=args.march_variant, **staged)
+                march_variant=args.march_variant, eval_budget=ebudget,
+                **staged)
         elif args.path == "compact":
             out = render_rays_compact(apply_packed, params, settings, occ,
                                       rays_o, rays_d, enc_a, c, eye, frame_bg,
@@ -421,7 +456,7 @@ def main():
         # 1.5 B/px (the encoder converts to 4:2:0 anyway) vs rgb24's 3
         img = jnp.clip(out["image"].reshape(res, res, 3), 0, 1)
         diag = (out.get("n_active", 0), out.get("n_stage2", 0),
-                out.get("n_spts", 0))
+                out.get("n_spts", 0), out.get("n_real", 0))
         if args.pix_fmt == "yuv420p":
             from lzzx_nerf_tpu.utils import rgb_to_yuv420
 
@@ -441,12 +476,12 @@ def main():
             auds, eye = inp
             buf, diag = render_one(params, packed, tables, occ, auds, eye,
                                    tparams, torso_packed)
-            return carry, (buf, diag[0], diag[1], diag[2])
+            return carry, (buf, diag[0], diag[1], diag[2], diag[3])
 
-        _, (bufs, n_act, n_s2, n_sp) = jax.lax.scan(
+        _, (bufs, n_act, n_s2, n_sp, n_rl) = jax.lax.scan(
             body, 0, (auds_c, eyes_c))
         return (bufs, jnp.max(n_act), jnp.max(n_s2),
-                jnp.max(n_sp))    # [C, frame_bytes]
+                jnp.max(n_sp), jnp.max(n_rl))    # [C, frame_bytes]
 
     # per-frame audio windows (streaming shape [8, 16, 1024])
     rng = np.random.default_rng(0)
@@ -460,12 +495,12 @@ def main():
         for i in range(n_chunks)]
 
     # warmup/compile
-    img, n_act, n_s2, n_sp = render_chunk(params, packed, tables, occ,
-                                          aud_stream[0], eyes[0], tparams,
-                                          torso_packed)
+    img, n_act, n_s2, n_sp, n_rl = render_chunk(params, packed, tables, occ,
+                                                aud_stream[0], eyes[0],
+                                                tparams, torso_packed)
     np.asarray(img)
     max_act, max_s2 = int(n_act), int(n_s2)
-    max_sp0 = int(n_sp)
+    max_sp0, max_rl0 = int(n_sp), int(n_rl)
 
     # pipelined loop, exactly like the serving session (serving/session.py):
     # each chunk's host copy starts immediately (copy_to_host_async) and the
@@ -480,11 +515,12 @@ def main():
     t0 = time.perf_counter()
     q = deque()
     for f in range(n_chunks):
-        img, n_act, n_s2, n_sp = render_chunk(params, packed, tables,
-                                              occ, aud_stream[f], eyes[f],
-                                              tparams, torso_packed)
+        img, n_act, n_s2, n_sp, n_rl = render_chunk(params, packed, tables,
+                                                    occ, aud_stream[f],
+                                                    eyes[f], tparams,
+                                                    torso_packed)
         img.copy_to_host_async()
-        diags.append((n_act, n_s2, n_sp))
+        diags.append((n_act, n_s2, n_sp, n_rl))
         q.append(img)
         if len(q) >= max(2, 3 // C + 1):
             frame_host = np.asarray(q.popleft())  # host handoff (ffmpeg)
@@ -492,9 +528,10 @@ def main():
         frame_host = np.asarray(q.popleft())
     dt = time.perf_counter() - t0
     fps = frames_total / dt
-    max_act = max([max_act] + [int(a) for a, _, _ in diags])
-    max_s2 = max([max_s2] + [int(s) for _, s, _ in diags])
-    max_sp = max([max_sp0] + [int(p) for _, _, p in diags])
+    max_act = max([max_act] + [int(a) for a, _, _, _ in diags])
+    max_s2 = max([max_s2] + [int(s) for _, s, _, _ in diags])
+    max_sp = max([max_sp0] + [int(p) for _, _, p, _ in diags])
+    max_rl = max([max_rl0] + [int(r) for _, _, _, r in diags])
 
     mrays = (res * res * fps) / 1e6
     result = {
@@ -507,7 +544,8 @@ def main():
     print(f"# {mrays:.2f} Mrays/s, {dt/frames_total*1000:.1f} ms/frame, "
           f"res={res}, samples/ray={settings.max_steps}, chunk={C}, "
           f"n_active={max_act}/{budget}, n_stage2={max_s2}"
-          + (f", n_spts={max_sp}/{staged_sb}" if staged_sb else ""),
+          + (f", n_spts={max_sp}/{staged_sb}" if staged_sb else "")
+          + (f", n_real={max_rl}" if max_rl else ""),
           file=sys.stderr)
 
     if args.latency_live:

@@ -771,6 +771,13 @@ def run_test(cfg) -> None:
                                                    march_variant))
     k2 = k2 or None
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
+    # post-march field-eval re-compaction (Config.infer_eval_frac): exact
+    # while real blocks fit; run_test has no rebuild loop, so overflow only
+    # warns (n_real) like the ray budget above
+    eval_budget = 0
+    if use_compact and use_blocks and cfg.infer_eval_frac > 0:
+        eval_budget = min(budget, max(
+            1024, int(budget * cfg.infer_eval_frac) // 1024 * 1024))
 
     @jax.jit
     def render_frame(params, packed, torso_params, occ, pose, auds, eye,
@@ -830,7 +837,7 @@ def run_test(cfg) -> None:
                 rays_d, ds.H, ds.W, enc_a, c, eye, bg,
                 budget=budget, window_candidates=k2, tables=tables,
                 march_group=march_group, march_variant=march_variant,
-                **staged)
+                eval_budget=eval_budget, **staged)
         else:
             out = render_rays_compact(
                 apply_packed, params, isettings, occ,
@@ -838,17 +845,18 @@ def run_test(cfg) -> None:
                 rays_d, enc_a, c, eye, bg, budget=budget,
                 window_candidates=k2, tables=tables, minimal=True, **staged)
         return (out["image"].reshape(ds.H, ds.W, 3), out["n_active"],
-                out.get("n_stage2", 0), out.get("n_winmax", 0))
+                out.get("n_stage2", 0), out.get("n_winmax", 0),
+                out.get("n_real", 0))
 
     out_dir = os.path.join(cfg.workspace, "results")
     os.makedirs(out_dir, exist_ok=True)
     meters = [PSNRMeter(), LPIPSMeter(), LMDMeter()] if ds.has_gt else []
     t0 = time.time()
     tp = torso_state.params if torso_state is not None else None
-    overflow_warned = s2_warned = win_warned = False
+    overflow_warned = s2_warned = win_warned = eval_warned = False
 
-    def consume(i, img_dev, n_active_dev, n_s2_dev, n_wm_dev, gt):
-        nonlocal overflow_warned, s2_warned, win_warned
+    def consume(i, img_dev, n_active_dev, n_s2_dev, n_wm_dev, n_rl_dev, gt):
+        nonlocal overflow_warned, s2_warned, win_warned, eval_warned
         img_np = np.asarray(img_dev)
         if not overflow_warned and int(n_active_dev) > budget:
             trainer.log(f"[WARN] frame {i}: {int(n_active_dev)} active rays "
@@ -870,6 +878,11 @@ def run_test(cfg) -> None:
                         f"far-side samples (raise "
                         f"--infer_window_candidates or use 0 = measured)")
             win_warned = True
+        if not eval_warned and eval_budget and int(n_rl_dev) > eval_budget:
+            trainer.log(f"[WARN] frame {i}: {int(n_rl_dev)} real-sample "
+                        f"rays exceed eval budget {eval_budget}; overflow "
+                        f"rendered as background (raise --infer_eval_frac)")
+            eval_warned = True
         _save_image(img_np, os.path.join(out_dir, f"{i:05d}.png"))
         for m in meters:
             m.update(img_np, gt)
@@ -884,14 +897,14 @@ def run_test(cfg) -> None:
                  if cfg.exp_eye and cfg.fix_eye >= 0 else None)
     for i in range(len(ds)):
         b = ds.frame(i)
-        img, n_act, n_s2, n_wm = render_frame(
+        img, n_act, n_s2, n_wm, n_rl = render_frame(
             infer_params, packed, tp, occ,
             jnp.asarray(b["pose"]), jnp.asarray(b["auds"]),
             fixed_eye if fixed_eye is not None else jnp.asarray(b["eye"]),
             jnp.asarray(b["index"], jnp.int32))
         if pending is not None:
             consume(*pending)
-        pending = (i, img, n_act, n_s2, n_wm,
+        pending = (i, img, n_act, n_s2, n_wm, n_rl,
                    b["image"] if ds.has_gt else None)
     if pending is not None:
         consume(*pending)

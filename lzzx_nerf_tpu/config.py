@@ -210,6 +210,21 @@ class Config:
     # to the single pass when the stage-2 budget suffices. 0 disables.
     infer_stage_split: int = 8
     infer_stage2_frac: float = 0.375  # stage-2 ray budget / stage-1 budget
+    # post-march field-eval RAY budget as a fraction of the window budget
+    # (block path only; 0 = off). The window analysis activates any block
+    # whose center ray crosses a nonempty column z-SLAB ([z_lo, z_hi] is
+    # one interval per (x, y) column) — an over-approximation of "has >= 1
+    # occupied march candidate": on the trained production crust it admits
+    # ~2.6x more rays than geometrically hit occupied cells. Blocks whose
+    # march found zero occupied samples compose to exactly background, so
+    # re-compacting them out before the field eval (the dominant phase) is
+    # BIT-EXACT while the real blocks fit the eval budget; an overflowing
+    # chunk renders the excess as background once and rebuilds with the
+    # observed demand at the next chunk boundary (n_real escape,
+    # serving/session.py), like the ray budget. This is RAY-level
+    # compaction (the round-1 platform fact: pays), unlike the rejected
+    # sample-level infer_sample_frac.
+    infer_eval_frac: float = 0.0
     # stage-1 SAMPLE compaction: evaluate only the march-masked points of
     # the first stage, in sample_frac * budget * stage_split slots (0 =
     # off, evaluate the full budget x stage_split lattice). The ray budget

@@ -648,6 +648,7 @@ def render_rays_compact_blocks(
     march_group: int = 2,
     sample_budget: int = 0,
     march_variant: str = "wslice",
+    eval_budget: int = 0,
 ) -> Dict[str, Any]:
     """Serving fast path with 2x2-pixel-block window analysis/compaction.
 
@@ -763,6 +764,44 @@ def render_rays_compact_blocks(
             ro, rd, t_start, t_end, slot_valid, tables.col_bitmask,
             settings.bound, settings.dt, K2, S, group=-march_group)
 
+    # Post-march block re-compaction: the window analysis activates any
+    # block whose ray crosses a nonempty COLUMN z-slab ([z_lo, z_hi] is one
+    # interval per (x, y) column), an over-approximation of "has >= 1
+    # occupied candidate" — on the trained production crust it admits
+    # ~2.6x more rays than geometrically hit occupied cells (measured:
+    # 214,812 window-active vs ~82k real at 512²; silhouette projection
+    # puts pixel coverage at ~31%). Blocks whose march found ZERO occupied
+    # samples compose to exactly (image 0, wsum 0) == background, so
+    # re-compacting them out before the field eval (the dominant phase) is
+    # bit-exact while every real block fits `eval_budget`; overflowing
+    # blocks render as background and are reported via n_real for the
+    # session's adaptive-rebuild escape (same class as the ray budget).
+    # This is RAY-level compaction (the round-1 platform fact: pays),
+    # not the rejected SAMPLE-level one — one [budget_b] cumsum + row
+    # gathers of the march outputs, no B*S-row barrier.
+    n_real = None
+    blk_idx = cs.ray_idx                       # [budget_b] original block id
+    blk_valid = cs.slot_valid
+    if eval_budget and eval_budget // 4 < budget_b:
+        eb = max(1, eval_budget // 4)
+        realb = m.mask.reshape(budget_b, 4 * S).any(axis=1) & cs.slot_valid
+        csr = compact_rays(realb, eb)
+        n_real = csr.n_active * 4
+        sel = csr.ray_idx
+        keep = csr.slot_valid
+
+        def _tk(a):
+            return jnp.take(a.reshape((budget_b, 4) + a.shape[1:]), sel,
+                            axis=0).reshape((eb * 4,) + a.shape[1:])
+
+        from ..ops.march import MarchResult as _MR
+        m = _MR(xyzs=_tk(m.xyzs), deltas=_tk(m.deltas), ts=_tk(m.ts),
+                mask=_tk(m.mask) & jnp.repeat(keep, 4)[:, None])
+        rd = _tk(rd.reshape(budget_b * 4, 3))
+        blk_idx = jnp.take(cs.ray_idx, sel)
+        blk_valid = keep & jnp.take(cs.slot_valid, sel)
+        budget_b = eb
+
     B = budget_b * 4
     n_stage2 = n_spts = None
     if stage_split > 0:   # see render_rays_compact's clamp
@@ -789,7 +828,7 @@ def render_rays_compact_blocks(
     # direct-to-pixel scatter (4-wide rows, no un-blocking transpose) was
     # measured at 35.09 vs 36.5 FPS same-session — the narrow scatter rows
     # cost more than the ~0.8 ms (H/2, W/2, 2, 2) relayout they delete.
-    tgt = jnp.where(cs.slot_valid, cs.ray_idx, NB)
+    tgt = jnp.where(blk_valid, blk_idx, NB)
     payload = jnp.concatenate(
         [image_c.reshape(budget_b, 12),
          wsum_c.reshape(budget_b, 4)], axis=-1)
@@ -801,6 +840,8 @@ def render_rays_compact_blocks(
     image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
     out = {"image": image, "weights_sum": wsum, "n_active": cs.n_active * 4,
            "n_winmax": n_winmax}
+    if n_real is not None:
+        out["n_real"] = n_real
     if n_stage2 is not None:
         out["n_stage2"] = n_stage2
     if n_spts is not None:

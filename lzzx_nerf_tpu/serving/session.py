@@ -134,6 +134,7 @@ class InferenceSession:
         self._pending_budget = self._pending_sample = None
         self._budget_override = self._sample_override = None
         self._pending_k2 = self._k2_override = None
+        self._pending_eval = self._eval_override = None
         self._compile_render()
         self._built = True
 
@@ -178,6 +179,18 @@ class InferenceSession:
             sample_budget = min(sample_budget, sp_cap)
         self.sample_budget = sample_budget
         self._sample_cap = sp_cap
+        # post-march field-eval budget (Config.infer_eval_frac): blocks with
+        # zero occupied march samples compose to exactly background, so the
+        # field eval runs only on blocks with >= 1 real sample — the window
+        # analysis's z-slab activity over-admits ~2.6x on a trained crust
+        # (renderer.render_rays_compact_blocks docstring); overflow is
+        # caught by the n_real escape below and rebuilds like the ray budget
+        eval_budget = 0
+        if cfg.infer_eval_frac > 0:
+            eval_budget = getattr(self, "_eval_override", None) or max(
+                gran, int(budget * cfg.infer_eval_frac) // gran * gran)
+            eval_budget = min(eval_budget, budget)
+        self.eval_budget = eval_budget
         bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
         # multi-cascade scenes (bound > 1) fall back to the exhaustive
         # marcher with an explicit notice — the window/bitmask fast path
@@ -191,6 +204,10 @@ class InferenceSession:
                   "sample-identical; the fast path needs cascade == 1")
         use_blocks = (use_compact and cfg.infer_block == 2 and ds.H % 2 == 0
                       and ds.W % 2 == 0 and budget % 4 == 0)
+        if not use_blocks:
+            # the re-compaction lives in the block renderer only; the n_real
+            # escape is inert on other paths (n_real reads 0)
+            eval_budget = self.eval_budget = 0
         # adaptive K2 + block-march envelope step-down, shared with
         # cli.run_test (ops.march2.resolve_march_plan) so serving and
         # --test always choose the same marcher for a given geometry
@@ -290,7 +307,7 @@ class InferenceSession:
                     window_candidates=k2, tables=tables,
                     stage_split=stage_split, stage2_budget=stage2_budget,
                     march_group=march_group, sample_budget=sample_budget,
-                    march_variant=march_variant)
+                    march_variant=march_variant, eval_budget=eval_budget)
             elif use_compact:
                 out = render_rays_compact(
                     apply_packed, params, isettings, occ,
@@ -316,7 +333,8 @@ class InferenceSession:
             else:
                 buf = (img * 255).astype(jnp.uint8).reshape(-1)
             return (buf, out["n_active"], out.get("n_stage2", 0),
-                    out.get("n_spts", 0), out.get("n_winmax", 0))
+                    out.get("n_spts", 0), out.get("n_winmax", 0),
+                    out.get("n_real", 0))
 
         def make_render(fmt: str):
             @jax.jit
@@ -327,7 +345,7 @@ class InferenceSession:
                     prev_enc, has_prev = carry
                     pose, auds, eye, idx, valid = inp
                     enc_a = smooth_enc(auds, prev_enc, has_prev, params)
-                    buf, n_act, n_s2, n_sp, n_wm = render_frame(
+                    buf, n_act, n_s2, n_sp, n_wm, n_rl = render_frame(
                         params, packed, tables, occ, pose, enc_a, eye, idx,
                         torso_params, torso_packed, fmt)
                     # padded tail slots (valid == 0) must NOT advance the
@@ -338,14 +356,14 @@ class InferenceSession:
                     carry_enc = jnp.where(valid > 0, enc_a, prev_enc)
                     carry_has = jnp.maximum(has_prev, valid)
                     return (carry_enc, carry_has), (buf, n_act, n_s2, n_sp,
-                                                    n_wm)
+                                                    n_wm, n_rl)
 
-                (enc_final, _), (bufs, n_acts, n_s2s, n_sps,
-                                 n_wms) = jax.lax.scan(
+                (enc_final, _), (bufs, n_acts, n_s2s, n_sps, n_wms,
+                                 n_rls) = jax.lax.scan(
                     body, (prev_enc, has_prev),
                     (poses, auds_c, eyes_c, idxs_c, valid_c))
                 return (bufs, n_acts, jnp.max(n_s2s), jnp.max(n_sps),
-                        jnp.max(n_wms), enc_final)
+                        jnp.max(n_wms), jnp.max(n_rls), enc_final)
 
             return render_chunk
 
@@ -385,25 +403,25 @@ class InferenceSession:
                              torso_packed, poses_s, enc_s, eyes_s, idxs_s):
                     def body(carry, inp):
                         pose, enc_a, eye, idx = inp
-                        buf, n_act, n_s2, n_sp, n_wm = render_frame(
+                        buf, n_act, n_s2, n_sp, n_wm, n_rl = render_frame(
                             params, packed, tables, occ, pose, enc_a, eye,
                             idx, torso_params, torso_packed, fmt)
-                        return carry, (buf, n_act, n_s2, n_sp, n_wm)
+                        return carry, (buf, n_act, n_s2, n_sp, n_wm, n_rl)
 
                     _, outs = jax.lax.scan(
                         body, 0, (poses_s, enc_s, eyes_s, idxs_s))
                     return outs
 
                 rep = (P(),) * 6
-                bufs, n_acts, n_s2s, n_sps, n_wms = shard_map(
+                bufs, n_acts, n_s2s, n_sps, n_wms, n_rls = shard_map(
                     shard_fn, mesh=mesh,
                     in_specs=rep + (P("dp"), P("dp"), P("dp"), P("dp")),
-                    out_specs=(P("dp"),) * 5,
+                    out_specs=(P("dp"),) * 6,
                     check_rep=False,
                 )(params, packed, tables, occ, torso_params, torso_packed,
                   poses, enc_all, eyes_c, idxs_c)
                 return (bufs, n_acts, jnp.max(n_s2s), jnp.max(n_sps),
-                        jnp.max(n_wms), enc_final)
+                        jnp.max(n_wms), jnp.max(n_rls), enc_final)
 
             return render_chunk
 
@@ -490,7 +508,7 @@ class InferenceSession:
 
         def consume():
             (base, count, bufs_dev, acts_dev, s2_dev, sp_dev,
-             wm_dev, chunk_k2) = queue.popleft()
+             wm_dev, chunk_k2, rl_dev, chunk_eb) = queue.popleft()
             bufs = np.asarray(bufs_dev)
             acts = np.asarray(acts_dev)
             if int(wm_dev) > chunk_k2:
@@ -541,6 +559,23 @@ class InferenceSession:
                           f"{want_s} at the next chunk boundary")
                     self._pending_sample = max(self._pending_sample or 0,
                                                want_s)
+            if chunk_eb and int(rl_dev) > chunk_eb:
+                # eval-budget escape: blocks beyond the eval budget rendered
+                # as background this chunk — rebuild with ~1.25x the
+                # observed real-block demand (compare against the budget
+                # the chunk was COMPILED with, like the K2 escape above)
+                gran_e = self._budget_gran
+                want_e = min(self.budget,
+                             max(gran_e,
+                                 -(-int(int(rl_dev) * 1.25) // gran_e)
+                                 * gran_e))
+                if want_e > self.eval_budget:
+                    print(f"[WARN] chunk at frame {base}: {int(rl_dev)} "
+                          f"real-sample rays exceed eval budget "
+                          f"{chunk_eb}; rebuilding with {want_e} at the "
+                          f"next chunk boundary")
+                    self._pending_eval = max(self._pending_eval or 0,
+                                             want_e)
             max_act = int(acts[:count].max()) if count else 0
             gran = self._budget_gran
             frame_cap = max(gran, ds.H * ds.W // gran * gran)
@@ -634,11 +669,13 @@ class InferenceSession:
         try:
             for base in range(start, n, C):
                 if (self._pending_budget or self._pending_sample
-                        or self._pending_k2):
+                        or self._pending_k2 or self._pending_eval):
                     if ((self._pending_budget or 0) > self.budget
                             or (self._pending_sample or 0)
                             > self.sample_budget
-                            or (self._pending_k2 or 0) > self.k2):
+                            or (self._pending_k2 or 0) > self.k2
+                            or (self._pending_eval or 0)
+                            > self.eval_budget):
                         # adaptive rebuild at the chunk boundary: drain the
                         # queued chunks (their program is being replaced),
                         # then recompile with the larger budget(s) — once
@@ -651,10 +688,12 @@ class InferenceSession:
                             self._sample_override = self._pending_sample
                         if (self._pending_k2 or 0) > self.k2:
                             self._k2_override = self._pending_k2
+                        if (self._pending_eval or 0) > self.eval_budget:
+                            self._eval_override = self._pending_eval
                         self._compile_render()
                         render = self._get_render(fmt)
                     self._pending_budget = self._pending_sample = None
-                    self._pending_k2 = None
+                    self._pending_k2 = self._pending_eval = None
                 count = min(C, n - base)
                 # pad the tail chunk by repeating its last frame; padded
                 # slots carry valid=0 so they render (static chunk shape)
@@ -673,7 +712,7 @@ class InferenceSession:
                     valid_c = jnp.asarray([1.0 if j < count else 0.0
                                            for j in range(C)], jnp.float32)
                 with ph("dispatch"):
-                    bufs, n_acts, n_s2, n_sp, n_wm, prev_enc = render(
+                    bufs, n_acts, n_s2, n_sp, n_wm, n_rl, prev_enc = render(
                         self.infer_params, self.packed, self.tables,
                         self.occ, poses, auds_c, prev_enc, has_prev,
                         eyes_c, idxs_c, valid_c, self.torso_params,
@@ -687,7 +726,7 @@ class InferenceSession:
                 # rendered truncated under the old K2 pass silently
                 # (round-3 advisor finding)
                 queue.append((base, count, bufs, n_acts, n_s2, n_sp, n_wm,
-                              self.k2))
+                              self.k2, n_rl, self.eval_budget))
                 if len(queue) >= 2:
                     with ph("fetch+sink"):
                         consume()

