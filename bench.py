@@ -341,9 +341,15 @@ def main():
     # field-eval budget: AUTO with a trained state (host-exact real-block
     # count of the bench pose + 25% margin, the value serving's n_real
     # escape converges to), else --eval-frac of the window budget
+    # advisor r4: the host measure reproduces the EXACT march's occupancy
+    # test — a dilated fast-mode mask (--march-group < 0) admits empty
+    # neighbor cells the measure doesn't count, so device n_real can
+    # overflow a budget sized from it (bench has no rebuild loop; real
+    # blocks would silently render as background). Auto-size only for the
+    # exact marchers.
     ebudget = 0
     if blocks and args.eval_frac is None and win_ is not None \
-            and settings.cascade == 1:
+            and settings.cascade == 1 and args.march_group > 0:
         from lzzx_nerf_tpu.ops.march2 import measure_real_blocks_host
 
         n_real_m = 4 * measure_real_blocks_host(
@@ -569,10 +575,10 @@ def main():
                 time.sleep(t_ready - now)
             else:
                 late_dispatch += now > t_ready + 0.004
-            img, _, _, _ = render_chunk(params, packed, tables, occ,
-                                        aud_stream[k % n_chunks],
-                                        eyes[k % n_chunks], tparams,
-                                        torso_packed)
+            img, _, _, _, _ = render_chunk(params, packed, tables, occ,
+                                           aud_stream[k % n_chunks],
+                                           eyes[k % n_chunks], tparams,
+                                           torso_packed)
             img.copy_to_host_async()
             pending.append((k, img))
             while pending and pending[0][1].is_ready():
@@ -609,9 +615,9 @@ def main():
         lat = []
         for f in range(min(8, n_chunks)):
             t = time.perf_counter()
-            img, _, _, _ = render_chunk(params, packed, tables, occ,
-                                        aud_stream[f], eyes[f], tparams,
-                                        torso_packed)
+            img, _, _, _, _ = render_chunk(params, packed, tables, occ,
+                                           aud_stream[f], eyes[f], tparams,
+                                           torso_packed)
             np.asarray(img)
             lat.append(time.perf_counter() - t)
         lat_ms = 1000.0 * float(np.median(lat))

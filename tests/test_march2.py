@@ -1689,3 +1689,61 @@ def test_block_eval_budget_recompaction_exact():
     fell_back = (np.abs(img_ov - bgv).max(-1) < 1e-6)
     assert (match | fell_back).all()
     assert fell_back[~match].any()
+
+def test_measure_real_blocks_host_matches_device_n_real():
+    """measure_real_blocks_host's whole correctness claim is host/device
+    agreement: bench.py auto-sizes the field-eval budget from it, so a
+    drift in the march's lattice snap or cell mapping would silently
+    undersize the bench eval budget (advisor r4). Reproduce bench.py's
+    exact prep (block-centre windows, pad 3.0) and assert the host count
+    equals the renderer's n_real diagnostic."""
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.ops.march2 import measure_real_blocks_host
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays_compact_blocks)
+    from lzzx_nerf_tpu.utils import get_rays
+
+    H = W = 32
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=8, dt=DT, num_cand=112)
+    state = init_occupancy_state(settings)
+    occ, _, _ = _scene()
+    state = state._replace(occ=occ)
+
+    pose = jnp.asarray(np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
+        np.float32))[None]
+    intr = (W / 0.6, W / 0.6, W / 2, H / 2)
+    rays = get_rays(pose, intr, H, W, N=-1)
+    ro_full, rd = rays["rays_o"][0], rays["rays_d"][0]
+    K2 = 40
+
+    # ---- host side: bench.py's prep, verbatim
+    tables = build_inference_tables(state.occ, settings.bound, variants=())
+    db = rd.reshape(H // 2, 2, W // 2, 2, 3).transpose(
+        0, 2, 1, 3, 4).reshape(H * W // 4, 4, 3)
+    dc = db.mean(axis=1)
+    dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True)
+    oc = jnp.broadcast_to(ro_full[0], dc.shape)
+    aabb = jnp.asarray(settings.aabb, jnp.float32)
+    nb_, fb_ = near_far_from_aabb(oc, dc, aabb, settings.min_near)
+    win = ray_windows(oc, dc, nb_, fb_, tables.z_lo, tables.z_hi,
+                      settings.bound, settings.dt, pad_steps=3.0)
+    n_host = 4 * measure_real_blocks_host(
+        state.occ[0], settings.aabb, settings.min_near,
+        np.asarray(ro_full[0]), np.asarray(db),
+        win.t_start, win.t_end, win.active,
+        settings.bound, settings.dt, K2)
+
+    # ---- device side: the renderer's n_real with the re-compaction active
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    out = render_rays_compact_blocks(
+        field.apply, params, settings, state, ro_full[0], rd, H, W,
+        jnp.zeros((1, 32)), jnp.zeros(4), jnp.asarray([0.25]),
+        jnp.full((H * W, 3), 0.6), budget=H * W, window_candidates=K2,
+        eval_budget=H * W - 4)
+    assert n_host == int(out["n_real"]) > 0

@@ -1495,16 +1495,28 @@ def test_session_eval_budget_exact_and_escape(session_workspace, capsys):
     assert s_off.eval_budget == 0
     capsys.readouterr()
 
-    s_on, on = run(1.0)   # eval budget == window budget: always sufficient
+    # generous leg at 0.5: eval_budget < budget, so the renderer's
+    # re-compaction branch (eval_budget // 4 < budget_b) genuinely runs —
+    # at 1.0 the budgets coincide and the bit-exactness assertion would
+    # exercise a no-op (advisor r4). If the toy head's real blocks exceed
+    # even this budget the escape rebuilds at a chunk boundary; then only
+    # post-rebuild frames are comparable (same contract as the tiny leg).
+    s_on, on = run(0.5)
     out_on = capsys.readouterr().out
     assert s_on.eval_budget > 0
-    assert "exceed eval budget" not in out_on
     assert sorted(on) == list(range(6))
-    for i in range(6):
-        np.testing.assert_array_equal(on[i], off[i])
+    if "exceed eval budget" in out_on:
+        # demand above the halved budget: the escape must have rebuilt
+        # (either way the pre-rebuild chunks ran the re-compaction branch)
+        assert "rebuilding with" in out_on
+        np.testing.assert_array_equal(on[5], off[5])
+    else:
+        assert s_on.eval_budget < s_on.budget
+        for i in range(6):
+            np.testing.assert_array_equal(on[i], off[i])
 
-    # tiny eval budget: the session's gran floor is the smallest allowed —
-    # force demand above it by monkeypatching the sizing floor
+    # tiny eval budget: rounds to the session's gran floor, the smallest
+    # allowed — demand above it must trip the n_real escape
     s_tiny, tiny = run(1e-9)   # rounds to gran floor (256 at 64x64)
     out = capsys.readouterr().out
     assert sorted(tiny) == list(range(6))        # no frames dropped
