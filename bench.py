@@ -149,6 +149,17 @@ def main():
                          "the TPU row-count cliff, quadwgather.py); nb5w "
                          "= symmetric 5x5 word-baked table (any-direction "
                          "envelope, 50-way select)")
+    ap.add_argument("--prepass", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="occupancy-true block activity before the march "
+                         "(ops/march2.prepass_block_hits): the z-slab "
+                         "window test over-admits ~2.6x on a trained "
+                         "crust; a dilated-occupancy bit test per (block, "
+                         "group) drops provably-dead blocks BEFORE the "
+                         "march. With a trained state the ray budget is "
+                         "then auto-sized from the host-measured prepass "
+                         "admission instead of the window activity. "
+                         "Group-2 block march only (--no-prepass to A/B)")
     ap.add_argument("--interp-bf16", action="store_true",
                     help="bilinear-combine the gathered bf16 triplane rows "
                          "in bf16 and convert only the [B, 36] features "
@@ -302,22 +313,11 @@ def main():
                        settings.min_near)
         win_ = _rw(oc, dc, nb_, fb_, tables.z_lo, tables.z_hi,
                    settings.bound, settings.dt, pad_steps=3.0)
-    if args.budget_frac is None and win_ is not None:
-        n_act = int(jnp.sum(win_.active)) * 4
-        budget = min(res * res // 1024 * 1024,
-                     max(1024, -(-n_act // 1024) * 1024))
-        print(f"# trained-state budget auto-sized to {budget} "
-              f"(measured window activity {n_act} rays; serving's adaptive "
-              f"rebuild converges here)", file=sys.stderr)
-    else:
-        bf = 0.375 if args.budget_frac is None else args.budget_frac
-        budget = max(1024, int(bf * res * res) // 1024 * 1024)
-    staged_sb = (max(1024, int(budget * args.stage_split * args.sample_frac)
-                 // 1024 * 1024) if args.sample_frac > 0 else 0)
-
     # resolve K2 + block-march group/variant through the SAME envelope
     # gate as serving/session.py and cli.run_test, so benched numbers
     # always correspond to a sample-exact (production) configuration
+    # (resolved BEFORE budget sizing: the prepass-admission measure below
+    # walks the resolved K2 lattice)
     from lzzx_nerf_tpu.ops.march2 import resolve_march_plan
 
     blocks = args.path == "compact" and args.block == 2
@@ -329,15 +329,48 @@ def main():
         measure=("block" if blocks else "ray") if args.path == "compact"
         else None,
         log=lambda m: print(f"# {m}", file=sys.stderr))
+    use_prepass = args.prepass and blocks and args.march_group == 2
     print(f"# march plan: K2={args.k2} group={args.march_group} "
-          f"variant={args.march_variant}", file=sys.stderr)
+          f"variant={args.march_variant} prepass={use_prepass}",
+          file=sys.stderr)
+
     from lzzx_nerf_tpu.ops.march2 import (ensure_variant_tables,
                                           needed_variant_tables)
 
     tables = ensure_variant_tables(
         tables, occ.occ,
         needed_variant_tables(args.march_group if blocks else 1,
-                              args.march_variant))
+                              args.march_variant, prepass=use_prepass))
+
+    if args.budget_frac is None and win_ is not None:
+        if use_prepass:
+            # size from the DEVICE prepass — bit-identical to the count
+            # the renderer's n_active reports per frame (a host numpy
+            # replica drifted by a few blocks on fp rounding at 512²,
+            # and bench has no rebuild loop to absorb an overflow)
+            from lzzx_nerf_tpu.ops.march2 import prepass_block_hits
+
+            hits = jax.jit(prepass_block_hits, static_argnums=(5, 6, 7))(
+                oc, dc, win_.t_start, win_.t_end, tables.col_dilwords,
+                settings.bound, settings.dt, args.k2)
+            # +256 rays of margin: the in-frame prepass fuses differently
+            # and cell-boundary blocks can flip a few rays either way
+            # (measured 12 at 512²); bench has no rebuild loop
+            n_act = int(jnp.sum(hits & win_.active)) * 4 + 256
+            which = "prepass admission"
+        else:
+            n_act = int(jnp.sum(win_.active)) * 4
+            which = "window activity"
+        budget = min(res * res // 1024 * 1024,
+                     max(1024, -(-n_act // 1024) * 1024))
+        print(f"# trained-state budget auto-sized to {budget} "
+              f"(measured {which} {n_act} rays; serving's adaptive "
+              f"rebuild converges here)", file=sys.stderr)
+    else:
+        bf = 0.375 if args.budget_frac is None else args.budget_frac
+        budget = max(1024, int(bf * res * res) // 1024 * 1024)
+    staged_sb = (max(1024, int(budget * args.stage_split * args.sample_frac)
+                 // 1024 * 1024) if args.sample_frac > 0 else 0)
     # field-eval budget: AUTO with a trained state (host-exact real-block
     # count of the bench pose + 25% margin, the value serving's n_real
     # escape converges to), else --eval-frac of the window budget
@@ -447,7 +480,7 @@ def main():
                 window_candidates=args.k2 or None, tables=tables,
                 march_group=args.march_group,
                 march_variant=args.march_variant, eval_budget=ebudget,
-                **staged)
+                march_prepass=use_prepass, **staged)
         elif args.path == "compact":
             out = render_rays_compact(apply_packed, params, settings, occ,
                                       rays_o, rays_d, enc_a, c, eye, frame_bg,

@@ -767,9 +767,13 @@ def run_test(cfg) -> None:
         from .ops.march2 import ensure_variant_tables, needed_variant_tables
 
         tables = ensure_variant_tables(
-            tables, occ.occ, needed_variant_tables(march_group,
-                                                   march_variant))
+            tables, occ.occ, needed_variant_tables(
+                march_group, march_variant,
+                prepass=(use_blocks and march_group == 2
+                         and cfg.infer_march_prepass)))
     k2 = k2 or None
+    use_prepass = (use_compact and use_blocks and march_group == 2
+                   and cfg.infer_march_prepass)
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
     # post-march field-eval re-compaction (Config.infer_eval_frac): exact
     # while real blocks fit; run_test has no rebuild loop, so overflow only
@@ -837,7 +841,8 @@ def run_test(cfg) -> None:
                 rays_d, ds.H, ds.W, enc_a, c, eye, bg,
                 budget=budget, window_candidates=k2, tables=tables,
                 march_group=march_group, march_variant=march_variant,
-                eval_budget=eval_budget, **staged)
+                eval_budget=eval_budget, march_prepass=use_prepass,
+                **staged)
         else:
             out = render_rays_compact(
                 apply_packed, params, isettings, occ,

@@ -290,6 +290,18 @@ class Config:
     # nb5w fetch) measured 34.19/30.23 vs 36.49 same-session — rejected,
     # kept parity-tested opt-in.
     infer_march_variant: str = "nb5w"
+    # pre-march occupancy-true block activity (ops/march2.prepass_block_
+    # hits): the window analysis's z-slab test over-admits ~2.6x on a
+    # trained crust (215k window-active vs 82k real rays @512² — PERF.md
+    # Round 4); one dilated-occupancy bit test per (block, candidate
+    # group) drops provably-dead blocks BEFORE the march, so the march/
+    # window-compaction budget tracks real occupancy instead of slab
+    # over-approximation. Bit-exact (conservative under the same ±2-cell
+    # envelope the group-2 block march is gated on; tests/test_march2.py
+    # prepass suite); applies to the group-2 block path only — other
+    # march modes ignore it. The session's adaptive budget escape sizes
+    # the ray budget from the prepass admission automatically.
+    infer_march_prepass: bool = True
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;
     # chunking divides it (the reference batches 32 frames per wave,

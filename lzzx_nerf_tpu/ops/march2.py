@@ -119,6 +119,18 @@ class InferenceTables(NamedTuple):
                                # z-word (column_bitmasks_neighborhood5_words)
                                # — variant "nb5w"; None unless "nb5w" in
                                # build variants (13.1 MB @128)
+    col_dilwords: jnp.ndarray = None
+                               # [H*H*(H//32)] uint32 — the (5, 5, 7)-max-
+                               # pooled occupancy packed as z-words and
+                               # flattened to one word per (x, y, z-word)
+                               # row (dilated_occupancy_words), for the
+                               # pre-march block-activity prepass
+                               # (prepass_block_hits): one 1-word fetch +
+                               # bit test per (block, candidate group)
+                               # answers "can ANY of the block's 8
+                               # candidates in this group be occupied?"
+                               # conservatively. None unless "dil" in
+                               # build variants (256 KB @128)
 
 
 class CompactSet(NamedTuple):
@@ -441,6 +453,131 @@ def column_bitmasks_neighborhood5_words(occ: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(H * H * W32, 50)
 
 
+def dilated_occupancy_words(occ: jnp.ndarray, dxy: int = 2, dz: int = 3
+                            ) -> jnp.ndarray:
+    """occ [CAS, H, H, H] -> [H*H*(H//32)] uint32: the occupancy max-pooled
+    over a (2*dxy+1, 2*dxy+1, 2*dz+1) window (separable 1-D passes),
+    packed as z-words and flattened to ONE word per (x, y, z-word) row.
+
+    This is the pre-march activity oracle: dilated(c) == 1 whenever ANY
+    cell within (±dxy, ±dxy, ±dz) of c is occupied, so a single bit test
+    at a block's group-fetch cell conservatively answers "can any of the
+    block's 8 candidates in this group hit an occupied cell?" — the same
+    (±2, ±2, ±3) envelope the block-shared marchers prove for their
+    fetch-to-candidate drift (march_rays_window_bitmask_nb_block: xy
+    within ±2 for |d_xy| <= 0.95 portrait geometry, z within the 7-cell
+    band [gz-3, gz+3] the zband variants index). Out-of-grid reads as
+    empty — candidates clamp into the grid exactly like the fetch points,
+    and clamping never increases cell distance, so coverage is preserved
+    at the boundary. The default (5, 5, 7) window is conservative for
+    every geometry resolve_march_plan admits to march_group == 2."""
+    H = occ.shape[1]
+    od = occ[0].astype(jnp.float32)
+    od = jax.lax.reduce_window(od, 0.0, jax.lax.max,
+                               (2 * dxy + 1, 1, 1), (1, 1, 1), "SAME")
+    od = jax.lax.reduce_window(od, 0.0, jax.lax.max,
+                               (1, 2 * dxy + 1, 1), (1, 1, 1), "SAME")
+    od = jax.lax.reduce_window(od, 0.0, jax.lax.max,
+                               (1, 1, 2 * dz + 1), (1, 1, 1), "SAME")
+    return _pack_z_words(od).reshape(H * H * (H // 32))
+
+
+def prepass_block_hits(
+    o_blk: jnp.ndarray,        # [NB, 3] block-centre origins
+    d_center: jnp.ndarray,     # [NB, 3] unit block-centre directions
+    t0_blk: jnp.ndarray,       # [NB] block window start (lattice anchor)
+    t1_blk: jnp.ndarray,       # [NB] block window end
+    col_dilwords: jnp.ndarray,  # [H*H*(H//32)] from dilated_occupancy_words
+    bound: float,
+    dt: float,
+    num_cand: int,             # K2 (the march's candidate count)
+) -> jnp.ndarray:
+    """Occupancy-true block activity: for each block, test the dilated
+    occupancy bit at every group-fetch lattice point t0 + (2g+1)*dt of the
+    window. Returns hit [NB] bool — False PROVES the block-shared march
+    would keep zero samples for all 4 rays (candidates of group g lie
+    within (±2, ±2, ±3) cells of the g-th fetch cell, and the dilation
+    covers exactly that envelope), so dead blocks can be dropped BEFORE
+    the march instead of after the field eval.
+
+    The window analysis's z-slab test over-admits ~2.6x on a trained
+    crust (215k window-active vs 82k real rays at 512² — PERF.md Round
+    4); this prepass costs one 1-word gather + bit test per (block,
+    group) — ~1/25 of the nb5w march's 50-word rows + 50-way selects —
+    and removes ~35% of the march's block budget at the source (measured
+    on the trained state; the reference's alive-ray loop never marches
+    dead rays at all, /root/reference/nerf_triplane/renderer.py:503-548).
+    """
+    W32 = None  # derived from the table: rows = H^2 * H/32 -> H = cbrt(32R)
+    H = int(round((32 * col_dilwords.shape[0]) ** (1.0 / 3.0)))
+    W32 = H // 32
+    assert H * H * W32 == col_dilwords.shape[0]
+    group = 2
+    G = (num_cand + group - 1) // group
+
+    gk = jnp.arange(G, dtype=jnp.float32) * group + 1.0     # 2g + 1
+    t_g = t0_blk[:, None] + gk[None] * dt                   # [NB, G]
+    pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
+    pg = jnp.clip(pg, -bound, bound)
+    gp = jnp.clip(0.5 * (pg / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
+    gx, gy, gz = gp[..., 0], gp[..., 1], gp[..., 2]
+    idx = (gx * H + gy) * W32 + (gz >> 5)
+    words = jnp.take(col_dilwords, idx, axis=0)             # [NB, G]
+    bit = ((words >> (gz & 31).astype(jnp.uint32)) & jnp.uint32(1)) > 0
+    # group g carries candidates in [t_g - dt - eps, t_g + dt); a group
+    # whose start is past the window end contributes nothing (candidates
+    # are t < t_end-gated in the march) — one dt of slack keeps this
+    # strictly conservative against the per-ray lattice snap
+    live = (t_g - dt) < (t1_blk[:, None] + dt)
+    return jnp.any(bit & live, axis=1)
+
+
+def prepass_block_spans(
+    o_blk: jnp.ndarray,        # [NB, 3]
+    d_center: jnp.ndarray,     # [NB, 3]
+    t0_blk: jnp.ndarray,       # [NB]
+    t1_blk: jnp.ndarray,       # [NB]
+    col_dilwords: jnp.ndarray,
+    bound: float,
+    dt: float,
+    num_cand: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """prepass_block_hits plus the per-block FIRST/LAST hit groups:
+    (hit [NB] bool, g_first [NB] int32, g_last [NB] int32).
+
+    Groups before g_first (and after g_last) provably contain no occupied
+    candidate for any of the block's 4 rays (dilated-occupancy superset),
+    so the window can be TIGHTENED to [t0 + 2*g_first*dt,
+    t0 + (2*g_last + 2)*dt] without losing a sample — the lattice shift
+    is a whole number of candidate groups, so every surviving per-ray
+    candidate keeps its exact position (near-anchored snap semantics
+    unchanged). The candidates a bucket march then needs is
+    2*(g_last - g_first + 1) + 2 (one group span + the snap's boundary
+    candidate each side) — the basis for the short/long two-bucket march
+    (render_rays_compact_blocks march_buckets)."""
+    H = int(round((32 * col_dilwords.shape[0]) ** (1.0 / 3.0)))
+    W32 = H // 32
+    assert H * H * W32 == col_dilwords.shape[0]
+    group = 2
+    G = (num_cand + group - 1) // group
+
+    gk = jnp.arange(G, dtype=jnp.float32) * group + 1.0
+    t_g = t0_blk[:, None] + gk[None] * dt
+    pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
+    pg = jnp.clip(pg, -bound, bound)
+    gp = jnp.clip(0.5 * (pg / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
+    gx, gy, gz = gp[..., 0], gp[..., 1], gp[..., 2]
+    idx = (gx * H + gy) * W32 + (gz >> 5)
+    words = jnp.take(col_dilwords, idx, axis=0)
+    bit = ((words >> (gz & 31).astype(jnp.uint32)) & jnp.uint32(1)) > 0
+    live = (t_g - dt) < (t1_blk[:, None] + dt)
+    h = bit & live                                          # [NB, G]
+    hit = jnp.any(h, axis=1)
+    g_first = jnp.argmax(h, axis=1).astype(jnp.int32)
+    g_last = (G - 1 - jnp.argmax(h[:, ::-1], axis=1)).astype(jnp.int32)
+    return hit, g_first, g_last
+
+
 def build_inference_tables(occ: jnp.ndarray, bound: float,
                            dilate_intervals: int = 2,
                            dilate_mask: int = 1,
@@ -468,21 +605,27 @@ def build_inference_tables(occ: jnp.ndarray, bound: float,
         col_quadwxmask=(column_bitmasks_quadrant_words_xfold(occ)
                         if "quadwx" in variants else None),
         col_nb5wmask=(column_bitmasks_neighborhood5_words(occ)
-                      if "nb5w" in variants else None))
+                      if "nb5w" in variants else None),
+        col_dilwords=(dilated_occupancy_words(occ)
+                      if "dil" in variants else None))
 
 
 def needed_variant_tables(march_group: int,
-                          march_variant: str) -> Tuple[str, ...]:
+                          march_variant: str,
+                          prepass: bool = False) -> Tuple[str, ...]:
     """Which optional block tables a resolved march plan consumes: only
     the group-2 block marchers use them (quadwx/quadw/quad/nb5w -> their
     own table, every other variant -> col_nb5mask); groups 1/3 and the
-    fast modes march from the always-built col_nbmask / col_bitmask."""
+    fast modes march from the always-built col_nbmask / col_bitmask.
+    prepass=True additionally needs the dilated-word activity table
+    (group-2 only — the prepass envelope is the block-shared one)."""
     if march_group == 2:
+        extra = ("dil",) if prepass else ()
         if march_variant in ("quadwx", "quadw", "quad", "nb5w"):
-            return (march_variant,)
+            return (march_variant,) + extra
         if march_variant in ("nb5wz", "nb5wz4", "nb5wp"):
-            return ("nb5w",)
-        return ("nb5",)
+            return ("nb5w",) + extra
+        return ("nb5",) + extra
     return ()
 
 
@@ -505,6 +648,8 @@ def ensure_variant_tables(tables: InferenceTables, occ: jnp.ndarray,
     if "nb5w" in need and tables.col_nb5wmask is None:
         upd["col_nb5wmask"] = jax.jit(
             column_bitmasks_neighborhood5_words)(occ)
+    if "dil" in need and tables.col_dilwords is None:
+        upd["col_dilwords"] = jax.jit(dilated_occupancy_words)(occ)
     return tables._replace(**upd) if upd else tables
 
 

@@ -24,7 +24,8 @@ from ..ops.march2 import (InferenceTables, build_inference_tables,
                           march_rays_window_bitmask,
                           march_rays_window_bitmask_nb,
                           march_rays_window_bitmask_nb_block,
-                          march_rays_window_bitmask_nb_block3, ray_windows)
+                          march_rays_window_bitmask_nb_block3,
+                          prepass_block_hits, ray_windows)
 from ..ops.ray import near_far_from_aabb
 from .state import OccupancyState, RenderSettings
 
@@ -649,6 +650,7 @@ def render_rays_compact_blocks(
     sample_budget: int = 0,
     march_variant: str = "wslice",
     eval_budget: int = 0,
+    march_prepass: bool = False,
 ) -> Dict[str, Any]:
     """Serving fast path with 2x2-pixel-block window analysis/compaction.
 
@@ -678,7 +680,8 @@ def render_rays_compact_blocks(
 
         tables = build_inference_tables(
             state.occ, settings.bound,
-            variants=needed_variant_tables(march_group, march_variant))
+            variants=needed_variant_tables(march_group, march_variant,
+                                           prepass=march_prepass))
 
     # block view: [H/2, 2, W/2, 2, 3] -> [NB, 4(dy,dx), 3]
     d_blocks = rays_d.reshape(H // 2, 2, W // 2, 2, 3).transpose(
@@ -693,7 +696,26 @@ def render_rays_compact_blocks(
     win = ray_windows(o_center, d_center, nears_b, fars_b,
                       tables.z_lo, tables.z_hi, settings.bound, settings.dt,
                       pad_steps=3.0)
-    cs = compact_rays(win.active, budget_b)
+    active = win.active
+    if march_prepass and march_group == 2:
+        # occupancy-true activity (ops/march2.prepass_block_hits): the
+        # z-slab window test over-admits ~2.6x on a trained crust; one
+        # dilated-occupancy bit test per (block, candidate group) PROVES
+        # which blocks cannot keep a single sample, so they never enter
+        # the march — the march/window phases were the dominant
+        # un-compacted cost after the eval re-compaction (PERF.md Round
+        # 4). Conservative under the same ±2-cell drift envelope the
+        # group-2 block march is gated on; group != 2 geometries skip it
+        # (their candidates may drift beyond the dilation).
+        if tables.col_dilwords is None:
+            from ..ops.march2 import dilated_occupancy_words
+
+            tables = tables._replace(
+                col_dilwords=dilated_occupancy_words(state.occ))
+        active = active & prepass_block_hits(
+            o_center, d_center, win.t_start, win.t_end,
+            tables.col_dilwords, settings.bound, settings.dt, K2)
+    cs = compact_rays(active, budget_b)
     # max candidate count any active block window needs (per-ray windows
     # are subsets of their block's [t0, t1]); see render_rays_compact
     n_winmax = (jnp.max(jnp.where(

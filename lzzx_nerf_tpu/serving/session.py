@@ -229,9 +229,16 @@ class InferenceSession:
         self.k2 = k2
         from ..ops.march2 import ensure_variant_tables, needed_variant_tables
 
+        # occupancy-true pre-march activity (Config.infer_march_prepass):
+        # group-2 block path only — the prepass envelope is the block-
+        # shared one; n_active then reports the prepass admission and the
+        # existing budget escape adapts to it
+        use_prepass = (use_blocks and march_group == 2
+                       and cfg.infer_march_prepass)
         self.tables = ensure_variant_tables(
             self.tables, self.occ.occ,
-            needed_variant_tables(march_group, march_variant))
+            needed_variant_tables(march_group, march_variant,
+                                  prepass=use_prepass))
         field = self.field
         torso = self.torso
         if torso is not None:
@@ -307,7 +314,8 @@ class InferenceSession:
                     window_candidates=k2, tables=tables,
                     stage_split=stage_split, stage2_budget=stage2_budget,
                     march_group=march_group, sample_budget=sample_budget,
-                    march_variant=march_variant, eval_budget=eval_budget)
+                    march_variant=march_variant, eval_budget=eval_budget,
+                    march_prepass=use_prepass)
             elif use_compact:
                 out = render_rays_compact(
                     apply_packed, params, isettings, occ,

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--stage2-frac", type=float, default=0.375)
     ap.add_argument("--march-variant", default="nb5w")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--state", default=None,
+                    help="production_state.pkl: profile the TRAINED frame "
+                         "(trained occupancy + EMA params + trained pose) "
+                         "with bench.py's auto-sized ray/eval budgets — "
+                         "the phase map of the number that matters")
     args = ap.parse_args()
 
     import jax
@@ -52,14 +57,42 @@ def main():
     from lzzx_nerf_tpu.utils import get_rays
 
     res, S = args.res, args.samples
-    settings, occ, field, params = _build(res=res, grid=args.grid,
-                                          max_steps=S)
-    budget = max(1024, int(args.budget_frac * res * res) // 1024 * 1024)
-    s2_budget = max(1024, int(budget * args.stage2_frac) // 1024 * 1024)
-    pose = jnp.asarray(np.array(
-        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
-        np.float32))[None]
-    intr = (res / 0.6, res / 0.6, res / 2, res / 2)
+    ebudget = 0
+    if args.state:
+        import pickle
+
+        from lzzx_nerf_tpu.models import NeRFField
+        from lzzx_nerf_tpu.ops.march import num_candidates
+        from lzzx_nerf_tpu.render import RenderSettings
+        from lzzx_nerf_tpu.render.state import OccupancyState
+
+        with open(args.state, "rb") as f:
+            st = pickle.load(f)
+        meta = st["meta"]
+        args.grid = int(meta["grid"])
+        aabb = tuple(float(x) for x in meta["aabb"])
+        settings = RenderSettings(
+            bound=1.0, cascade=1, grid_size=args.grid, max_steps=S,
+            dt=float(meta["dt"]),
+            num_cand=num_candidates(aabb, 0.05, float(meta["dt"])),
+            aabb=aabb)
+        occ = OccupancyState(**{k: jnp.asarray(v)
+                                for k, v in st["occ"].items()})
+        params = {"params": jax.tree.map(jnp.asarray, st["head_ema"])}
+        ind_num = int(np.asarray(
+            st["head_ema"]["individual_codes"]).shape[0])
+        field = NeRFField(audio_in_dim=int(meta["audio_dim"]),
+                          ind_num=ind_num)
+        pose = jnp.asarray(np.asarray(meta["poses"][0], np.float32))[None]
+        sc = res / float(meta["res"])
+        intr = tuple(float(v) * sc for v in meta["intrinsics"])
+    else:
+        settings, occ, field, params = _build(res=res, grid=args.grid,
+                                              max_steps=S)
+        pose = jnp.asarray(np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
+            np.float32))[None]
+        intr = (res / 0.6, res / 0.6, res / 2, res / 2)
     rays = get_rays(pose, intr, res, res, N=-1)
     ray_o_origin = rays["rays_o"][0][0]
     rays_d = rays["rays_d"][0]
@@ -75,8 +108,40 @@ def main():
         log=lambda m: print(f"# {m}", file=sys.stderr))
     tables = ensure_variant_tables(tables, occ.occ,
                                    needed_variant_tables(group, variant))
+    if args.state:
+        # bench.py's trained-state auto-sizing: ray budget from the window
+        # activity of the bench pose, eval budget from the host-exact
+        # real-block count x1.25 — profile the program bench actually times
+        from lzzx_nerf_tpu.ops.march2 import (measure_real_blocks_host,
+                                              ray_windows)
+        from lzzx_nerf_tpu.ops.ray import near_far_from_aabb
+
+        db = rays_d.reshape(res // 2, 2, res // 2, 2, 3).transpose(
+            0, 2, 1, 3, 4).reshape(res * res // 4, 4, 3)
+        dcen = db.mean(axis=1)
+        dcen = dcen / jnp.linalg.norm(dcen, axis=-1, keepdims=True)
+        ocen = jnp.broadcast_to(ray_o_origin, dcen.shape)
+        nb_, fb_ = near_far_from_aabb(
+            ocen, dcen, jnp.asarray(settings.aabb, jnp.float32),
+            settings.min_near)
+        win_ = ray_windows(ocen, dcen, nb_, fb_, tables.z_lo, tables.z_hi,
+                           settings.bound, settings.dt, pad_steps=3.0)
+        n_act = int(jnp.sum(win_.active)) * 4
+        budget = min(res * res // 1024 * 1024,
+                     max(1024, -(-n_act // 1024) * 1024))
+        n_real_m = 4 * measure_real_blocks_host(
+            occ.occ[0], settings.aabb, settings.min_near,
+            np.asarray(ray_o_origin), np.asarray(db),
+            win_.t_start, win_.t_end, win_.active,
+            settings.bound, settings.dt, k2)
+        ebudget = min(budget,
+                      max(1024, -(-int(n_real_m * 1.25) // 1024) * 1024))
+    else:
+        budget = max(1024, int(args.budget_frac * res * res)
+                     // 1024 * 1024)
+    s2_budget = max(1024, int(budget * args.stage2_frac) // 1024 * 1024)
     print(f"# plan: K2={k2} group={group} variant={variant} budget={budget} "
-          f"s2={s2_budget}", file=sys.stderr)
+          f"s2={s2_budget} eval={ebudget}", file=sys.stderr)
     ap16 = make_fused_apply(field, packed)
 
     @jax.jit
@@ -88,10 +153,11 @@ def main():
             enc_a, c, eye, bg, budget=budget, window_candidates=k2,
             tables=tables, stage_split=args.stage_split,
             stage2_budget=s2_budget, march_group=group,
-            march_variant=variant)
+            march_variant=variant, eval_budget=ebudget)
         return (jnp.clip(out["image"], 0, 1) * 255).astype(jnp.uint8)
 
-    auds = jnp.zeros((8, 16, 1024))
+    aud_dim = int(st["meta"]["audio_dim"]) if args.state else 1024
+    auds = jnp.zeros((8, 16, aud_dim))
     eye = jnp.asarray([0.25])
     img = render_frame(params, packed, tables, occ, auds, eye)
     np.asarray(img)

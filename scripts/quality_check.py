@@ -62,6 +62,12 @@ def main():
                          "variant J (0 disables J). Compaction is bit-exact "
                          "while the masked points fit the slots; J verifies "
                          "that end-to-end on the trained oracle")
+    ap.add_argument("--prepass", action="store_true",
+                    help="variant J additionally runs the pre-march "
+                         "occupancy-true activity prepass "
+                         "(Config.infer_march_prepass) — bit-exact by "
+                         "construction; this guards it end-to-end on a "
+                         "trained crust")
     ap.add_argument("--march-variant", default="nb5w",
                     choices=["wslice", "nb_first", "zband", "zband4",
                              "quad", "quadw", "quadwx", "nb5w", "nb5wz",
@@ -206,7 +212,8 @@ def main():
                                           needed_variant_tables)
 
     tables = ensure_variant_tables(
-        tables, occ.occ, needed_variant_tables(2, args.march_variant))
+        tables, occ.occ, needed_variant_tables(2, args.march_variant,
+                                               prepass=args.prepass))
     # full budget: quality isolation (overflow is a separate, warned-about
     # failure mode); stage-2 budget at the serving fraction
     budget = res * res
@@ -364,7 +371,8 @@ def main():
             rays["rays_d"][0], res, res, enc_a, c, eye, bg, budget=budget,
             window_candidates=K2, tables=tables,
             sample_budget=sample_budget,
-            march_variant=args.march_variant, **staged)["image"]
+            march_variant=args.march_variant,
+            march_prepass=args.prepass, **staged)["image"]
 
     scores = {"A_parity_S16": [], "B_serving_S8": [], "C_serving_block": [],
               "D_block_f32tab": [], "E_no_staging": [], "F_exact_march": [],
@@ -399,7 +407,7 @@ def main():
         # J runs when it differs from C: sample compaction on, or a
         # non-default march variant (e.g. --sample-frac 0 --march-variant
         # quad guards the quad march alone at the production point)
-        if sample_budget or args.march_variant != "wslice":
+        if sample_budget or args.march_variant != "wslice" or args.prepass:
             scores["J_sample_compact"].append(
                 psnr(render_J(params, occ, tables, pose, enc_a, eye, bg), gt))
 

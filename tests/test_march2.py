@@ -1747,3 +1747,162 @@ def test_measure_real_blocks_host_matches_device_n_real():
         jnp.full((H * W, 3), 0.6), budget=H * W, window_candidates=K2,
         eval_budget=H * W - 4)
     assert n_host == int(out["n_real"]) > 0
+
+def test_prepass_block_hits_conservative_and_bit_exact():
+    """The pre-march activity prepass (ops/march2.prepass_block_hits) must
+    be a SUPERSET of the block march's any-hit (conservativeness is the
+    whole correctness claim: a dropped block must provably keep zero
+    samples), and rendering with march_prepass=True must be BIT-IDENTICAL
+    to the full path at an ample budget (dead blocks composed to exactly
+    background before; now they never enter the march)."""
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.ops.march2 import (dilated_occupancy_words,
+                                          prepass_block_hits)
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays_compact_blocks)
+    from lzzx_nerf_tpu.utils import get_rays
+
+    H = W = 32
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=8, dt=DT, num_cand=112)
+    pose = jnp.asarray(np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
+        np.float32))[None]
+    intr = (W / 0.6, W / 0.6, W / 2, H / 2)
+    rays = get_rays(pose, intr, H, W, N=-1)
+    ro_full, rd = rays["rays_o"][0], rays["rays_d"][0]
+    K2 = 40
+
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    bg = jnp.full((H * W, 3), 0.6)
+
+    rng = np.random.default_rng(11)
+    scenes = [_scene()[0]]
+    for _ in range(3):   # random blob scenes
+        occ_np = np.zeros((GRID, GRID, GRID), bool)
+        for _ in range(6):
+            c = rng.integers(6, GRID - 6, 3)
+            r = rng.integers(2, 6)
+            x, y, z = np.ogrid[:GRID, :GRID, :GRID]
+            occ_np |= ((x - c[0]) ** 2 + (y - c[1]) ** 2
+                       + (z - c[2]) ** 2) < r ** 2
+        scenes.append(jnp.asarray(occ_np)[None])
+
+    for occ in scenes:
+        state = init_occupancy_state(settings)._replace(occ=occ)
+        kw = dict(budget=H * W, window_candidates=K2)
+        base = render_rays_compact_blocks(
+            field.apply, params, settings, state, ro_full[0], rd, H, W,
+            jnp.zeros((1, 32)), jnp.zeros(4), jnp.asarray([0.25]), bg, **kw)
+        pre = render_rays_compact_blocks(
+            field.apply, params, settings, state, ro_full[0], rd, H, W,
+            jnp.zeros((1, 32)), jnp.zeros(4), jnp.asarray([0.25]), bg,
+            march_prepass=True, **kw)
+        np.testing.assert_array_equal(np.asarray(base["image"]),
+                                      np.asarray(pre["image"]))
+        np.testing.assert_array_equal(np.asarray(base["weights_sum"]),
+                                      np.asarray(pre["weights_sum"]))
+        # the prepass must genuinely drop something on these sparse scenes
+        assert int(pre["n_active"]) <= int(base["n_active"])
+
+        # direct conservativeness: prepass hit >= march any-hit per block
+        from lzzx_nerf_tpu.ops.march2 import (
+            column_bitmasks_neighborhood5_words,
+            march_rays_window_bitmask_nb_block, ray_windows)
+        from lzzx_nerf_tpu.ops.ray import near_far_from_aabb as nfa
+
+        NB = H * W // 4
+        db = rd.reshape(H // 2, 2, W // 2, 2, 3).transpose(
+            0, 2, 1, 3, 4).reshape(NB, 4, 3)
+        dc = db.mean(axis=1)
+        dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True)
+        oc = jnp.broadcast_to(ro_full[0], dc.shape)
+        aabb = jnp.asarray(settings.aabb, jnp.float32)
+        nb_, fb_ = nfa(oc, dc, aabb, settings.min_near)
+        tb = build_inference_tables(occ, settings.bound, variants=())
+        win = ray_windows(oc, dc, nb_, fb_, tb.z_lo, tb.z_hi,
+                          settings.bound, settings.dt, pad_steps=3.0)
+        dil = dilated_occupancy_words(occ)
+        hits = prepass_block_hits(oc, dc, win.t_start, win.t_end, dil,
+                                  settings.bound, settings.dt, K2)
+        # exact march over ALL blocks (full budget, no compaction drops)
+        nb5w = column_bitmasks_neighborhood5_words(occ)
+        ro4 = jnp.broadcast_to(ro_full[0], (NB * 4, 3))
+        rd4 = db.reshape(NB * 4, 3)
+        nears_r, fars_r = nfa(ro4, rd4, aabb, settings.min_near)
+        t0b = jnp.repeat(win.t_start, 4)
+        t_start = jnp.maximum(nears_r, t0b)
+        k0 = jnp.ceil(jnp.maximum(t_start - nears_r, 0.0)
+                      / settings.dt - 1e-4)
+        t_start = nears_r + k0 * settings.dt
+        t_end = jnp.minimum(fars_r, jnp.repeat(win.t_end, 4))
+        m = march_rays_window_bitmask_nb_block(
+            ro4, rd4, t_start, t_end,
+            jnp.repeat(win.active, 4), win.t_start, dc, nb5w,
+            settings.bound, settings.dt, K2, 8, variant="nb5w")
+        real_blk = np.asarray(m.mask).reshape(NB, -1).any(axis=1)
+        hits_np = np.asarray(hits & win.active)
+        assert not (real_blk & ~hits_np).any(), \
+            "prepass dropped a block with real samples"
+
+
+def test_prepass_device_count_matches_renderer_n_active():
+    """bench.py sizes the trained-state ray budget from the DEVICE prepass
+    count (a host numpy replica drifted by a few blocks on fp rounding at
+    512², and bench has no rebuild loop): the direct prepass_block_hits
+    count must equal the renderer's n_active diagnostic exactly."""
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.ops.march2 import (dilated_occupancy_words,
+                                          prepass_block_hits)
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays_compact_blocks)
+    from lzzx_nerf_tpu.ops.ray import near_far_from_aabb as nfa
+    from lzzx_nerf_tpu.utils import get_rays
+
+    H = W = 32
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=8, dt=DT, num_cand=112)
+    occ, _, _ = _scene()
+    state = init_occupancy_state(settings)._replace(occ=occ)
+    pose = jnp.asarray(np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
+        np.float32))[None]
+    intr = (W / 0.6, W / 0.6, W / 2, H / 2)
+    rays = get_rays(pose, intr, H, W, N=-1)
+    ro_full, rd = rays["rays_o"][0], rays["rays_d"][0]
+    K2 = 40
+
+    NB = H * W // 4
+    db = rd.reshape(H // 2, 2, W // 2, 2, 3).transpose(
+        0, 2, 1, 3, 4).reshape(NB, 4, 3)
+    dc = db.mean(axis=1)
+    dc = dc / jnp.linalg.norm(dc, axis=-1, keepdims=True)
+    oc = jnp.broadcast_to(ro_full[0], dc.shape)
+    aabb = jnp.asarray(settings.aabb, jnp.float32)
+    nb_, fb_ = nfa(oc, dc, aabb, settings.min_near)
+    tb = build_inference_tables(occ, settings.bound, variants=())
+    win = ray_windows(oc, dc, nb_, fb_, tb.z_lo, tb.z_hi,
+                      settings.bound, settings.dt, pad_steps=3.0)
+
+    dil = dilated_occupancy_words(occ)
+    hits = prepass_block_hits(oc, dc, win.t_start, win.t_end, dil,
+                              settings.bound, settings.dt, K2)
+    n_dev = int(jnp.sum(hits & win.active))
+    assert n_dev > 0
+
+    # and the renderer's n_active diagnostic reports exactly this count
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    out = render_rays_compact_blocks(
+        field.apply, params, settings, state, ro_full[0], rd, H, W,
+        jnp.zeros((1, 32)), jnp.zeros(4), jnp.asarray([0.25]),
+        jnp.full((H * W, 3), 0.6), budget=H * W, window_candidates=K2,
+        march_prepass=True)
+    assert int(out["n_active"]) == 4 * n_dev
