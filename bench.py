@@ -160,6 +160,17 @@ def main():
                          "then auto-sized from the host-measured prepass "
                          "admission instead of the window activity. "
                          "Group-2 block march only (--no-prepass to A/B)")
+    ap.add_argument("--bucket-k2", type=int, default=-1,
+                    help="short-bucket candidate count for the two-bucket "
+                         "march (requires --prepass): blocks whose prepass-"
+                         "tightened span fits march at K2s instead of the "
+                         "global worst-case K2; shorts that overflow their "
+                         "budget spill to the long bucket (bit-exact, "
+                         "tests/test_march2.py). -1 (default) = AUTO: "
+                         "choose K2s minimizing the modeled march cost "
+                         "over the bench pose's measured span histogram "
+                         "(disabled if the modeled saving is < 8%%); "
+                         "0 = single-bucket march (A/B control)")
     ap.add_argument("--interp-bf16", action="store_true",
                     help="bilinear-combine the gathered bf16 triplane rows "
                          "in bf16 and convert only the [B, 36] features "
@@ -342,21 +353,26 @@ def main():
         needed_variant_tables(args.march_group if blocks else 1,
                               args.march_variant, prepass=use_prepass))
 
+    march_bucket = None
+    spans_np = None
     if args.budget_frac is None and win_ is not None:
         if use_prepass:
             # size from the DEVICE prepass — bit-identical to the count
             # the renderer's n_active reports per frame (a host numpy
             # replica drifted by a few blocks on fp rounding at 512²,
             # and bench has no rebuild loop to absorb an overflow)
-            from lzzx_nerf_tpu.ops.march2 import prepass_block_hits
+            from lzzx_nerf_tpu.ops.march2 import prepass_block_spans
 
-            hits = jax.jit(prepass_block_hits, static_argnums=(5, 6, 7))(
+            hits, gf, gl = jax.jit(
+                prepass_block_spans, static_argnums=(5, 6, 7))(
                 oc, dc, win_.t_start, win_.t_end, tables.col_dilwords,
                 settings.bound, settings.dt, args.k2)
+            adm = np.asarray(hits & win_.active)
+            spans_np = (2 * (np.asarray(gl) - np.asarray(gf) + 1) + 2)[adm]
             # +256 rays of margin: the in-frame prepass fuses differently
             # and cell-boundary blocks can flip a few rays either way
             # (measured 12 at 512²); bench has no rebuild loop
-            n_act = int(jnp.sum(hits & win_.active)) * 4 + 256
+            n_act = int(adm.sum()) * 4 + 256
             which = "prepass admission"
         else:
             n_act = int(jnp.sum(win_.active)) * 4
@@ -369,6 +385,40 @@ def main():
     else:
         bf = 0.375 if args.budget_frac is None else args.budget_frac
         budget = max(1024, int(bf * res * res) // 1024 * 1024)
+    if use_prepass and args.bucket_k2 != 0 and spans_np is not None \
+            and len(spans_np):
+        # two-bucket march plan: K2s = the MEDIAN tightened span (the
+        # measured rule — the 512² sweep read 25.68/26.27/25.08 FPS at
+        # K2s 16/40/56, median span 42; a linear cost model picked 16,
+        # PERF.md Round 5), gated off when the modeled saving is tiny
+        K2 = args.k2
+        smin = max(args.samples, 16)
+        smin += smin % 2
+        if args.bucket_k2 > 0:
+            k2s = args.bucket_k2
+        elif smin < K2 - 2:
+            k2s = int(np.median(spans_np))
+            k2s += k2s % 2
+            k2s = max(smin, min(k2s, K2 - 2))
+            cost = int(np.where(spans_np <= k2s, k2s, K2).sum())
+            if cost > 0.92 * len(spans_np) * K2:
+                k2s = 0     # modeled saving < 8%: not worth a 2nd program
+        else:
+            k2s = 0
+        if k2s:
+            n_short = int((spans_np <= k2s).sum()) * 4
+            bs = min(budget - 1024,
+                     max(1024, (n_short + 256) // 1024 * 1024))
+            # grow the total so the long bucket holds its own demand
+            # (admitted - shorts) + slack for short spill at the margin
+            n_long = int(adm.sum()) * 4 - n_short
+            need = bs + max(1024, -(-(n_long + 256) // 1024) * 1024)
+            if need > budget:
+                budget = min(res * res // 1024 * 1024, need)
+            march_bucket = (k2s, bs)
+            print(f"# bucket plan: K2s={k2s} short_budget={bs} "
+                  f"(measured {n_short} short / {n_long} long rays; "
+                  f"budget {budget})", file=sys.stderr)
     staged_sb = (max(1024, int(budget * args.stage_split * args.sample_frac)
                  // 1024 * 1024) if args.sample_frac > 0 else 0)
     # field-eval budget: AUTO with a trained state (host-exact real-block
@@ -480,7 +530,8 @@ def main():
                 window_candidates=args.k2 or None, tables=tables,
                 march_group=args.march_group,
                 march_variant=args.march_variant, eval_budget=ebudget,
-                march_prepass=use_prepass, **staged)
+                march_prepass=use_prepass, march_bucket=march_bucket,
+                **staged)
         elif args.path == "compact":
             out = render_rays_compact(apply_packed, params, settings, occ,
                                       rays_o, rays_d, enc_a, c, eye, frame_bg,

@@ -774,6 +774,22 @@ def run_test(cfg) -> None:
     k2 = k2 or None
     use_prepass = (use_compact and use_blocks and march_group == 2
                    and cfg.infer_march_prepass)
+    # SHORT/LONG bucket march (Config.infer_march_bucket): same
+    # trajectory-measured plan as serving; run_test has no rebuild loop,
+    # so long-bucket overflow only warns (n_long) like the eval budget
+    march_bucket = None
+    if use_prepass and cfg.infer_march_bucket and k2:
+        from .ops.march2 import measure_bucket_plan
+
+        k2s_m, ns_m, nl_m, _ = measure_bucket_plan(
+            isettings, tables.z_lo, tables.z_hi, tables.col_dilwords,
+            measure_poses, ds.intrinsics, ds.H, ds.W, k2, log=trainer.log)
+        if k2s_m:
+            bs = min(budget - 1024,
+                     max(1024, -(-(ns_m + 64) // 1024) * 1024))
+            if bs > 0:
+                march_bucket = (k2s_m, bs)
+    long_budget = budget - march_bucket[1] if march_bucket else 0
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)
     # post-march field-eval re-compaction (Config.infer_eval_frac): exact
     # while real blocks fit; run_test has no rebuild loop, so overflow only
@@ -842,7 +858,7 @@ def run_test(cfg) -> None:
                 budget=budget, window_candidates=k2, tables=tables,
                 march_group=march_group, march_variant=march_variant,
                 eval_budget=eval_budget, march_prepass=use_prepass,
-                **staged)
+                march_bucket=march_bucket, **staged)
         else:
             out = render_rays_compact(
                 apply_packed, params, isettings, occ,
@@ -851,7 +867,7 @@ def run_test(cfg) -> None:
                 window_candidates=k2, tables=tables, minimal=True, **staged)
         return (out["image"].reshape(ds.H, ds.W, 3), out["n_active"],
                 out.get("n_stage2", 0), out.get("n_winmax", 0),
-                out.get("n_real", 0))
+                out.get("n_real", 0), out.get("n_long", 0))
 
     out_dir = os.path.join(cfg.workspace, "results")
     os.makedirs(out_dir, exist_ok=True)
@@ -860,8 +876,19 @@ def run_test(cfg) -> None:
     tp = torso_state.params if torso_state is not None else None
     overflow_warned = s2_warned = win_warned = eval_warned = False
 
-    def consume(i, img_dev, n_active_dev, n_s2_dev, n_wm_dev, n_rl_dev, gt):
+    long_warned = False
+
+    def consume(i, img_dev, n_active_dev, n_s2_dev, n_wm_dev, n_rl_dev,
+                n_lg_dev, gt):
         nonlocal overflow_warned, s2_warned, win_warned, eval_warned
+        nonlocal long_warned
+        if (not long_warned and march_bucket
+                and int(n_lg_dev) > long_budget):
+            trainer.log(f"[WARN] frame {i}: {int(n_lg_dev)} long-bucket "
+                        f"rays exceed the long budget {long_budget}; "
+                        f"overflow rendered as background (raise "
+                        f"--budget_frac)")
+            long_warned = True
         img_np = np.asarray(img_dev)
         if not overflow_warned and int(n_active_dev) > budget:
             trainer.log(f"[WARN] frame {i}: {int(n_active_dev)} active rays "
@@ -902,14 +929,14 @@ def run_test(cfg) -> None:
                  if cfg.exp_eye and cfg.fix_eye >= 0 else None)
     for i in range(len(ds)):
         b = ds.frame(i)
-        img, n_act, n_s2, n_wm, n_rl = render_frame(
+        img, n_act, n_s2, n_wm, n_rl, n_lg = render_frame(
             infer_params, packed, tp, occ,
             jnp.asarray(b["pose"]), jnp.asarray(b["auds"]),
             fixed_eye if fixed_eye is not None else jnp.asarray(b["eye"]),
             jnp.asarray(b["index"], jnp.int32))
         if pending is not None:
             consume(*pending)
-        pending = (i, img, n_act, n_s2, n_wm, n_rl,
+        pending = (i, img, n_act, n_s2, n_wm, n_rl, n_lg,
                    b["image"] if ds.has_gt else None)
     if pending is not None:
         consume(*pending)

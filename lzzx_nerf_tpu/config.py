@@ -302,6 +302,19 @@ class Config:
     # march modes ignore it. The session's adaptive budget escape sizes
     # the ray budget from the prepass admission automatically.
     infer_march_prepass: bool = True
+    # SHORT/LONG two-bucket march (requires the prepass; group-2 block
+    # path only): after the prepass-span window tightening, half the
+    # blocks need far fewer candidates than the global worst-case K2
+    # (trained trajectory: span p50 = 32 vs K2 = 82) — marching them in a
+    # second program at a trajectory-measured K2s cuts the dominant
+    # select/fetch work (bench A/B: 24.85 -> 25.68 FPS @512² trained).
+    # Bit-exact: the lattice shift is whole candidate groups, shorts that
+    # overflow their budget SPILL to the long bucket, and long-bucket
+    # overflow rebuilds via the n_long escape (tests/test_march2.py
+    # bucket suite). The plan (K2s + budgets) is measured per model load
+    # over the dataset trajectory (ops/march2.measure_bucket_plan);
+    # bucketing auto-disables when the modeled saving is < 8%.
+    infer_march_bucket: bool = True
     # frames per dispatch (lax.scan inside one jitted call): the remote
     # chip's tunnel charges ~12 ms of fixed overhead per dispatch+sync;
     # chunking divides it (the reference batches 32 frames per wave,

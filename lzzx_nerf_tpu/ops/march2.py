@@ -1690,6 +1690,108 @@ def measure_real_blocks_host(occ3, aabb, min_near: float, origin,
     return n_real
 
 
+def measure_bucket_plan(settings, z_lo, z_hi, col_dilwords, poses,
+                        intrinsics, H: int, W: int, K2: int,
+                        k2s_override: int = 0, pose_batch: int = 8,
+                        min_saving: float = 0.08, log=print):
+    """Trajectory-measured SHORT/LONG bucket plan for the group-2 block
+    march (render_rays_compact_blocks march_bucket): run the prepass span
+    analysis (prepass_block_spans) over every trajectory pose, pick the
+    short-bucket candidate count K2s that minimizes the modeled march
+    cost sum(span <= K2s ? K2s : K2) — a linear-in-K2 proxy for the
+    per-block fetch+select work — and return the worst-case per-pose
+    short/long ray demands for budget sizing.
+
+    Returns (k2s, max_short_rays, max_long_rays, max_admit_rays);
+    k2s == 0 means bucketing is not worth a second march program on this
+    trajectory (modeled saving < min_saving). Shorts that exceed their
+    budget at serve time SPILL to the long bucket (bit-exact), so only
+    the long budget is correctness-critical — the session's n_long escape
+    rebuilds on overflow like the ray budget. Cost: one jitted pass per
+    pose_batch poses at model load (~1 s for a 500-frame trajectory)."""
+    import numpy as np
+
+    from ..utils.rays import get_rays
+    from .ray import near_far_from_aabb
+
+    aabb = jnp.asarray(settings.aabb, jnp.float32)
+    dt, bound = settings.dt, settings.bound
+    poses = np.asarray(poses, np.float32).reshape(-1, 4, 4)
+    P = len(poses)
+    pose_batch = max(1, min(pose_batch, P))
+
+    @jax.jit
+    def batch_spans(pb):                                    # [b, 4, 4]
+        rays = get_rays(pb, intrinsics, H, W, N=-1)
+        b = pb.shape[0]
+        db = rays["rays_d"].reshape(
+            b, H // 2, 2, W // 2, 2, 3).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, H * W // 4, 4, 3)
+        d = db.mean(axis=2)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = jnp.broadcast_to(rays["rays_o"][:, :1], d.shape)
+        d2 = d.reshape(-1, 3)
+        o2 = o.reshape(-1, 3)
+        nears, fars = near_far_from_aabb(o2, d2, aabb, settings.min_near)
+        win = ray_windows(o2, d2, nears, fars, z_lo, z_hi, bound, dt,
+                          pad_steps=3.0)
+        hit, gf, gl = prepass_block_spans(
+            o2, d2, win.t_start, win.t_end, col_dilwords, bound, dt, K2)
+        adm = (hit & win.active).reshape(b, -1)
+        span = (2 * (gl - gf + 1) + 2).reshape(b, -1)
+        return adm, span
+
+    adms, spans = [], []
+    for s in range(0, P, pose_batch):
+        pb = poses[s:s + pose_batch]
+        npad = pose_batch - len(pb)
+        if npad:
+            pb = np.concatenate([pb, np.repeat(pb[-1:], npad, axis=0)])
+        a, sp = batch_spans(jnp.asarray(pb))
+        a, sp = np.asarray(a), np.asarray(sp)
+        if npad:
+            a, sp = a[:-npad], sp[:-npad]
+        adms.append(a)
+        spans.append(sp)
+    adm = np.concatenate(adms)                              # [P, NB]
+    span = np.concatenate(spans)
+    flat = span[adm]
+    if not len(flat):
+        return 0, 0, 0, 0
+    smax = max(int(settings.max_steps), 16)
+    smax += smax % 2
+    if k2s_override:
+        k2s = k2s_override
+    else:
+        # K2s = the MEDIAN tightened span (clamped to [max_steps, K2)):
+        # a measured rule, not a modeled one — the 512² trained-state
+        # sweep (PERF.md Round 5) read 25.68 / 26.27 / 25.08 FPS at
+        # K2s = 16 / 40 / 56 with median span 42, while the linear
+        # cost model sum(span <= c ? c : K2) picked 16; per-block cost
+        # is visibly non-linear in K2 (two-program overheads, sort
+        # shape, fusion), so the split that halves the population at
+        # its natural break wins
+        k2s = int(np.median(flat))
+        k2s += k2s % 2
+        k2s = max(smax, min(k2s, K2 - 2))
+        # skip the second march program when the split buys too little
+        # (degenerate trajectories, e.g. nearly all spans == K2)
+        cost = int(np.where(flat <= k2s, k2s, K2).sum())
+        if cost > (1.0 - min_saving) * len(flat) * K2:
+            log(f"[INFO] bucket march: modeled saving "
+                f"{1 - cost / (len(flat) * K2):.1%} < {min_saving:.0%} "
+                f"(median span {int(np.median(flat))}, K2 {K2}) — "
+                "single-bucket march")
+            return 0, 0, 0, int(adm.sum(axis=1).max()) * 4
+    short = adm & (span <= k2s)
+    n_short = int(short.sum(axis=1).max()) * 4
+    n_long = int((adm & ~short).sum(axis=1).max()) * 4
+    n_adm = int(adm.sum(axis=1).max()) * 4
+    log(f"[INFO] bucket march plan: K2s={k2s} (short demand {n_short}, "
+        f"long {n_long}, admitted {n_adm} rays over {P} poses)")
+    return k2s, n_short, n_long, n_adm
+
+
 def resolve_march_plan(settings, z_lo, z_hi, poses, intrinsics,
                        H: int, W: int, k2_override: int = 0,
                        march_group: int = 1, march_variant: str = "wslice",

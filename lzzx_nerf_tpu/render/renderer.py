@@ -651,6 +651,7 @@ def render_rays_compact_blocks(
     march_variant: str = "wslice",
     eval_budget: int = 0,
     march_prepass: bool = False,
+    march_bucket: Optional[tuple] = None,
 ) -> Dict[str, Any]:
     """Serving fast path with 2x2-pixel-block window analysis/compaction.
 
@@ -697,6 +698,9 @@ def render_rays_compact_blocks(
                       tables.z_lo, tables.z_hi, settings.bound, settings.dt,
                       pad_steps=3.0)
     active = win.active
+    use_bucket = (march_bucket is not None and march_prepass
+                  and march_group == 2)
+    g_first = g_last = None
     if march_prepass and march_group == 2:
         # occupancy-true activity (ops/march2.prepass_block_hits): the
         # z-slab window test over-admits ~2.6x on a trained crust; one
@@ -712,79 +716,139 @@ def render_rays_compact_blocks(
 
             tables = tables._replace(
                 col_dilwords=dilated_occupancy_words(state.occ))
-        active = active & prepass_block_hits(
-            o_center, d_center, win.t_start, win.t_end,
-            tables.col_dilwords, settings.bound, settings.dt, K2)
-    cs = compact_rays(active, budget_b)
+        if use_bucket:
+            from ..ops.march2 import prepass_block_spans
+
+            hit, g_first, g_last = prepass_block_spans(
+                o_center, d_center, win.t_start, win.t_end,
+                tables.col_dilwords, settings.bound, settings.dt, K2)
+        else:
+            hit = prepass_block_hits(
+                o_center, d_center, win.t_start, win.t_end,
+                tables.col_dilwords, settings.bound, settings.dt, K2)
+        active = active & hit
     # max candidate count any active block window needs (per-ray windows
     # are subsets of their block's [t0, t1]); see render_rays_compact
     n_winmax = (jnp.max(jnp.where(
         win.active, jnp.ceil((win.t_end - win.t_start) / settings.dt), 0.0))
         .astype(jnp.int32) + 1)
 
+    # per-block window, possibly TIGHTENED by the prepass spans (bucketed
+    # path): groups before g_first / after g_last provably hold no
+    # occupied candidate, and the shift is a whole number of groups, so
+    # every surviving candidate keeps its exact lattice position
+    t0_all, t1_all = win.t_start, win.t_end
+    if use_bucket:
+        dtf = settings.dt
+        gf = g_first.astype(jnp.float32)
+        gl = g_last.astype(jnp.float32)
+        t0_all = win.t_start + (2.0 * dtf) * gf
+        t1_all = jnp.minimum(win.t_end,
+                             win.t_start + (2.0 * gl + 2.0) * dtf)
     cols = jnp.concatenate(
-        [d_blocks.reshape(NB, 12), win.t_start[:, None], win.t_end[:, None],
+        [d_blocks.reshape(NB, 12), t0_all[:, None], t1_all[:, None],
          d_center], axis=-1)
-    rows = jnp.take(cols, cs.ray_idx, axis=0)            # [Bb, 17]
-    rd = rows[:, :12].reshape(budget_b * 4, 3)
-    t0_blk = rows[:, 12]
-    t0b = jnp.repeat(t0_blk, 4)
-    t1b = jnp.repeat(rows[:, 13], 4)
-    dc = rows[:, 14:17]
-    ro = jnp.broadcast_to(rays_o_origin, rd.shape)
-    slot_valid = jnp.repeat(cs.slot_valid, 4)
 
-    # per-ray window: re-anchor the block window on each ray's own
-    # near-based dt lattice (march_rays_window's snap, ray_windows:127-134)
-    nears_r, fars_r = near_far_from_aabb(ro, rd, aabb, settings.min_near)
-    t_start = jnp.maximum(nears_r, t0b)
-    k0 = jnp.ceil(jnp.maximum(t_start - nears_r, 0.0) / settings.dt - 1e-4)
-    t_start = nears_r + k0 * settings.dt
-    t_end = jnp.minimum(fars_r, t1b)
+    def march_bucket_blocks(csb, Bb_, K2_):
+        """Gather block attrs for one compacted set, re-anchor per-ray
+        windows on each ray's own near-based dt lattice (march_rays_
+        window's snap, ray_windows:127-134), and run the group-2 block
+        march at K2_ candidates."""
+        rows = jnp.take(cols, csb.ray_idx, axis=0)       # [Bb_, 17]
+        rd_ = rows[:, :12].reshape(Bb_ * 4, 3)
+        t0_blk_ = rows[:, 12]
+        t0b_ = jnp.repeat(t0_blk_, 4)
+        t1b_ = jnp.repeat(rows[:, 13], 4)
+        dc_ = rows[:, 14:17]
+        ro_ = jnp.broadcast_to(rays_o_origin, rd_.shape)
+        sv_ = jnp.repeat(csb.slot_valid, 4)
+        nears_r, fars_r = near_far_from_aabb(ro_, rd_, aabb,
+                                             settings.min_near)
+        t_start_ = jnp.maximum(nears_r, t0b_)
+        k0_ = jnp.ceil(jnp.maximum(t_start_ - nears_r, 0.0)
+                       / settings.dt - 1e-4)
+        t_start_ = nears_r + k0_ * settings.dt
+        t_end_ = jnp.minimum(fars_r, t1b_)
 
-    # march_group == 3: block-LATTICE exact 3x3-neighborhood march — all
-    # four rays of a block march on the block's own lattice, shrinking the
-    # fetch-to-candidate drift to dt/2 so the ±1 neighborhood suffices
-    # (18-way select vs the ±2 path's 50-way; session.py gates it on
-    # nb_block3_drift_cells <= 1 for the model's camera/grid). Measured
-    # SLOWER than group 2 (31.4 vs 32.9 FPS) at −0.38 dB — documented
-    # negative result, opt-in only (ops/march2.py docstring).
-    # march_group == 2: block-shared exact 5x5-neighborhood march
-    # — one row fetch per (2x2 block, candidate group), 4x fewer march
-    # gather rows, sample-identical for any portrait-camera geometry
-    # (|d_xy| <= 0.95 envelope — march2.march_rays_window_bitmask_nb_block).
-    # march_group == 1: per-ray exact 3x3-neighborhood march (any
-    # direction, round-2 path). march_group < 0: the dilated single-column
-    # variant with group=|march_group| — the documented +2.5 FPS / −2 dB
-    # fast mode (-2); it admits empty neighbor cells that crowd the S
-    # budget (scripts/quality_check.py variant F).
-    if march_group == 3:
-        m = march_rays_window_bitmask_nb_block3(
-            ro, rd, nears_r, t_end, slot_valid, t0_blk, dc,
-            tables.col_nbmask, settings.bound, settings.dt, K2, S)
-    elif march_group == 2:
-        # variant "quad": directional quadrant-anchored fetch, 32-way
-        # select vs wslice's 50-way at the same row count (march2.py
-        # docstring; envelope gated by resolve_march_plan via
-        # nb_blockq_drift_cells) — fetches from the signed-window table
-        tbl = (tables.col_quadwxmask if march_variant == "quadwx"
-               else tables.col_quadwmask if march_variant == "quadw"
-               else tables.col_quadmask if march_variant == "quad"
-               else tables.col_nb5wmask
-               if march_variant in ("nb5w", "nb5wz", "nb5wz4", "nb5wp")
-               else tables.col_nb5mask)
-        m = march_rays_window_bitmask_nb_block(
-            ro, rd, t_start, t_end, slot_valid, t0_blk, dc,
-            tbl, settings.bound, settings.dt, K2, S,
-            variant=march_variant)
-    elif march_group > 0:
-        m = march_rays_window_bitmask_nb(
-            ro, rd, t_start, t_end, slot_valid, tables.col_nbmask,
-            settings.bound, settings.dt, K2, S)
+        # march_group == 3: block-LATTICE exact 3x3-neighborhood march —
+        # measured SLOWER than group 2 (31.4 vs 32.9 FPS) at −0.38 dB;
+        # documented negative result, opt-in only (ops/march2.py).
+        # march_group == 2: block-shared exact 5x5-neighborhood march —
+        # one row fetch per (2x2 block, candidate group), sample-identical
+        # for any portrait-camera geometry (|d_xy| <= 0.95 envelope).
+        # march_group == 1: per-ray exact 3x3-neighborhood march (any
+        # direction). march_group < 0: the dilated single-column fast
+        # mode with group=|march_group| (−2 dB, quality_check variant F).
+        if march_group == 3:
+            return rd_, march_rays_window_bitmask_nb_block3(
+                ro_, rd_, nears_r, t_end_, sv_, t0_blk_, dc_,
+                tables.col_nbmask, settings.bound, settings.dt, K2_, S)
+        if march_group == 2:
+            tbl = (tables.col_quadwxmask if march_variant == "quadwx"
+                   else tables.col_quadwmask if march_variant == "quadw"
+                   else tables.col_quadmask if march_variant == "quad"
+                   else tables.col_nb5wmask
+                   if march_variant in ("nb5w", "nb5wz", "nb5wz4", "nb5wp")
+                   else tables.col_nb5mask)
+            return rd_, march_rays_window_bitmask_nb_block(
+                ro_, rd_, t_start_, t_end_, sv_, t0_blk_, dc_,
+                tbl, settings.bound, settings.dt, K2_, S,
+                variant=march_variant)
+        if march_group > 0:
+            return rd_, march_rays_window_bitmask_nb(
+                ro_, rd_, t_start_, t_end_, sv_, tables.col_nbmask,
+                settings.bound, settings.dt, K2_, S)
+        return rd_, march_rays_window_bitmask(
+            ro_, rd_, t_start_, t_end_, sv_, tables.col_bitmask,
+            settings.bound, settings.dt, K2_, S, group=-march_group)
+
+    n_short = n_long = None
+    if use_bucket:
+        # SHORT/LONG bucketed march (march_bucket = (K2s, short_budget)):
+        # after the prepass tightening, half the blocks need far fewer
+        # candidates than the global worst case (trained-state trajectory:
+        # span p50 = 32 vs K2 = 82) — marching them in a separate program
+        # at K2s candidates cuts the dominant select/fetch work. Shorts
+        # that overflow their budget SPILL to the long bucket (no
+        # truncation); long-bucket overflow drops to background and is
+        # reported via n_long for the session's rebuild escape (same
+        # class as the ray budget).
+        K2s, short_budget = march_bucket
+        if not 0 < short_budget < budget or short_budget % 4:
+            raise ValueError(
+                f"march_bucket short budget {short_budget} must be a "
+                f"multiple of 4 in (0, {budget})")
+        if K2s < S:
+            raise ValueError(
+                f"march_bucket K2s ({K2s}) cannot be below max_steps ({S})")
+        Bs_b = short_budget // 4
+        Bl_b = budget_b - Bs_b
+        span_cand = 2 * (g_last - g_first + 1) + 2
+        short = active & (span_cand <= K2s)
+        rank_s = jnp.cumsum(short.astype(jnp.int32))
+        slotted_s = short & (rank_s <= Bs_b)
+        long_ = (active & ~short) | (short & ~slotted_s)
+        cs_s = compact_rays(slotted_s, Bs_b)
+        cs_l = compact_rays(long_, Bl_b)
+        rd_s, m_s = march_bucket_blocks(cs_s, Bs_b, K2s)
+        rd_l, m_l = march_bucket_blocks(cs_l, Bl_b, K2)
+        from ..ops.march import MarchResult as _MRc
+        m = _MRc(xyzs=jnp.concatenate([m_s.xyzs, m_l.xyzs]),
+                 deltas=jnp.concatenate([m_s.deltas, m_l.deltas]),
+                 ts=jnp.concatenate([m_s.ts, m_l.ts]),
+                 mask=jnp.concatenate([m_s.mask, m_l.mask]))
+        rd = jnp.concatenate([rd_s, rd_l])
+        blk_idx = jnp.concatenate([cs_s.ray_idx, cs_l.ray_idx])
+        blk_valid = jnp.concatenate([cs_s.slot_valid, cs_l.slot_valid])
+        n_active_val = (cs_s.n_active + cs_l.n_active) * 4
+        n_short = rank_s[-1] * 4
+        n_long = cs_l.n_active * 4
     else:
-        m = march_rays_window_bitmask(
-            ro, rd, t_start, t_end, slot_valid, tables.col_bitmask,
-            settings.bound, settings.dt, K2, S, group=-march_group)
+        cs = compact_rays(active, budget_b)
+        rd, m = march_bucket_blocks(cs, budget_b, K2)
+        blk_idx = cs.ray_idx
+        blk_valid = cs.slot_valid
+        n_active_val = cs.n_active * 4
 
     # Post-march block re-compaction: the window analysis activates any
     # block whose ray crosses a nonempty COLUMN z-slab ([z_lo, z_hi] is one
@@ -802,11 +866,9 @@ def render_rays_compact_blocks(
     # not the rejected SAMPLE-level one — one [budget_b] cumsum + row
     # gathers of the march outputs, no B*S-row barrier.
     n_real = None
-    blk_idx = cs.ray_idx                       # [budget_b] original block id
-    blk_valid = cs.slot_valid
     if eval_budget and eval_budget // 4 < budget_b:
         eb = max(1, eval_budget // 4)
-        realb = m.mask.reshape(budget_b, 4 * S).any(axis=1) & cs.slot_valid
+        realb = m.mask.reshape(budget_b, 4 * S).any(axis=1) & blk_valid
         csr = compact_rays(realb, eb)
         n_real = csr.n_active * 4
         sel = csr.ray_idx
@@ -820,8 +882,8 @@ def render_rays_compact_blocks(
         m = _MR(xyzs=_tk(m.xyzs), deltas=_tk(m.deltas), ts=_tk(m.ts),
                 mask=_tk(m.mask) & jnp.repeat(keep, 4)[:, None])
         rd = _tk(rd.reshape(budget_b * 4, 3))
-        blk_idx = jnp.take(cs.ray_idx, sel)
-        blk_valid = keep & jnp.take(cs.slot_valid, sel)
+        blk_idx = jnp.take(blk_idx, sel)
+        blk_valid = keep & jnp.take(blk_valid, sel)
         budget_b = eb
 
     B = budget_b * 4
@@ -860,8 +922,11 @@ def render_rays_compact_blocks(
     wsum = acc[:, 12:16].reshape(H // 2, W // 2, 2, 2).transpose(
         0, 2, 1, 3).reshape(N)
     image = jnp.clip(img_acc + (1.0 - wsum)[:, None] * bg_color, 0.0, 1.0)
-    out = {"image": image, "weights_sum": wsum, "n_active": cs.n_active * 4,
+    out = {"image": image, "weights_sum": wsum, "n_active": n_active_val,
            "n_winmax": n_winmax}
+    if n_short is not None:
+        out["n_short"] = n_short
+        out["n_long"] = n_long
     if n_real is not None:
         out["n_real"] = n_real
     if n_stage2 is not None:

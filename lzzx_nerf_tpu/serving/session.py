@@ -135,6 +135,7 @@ class InferenceSession:
         self._budget_override = self._sample_override = None
         self._pending_k2 = self._k2_override = None
         self._pending_eval = self._eval_override = None
+        self._bucket_plan = None
         self._compile_render()
         self._built = True
 
@@ -239,6 +240,31 @@ class InferenceSession:
             self.tables, self.occ.occ,
             needed_variant_tables(march_group, march_variant,
                                   prepass=use_prepass))
+        # SHORT/LONG bucket march plan (Config.infer_march_bucket):
+        # measured once per (model, K2) over the dataset trajectory; the
+        # short budget is carved from the total, shorts overflowing it
+        # spill to the long bucket (bit-exact), and long-bucket overflow
+        # rebuilds via the n_long escape in the run loop
+        march_bucket = None
+        if use_prepass and cfg.infer_march_bucket:
+            plan = getattr(self, "_bucket_plan", None)
+            if plan is None or plan[0] != k2:
+                from ..ops.march2 import measure_bucket_plan
+
+                k2s_m, ns_m, nl_m, _ = measure_bucket_plan(
+                    isettings, self.tables.z_lo, self.tables.z_hi,
+                    self.tables.col_dilwords, ds.poses, ds.intrinsics,
+                    ds.H, ds.W, k2)
+                plan = (k2, k2s_m, ns_m, nl_m)
+                self._bucket_plan = plan
+            _, k2s_m, ns_m, nl_m = plan
+            if k2s_m:
+                bs = min(budget - gran,
+                         max(gran, -(-(ns_m + 64) // gran) * gran))
+                if bs > 0:
+                    march_bucket = (k2s_m, bs)
+        self._bucket = march_bucket
+        self.long_budget = budget - march_bucket[1] if march_bucket else 0
         field = self.field
         torso = self.torso
         if torso is not None:
@@ -315,7 +341,7 @@ class InferenceSession:
                     stage_split=stage_split, stage2_budget=stage2_budget,
                     march_group=march_group, sample_budget=sample_budget,
                     march_variant=march_variant, eval_budget=eval_budget,
-                    march_prepass=use_prepass)
+                    march_prepass=use_prepass, march_bucket=march_bucket)
             elif use_compact:
                 out = render_rays_compact(
                     apply_packed, params, isettings, occ,
@@ -342,7 +368,7 @@ class InferenceSession:
                 buf = (img * 255).astype(jnp.uint8).reshape(-1)
             return (buf, out["n_active"], out.get("n_stage2", 0),
                     out.get("n_spts", 0), out.get("n_winmax", 0),
-                    out.get("n_real", 0))
+                    out.get("n_real", 0), out.get("n_long", 0))
 
         def make_render(fmt: str):
             @jax.jit
@@ -353,7 +379,7 @@ class InferenceSession:
                     prev_enc, has_prev = carry
                     pose, auds, eye, idx, valid = inp
                     enc_a = smooth_enc(auds, prev_enc, has_prev, params)
-                    buf, n_act, n_s2, n_sp, n_wm, n_rl = render_frame(
+                    buf, n_act, n_s2, n_sp, n_wm, n_rl, n_lg = render_frame(
                         params, packed, tables, occ, pose, enc_a, eye, idx,
                         torso_params, torso_packed, fmt)
                     # padded tail slots (valid == 0) must NOT advance the
@@ -364,14 +390,15 @@ class InferenceSession:
                     carry_enc = jnp.where(valid > 0, enc_a, prev_enc)
                     carry_has = jnp.maximum(has_prev, valid)
                     return (carry_enc, carry_has), (buf, n_act, n_s2, n_sp,
-                                                    n_wm, n_rl)
+                                                    n_wm, n_rl, n_lg)
 
                 (enc_final, _), (bufs, n_acts, n_s2s, n_sps, n_wms,
-                                 n_rls) = jax.lax.scan(
+                                 n_rls, n_lgs) = jax.lax.scan(
                     body, (prev_enc, has_prev),
                     (poses, auds_c, eyes_c, idxs_c, valid_c))
                 return (bufs, n_acts, jnp.max(n_s2s), jnp.max(n_sps),
-                        jnp.max(n_wms), jnp.max(n_rls), enc_final)
+                        jnp.max(n_wms), jnp.max(n_rls), jnp.max(n_lgs),
+                        enc_final)
 
             return render_chunk
 
@@ -411,25 +438,29 @@ class InferenceSession:
                              torso_packed, poses_s, enc_s, eyes_s, idxs_s):
                     def body(carry, inp):
                         pose, enc_a, eye, idx = inp
-                        buf, n_act, n_s2, n_sp, n_wm, n_rl = render_frame(
+                        (buf, n_act, n_s2, n_sp, n_wm, n_rl,
+                         n_lg) = render_frame(
                             params, packed, tables, occ, pose, enc_a, eye,
                             idx, torso_params, torso_packed, fmt)
-                        return carry, (buf, n_act, n_s2, n_sp, n_wm, n_rl)
+                        return carry, (buf, n_act, n_s2, n_sp, n_wm, n_rl,
+                                       n_lg)
 
                     _, outs = jax.lax.scan(
                         body, 0, (poses_s, enc_s, eyes_s, idxs_s))
                     return outs
 
                 rep = (P(),) * 6
-                bufs, n_acts, n_s2s, n_sps, n_wms, n_rls = shard_map(
+                (bufs, n_acts, n_s2s, n_sps, n_wms, n_rls,
+                 n_lgs) = shard_map(
                     shard_fn, mesh=mesh,
                     in_specs=rep + (P("dp"), P("dp"), P("dp"), P("dp")),
-                    out_specs=(P("dp"),) * 6,
+                    out_specs=(P("dp"),) * 7,
                     check_rep=False,
                 )(params, packed, tables, occ, torso_params, torso_packed,
                   poses, enc_all, eyes_c, idxs_c)
                 return (bufs, n_acts, jnp.max(n_s2s), jnp.max(n_sps),
-                        jnp.max(n_wms), jnp.max(n_rls), enc_final)
+                        jnp.max(n_wms), jnp.max(n_rls), jnp.max(n_lgs),
+                        enc_final)
 
             return render_chunk
 
@@ -516,9 +547,29 @@ class InferenceSession:
 
         def consume():
             (base, count, bufs_dev, acts_dev, s2_dev, sp_dev,
-             wm_dev, chunk_k2, rl_dev, chunk_eb) = queue.popleft()
+             wm_dev, chunk_k2, rl_dev, chunk_eb, lg_dev, chunk_lb,
+             chunk_bucket) = queue.popleft()
             bufs = np.asarray(bufs_dev)
             acts = np.asarray(acts_dev)
+            if chunk_bucket and int(lg_dev) > chunk_lb:
+                # LONG-BUCKET escape: long blocks beyond (budget - short
+                # budget) rendered as background this chunk. The short
+                # budget is fixed by the measured plan, so growing the
+                # TOTAL budget grows the long side — reuse the ray-budget
+                # rebuild machinery with bs + 1.25x the observed demand
+                gran_l = self._budget_gran
+                want_t = min(max(gran_l, ds.H * ds.W // gran_l * gran_l),
+                             chunk_bucket[1]
+                             + max(gran_l,
+                                   -(-int(int(lg_dev) * 1.25) // gran_l)
+                                   * gran_l))
+                if want_t > self.budget:
+                    print(f"[WARN] chunk at frame {base}: {int(lg_dev)} "
+                          f"long-bucket rays exceed the long budget "
+                          f"{chunk_lb}; rebuilding with total budget "
+                          f"{want_t} at the next chunk boundary")
+                    self._pending_budget = max(self._pending_budget or 0,
+                                               want_t)
             if int(wm_dev) > chunk_k2:
                 # WINDOW-TRUNCATION ESCAPE: a frame needed more march
                 # candidates than K2 — those rays lost their far-side
@@ -720,7 +771,8 @@ class InferenceSession:
                     valid_c = jnp.asarray([1.0 if j < count else 0.0
                                            for j in range(C)], jnp.float32)
                 with ph("dispatch"):
-                    bufs, n_acts, n_s2, n_sp, n_wm, n_rl, prev_enc = render(
+                    (bufs, n_acts, n_s2, n_sp, n_wm, n_rl, n_lg,
+                     prev_enc) = render(
                         self.infer_params, self.packed, self.tables,
                         self.occ, poses, auds_c, prev_enc, has_prev,
                         eyes_c, idxs_c, valid_c, self.torso_params,
@@ -734,7 +786,8 @@ class InferenceSession:
                 # rendered truncated under the old K2 pass silently
                 # (round-3 advisor finding)
                 queue.append((base, count, bufs, n_acts, n_s2, n_sp, n_wm,
-                              self.k2, n_rl, self.eval_budget))
+                              self.k2, n_rl, self.eval_budget, n_lg,
+                              self.long_budget, self._bucket))
                 if len(queue) >= 2:
                     with ph("fetch+sink"):
                         consume()

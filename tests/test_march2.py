@@ -1906,3 +1906,91 @@ def test_prepass_device_count_matches_renderer_n_active():
         jnp.full((H * W, 3), 0.6), budget=H * W, window_candidates=K2,
         march_prepass=True)
     assert int(out["n_active"]) == 4 * n_dev
+
+def test_bucketed_march_bit_exact_and_spill():
+    """march_bucket=(K2s, short_budget): the SHORT/LONG two-bucket march
+    must stay BIT-IDENTICAL to the single-bucket prepass path — the
+    prepass-span window tightening shifts each block's lattice anchor by
+    whole candidate groups (sample positions unchanged), shorts that
+    overflow their budget SPILL to the long bucket (never truncate), and
+    the n_short/n_long diagnostics report demand for the rebuild escape."""
+    from lzzx_nerf_tpu.models import NeRFField
+    from lzzx_nerf_tpu.render import (RenderSettings, init_occupancy_state,
+                                      render_rays_compact_blocks)
+    from lzzx_nerf_tpu.utils import get_rays
+
+    H = W = 32
+    settings = RenderSettings(bound=1.0, cascade=1, grid_size=GRID,
+                              max_steps=8, dt=DT, num_cand=112)
+    pose = jnp.asarray(np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5], [0, 0, 0, 1]],
+        np.float32))[None]
+    intr = (W / 0.6, W / 0.6, W / 2, H / 2)
+    rays = get_rays(pose, intr, H, W, N=-1)
+    ro_full, rd = rays["rays_o"][0], rays["rays_d"][0]
+    K2 = 40
+
+    field = NeRFField(audio_in_dim=29, encoder="dense")
+    auds = jnp.zeros((8, 16, 29))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                        jnp.ones((4, 3)) / 3 ** 0.5, auds, jnp.zeros(4),
+                        jnp.asarray([0.25]), method="init_all")
+    bg = jnp.full((H * W, 3), 0.6)
+
+    rng = np.random.default_rng(23)
+    scenes = [_scene()[0]]
+    for _ in range(2):
+        occ_np = np.zeros((GRID, GRID, GRID), bool)
+        for _ in range(6):
+            c = rng.integers(6, GRID - 6, 3)
+            r = rng.integers(2, 6)
+            x, y, z = np.ogrid[:GRID, :GRID, :GRID]
+            occ_np |= ((x - c[0]) ** 2 + (y - c[1]) ** 2
+                       + (z - c[2]) ** 2) < r ** 2
+        scenes.append(jnp.asarray(occ_np)[None])
+
+    for occ in scenes:
+        state = init_occupancy_state(settings)._replace(occ=occ)
+        kw = dict(budget=H * W, window_candidates=K2, march_prepass=True,
+                  march_variant="nb5w")
+        base = render_rays_compact_blocks(
+            field.apply, params, settings, state, ro_full[0], rd, H, W,
+            jnp.zeros((1, 32)), jnp.zeros(4), jnp.asarray([0.25]), bg, **kw)
+        for k2s, sb in [(16, H * W // 2), (24, H * W // 4),
+                        (16, 4)]:   # 4: forces heavy spill to long
+            bk = render_rays_compact_blocks(
+                field.apply, params, settings, state, ro_full[0], rd, H, W,
+                jnp.zeros((1, 32)), jnp.zeros(4), jnp.asarray([0.25]), bg,
+                march_bucket=(k2s, sb), **kw)
+            np.testing.assert_array_equal(
+                np.asarray(base["image"]), np.asarray(bk["image"]),
+                err_msg=f"K2s={k2s} sb={sb}")
+            np.testing.assert_array_equal(
+                np.asarray(base["weights_sum"]),
+                np.asarray(bk["weights_sum"]))
+            assert int(bk["n_active"]) == int(base["n_active"])
+            assert int(bk["n_short"]) + 0 >= 0
+            # long count = admitted - slotted shorts
+            assert (int(bk["n_long"])
+                    == int(bk["n_active"]) - min(int(bk["n_short"]), sb))
+
+        # eval re-compaction composes with the bucketed march
+        ev = render_rays_compact_blocks(
+            field.apply, params, settings, state, ro_full[0], rd, H, W,
+            jnp.zeros((1, 32)), jnp.zeros(4), jnp.asarray([0.25]), bg,
+            march_bucket=(16, H * W // 2), eval_budget=H * W - 4, **kw)
+        np.testing.assert_array_equal(np.asarray(base["image"]),
+                                      np.asarray(ev["image"]))
+
+        # staged eval composes too
+        stb = render_rays_compact_blocks(
+            field.apply, params, settings, state, ro_full[0], rd, H, W,
+            jnp.zeros((1, 32)), jnp.zeros(4), jnp.asarray([0.25]), bg,
+            stage_split=4, stage2_budget=H * W, **kw)
+        stk = render_rays_compact_blocks(
+            field.apply, params, settings, state, ro_full[0], rd, H, W,
+            jnp.zeros((1, 32)), jnp.zeros(4), jnp.asarray([0.25]), bg,
+            march_bucket=(16, H * W // 2), stage_split=4,
+            stage2_budget=H * W, **kw)
+        np.testing.assert_array_equal(np.asarray(stb["image"]),
+                                      np.asarray(stk["image"]))
