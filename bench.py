@@ -230,6 +230,13 @@ def main():
     if args.state is None and not args.small and os.path.exists(
             "/root/repo/trained/production_state.pkl"):
         args.state = "/root/repo/trained/production_state.pkl"
+    if args.bound != 1.0 and args.state:
+        # the trained state is a cascade-1 scene; silently adopting it
+        # would make --bound a no-op — the fallback measurement wants the
+        # synthetic multi-cascade scene
+        print(f"# --bound {args.bound}: using the synthetic scene (the "
+              "trained state is cascade-1)", file=sys.stderr)
+        args.state = "none"
     if args.state and args.state.lower() == "none":
         args.state = None
     st = None
