@@ -399,7 +399,7 @@ def main():
         # K2s 16/40/56, median span 42; a linear cost model picked 16,
         # PERF.md Round 5), gated off when the modeled saving is tiny
         K2 = args.k2
-        smin = max(args.samples, 16)
+        smin = args.samples          # march floor: K2s >= max_steps
         smin += smin % 2
         if args.bucket_k2 > 0:
             k2s = args.bucket_k2

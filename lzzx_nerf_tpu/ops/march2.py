@@ -1758,7 +1758,8 @@ def measure_bucket_plan(settings, z_lo, z_hi, col_dilwords, poses,
     flat = span[adm]
     if not len(flat):
         return 0, 0, 0, 0
-    smax = max(int(settings.max_steps), 16)
+    # the march's hard floor is max_samples <= num_cand, i.e. K2s >= S
+    smax = int(settings.max_steps)
     smax += smax % 2
     if k2s_override:
         k2s = k2s_override

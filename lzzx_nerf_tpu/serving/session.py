@@ -265,6 +265,10 @@ class InferenceSession:
                     march_bucket = (k2s_m, bs)
         self._bucket = march_bucket
         self.long_budget = budget - march_bucket[1] if march_bucket else 0
+        # observability: the resolved serving march plan (group, variant,
+        # prepass) — consumed by the multichip dryrun's production-path
+        # assertion and handy in bug reports
+        self.march_plan = (march_group, march_variant, use_prepass)
         field = self.field
         torso = self.torso
         if torso is not None:
