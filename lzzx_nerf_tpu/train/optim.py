@@ -66,7 +66,7 @@ def build_optimizer(
     def label_tree(params):
         return jax.tree_util.tree_map_with_path(param_label_fn, params)
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {
             "grid": adamw(lr, 0.01),
             "att": adamw(lr_net * 5, 1e-4),
@@ -76,3 +76,14 @@ def build_optimizer(
         },
         label_tree,
     )
+    # The reference trains under AMP with a GradScaler whose step() SKIPS
+    # any update whose grads contain inf/nan (TrainerUtil.py:1045-1050) —
+    # bf16 removes the need for loss SCALING, but not for that skip: one
+    # non-finite step otherwise poisons the params forever. Measured: the
+    # 128-frame production run at 512²/grid 128 NaN'd between steps 50
+    # and 100 at sustained lr=1e-2 (horizon 60k), while the same data at
+    # a fast-decaying 300-step horizon trained clean — a sporadic blowup,
+    # exactly the class the scaler skip absorbs. apply_if_finite is the
+    # TPU-native equivalent; train-step metrics report grad_notfinite so
+    # runs record how often it fires (metrics.jsonl).
+    return optax.apply_if_finite(tx, max_consecutive_errors=100)

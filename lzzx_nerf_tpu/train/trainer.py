@@ -354,6 +354,10 @@ def make_train_step(
         metrics = {"loss": loss, **aux,
                    "lr_factor": lr_decay_rate(finetune_lips)
                    ** (new_step.astype(jnp.float32) / iters)}
+        # apply_if_finite skip counter (optim.build_optimizer): how many
+        # non-finite-grad steps were absorbed (GradScaler-skip parity)
+        if hasattr(new_opt, "total_notfinite"):
+            metrics["grad_notfinite"] = new_opt.total_notfinite
         return new_state, metrics
 
     return step_fn
@@ -448,7 +452,10 @@ def make_torso_train_step(
             lambda _: state.ema_params, None)
         new_state = state.replace(params=new_params, opt_state=new_opt,
                                   ema_params=new_ema, step=new_step)
-        return new_state, {"loss": loss}
+        m = {"loss": loss}
+        if hasattr(new_opt, "total_notfinite"):
+            m["grad_notfinite"] = new_opt.total_notfinite
+        return new_state, m
 
     return step_fn
 

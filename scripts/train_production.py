@@ -213,6 +213,7 @@ def main():
                  mse=round(float(m["mse"]), 6),
                  n_active=int(m.get("n_active", 0)),
                  n_active_over=int(m.get("n_active_over", 0)),
+                 grad_notfinite=int(m.get("grad_notfinite", 0)),
                  it_s=round(its, 2))
         if (it + 1) % args.eval_every == 0 or it + 1 == args.head_iters:
             mean_db, per = eval_psnr(state.params, occ)
