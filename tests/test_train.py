@@ -621,3 +621,44 @@ def test_lmd_meter_matches_reference_formula():
         want += np.sqrt(((lp - lg) ** 2).sum(1)).mean(0)
     want /= len(sets)
     np.testing.assert_allclose(m.measure(), want, rtol=1e-6)
+
+
+def test_optimizer_skips_nonfinite_grad_steps(world):
+    """GradScaler-skip parity (optim.build_optimizer apply_if_finite): a
+    step whose grads contain inf/nan must leave params AND optimizer
+    momenta untouched (the reference's scaler.step skips such updates,
+    TrainerUtil.py:1045-1050 — without this, one sporadic blowup poisons
+    the params forever; measured on the 128-frame production run). A
+    following finite step must apply normally."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lzzx_nerf_tpu.train import build_optimizer
+
+    ds, settings, occ, field, params = world
+    tx = build_optimizer(1e-2, 1e-3, 100)
+    inner = params["params"]
+    opt_state = tx.init(inner)
+
+    good = jax.tree.map(jnp.ones_like, inner)
+    # poison ONE leaf with nan
+    bad = jax.tree.map(jnp.ones_like, inner)
+    leaves, treedef = jax.tree_util.tree_flatten(bad)
+    leaves[0] = leaves[0].at[(0,) * leaves[0].ndim].set(jnp.nan)
+    bad = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    up_bad, st1 = tx.update(bad, opt_state, inner)
+    assert all(bool(jnp.all(u == 0)) for u in
+               jax.tree_util.tree_leaves(up_bad)), \
+        "non-finite step must produce zero updates"
+    assert int(st1.notfinite_count) == 1
+    # momenta untouched: a finite step from st1 matches a finite step
+    # from the fresh state
+    up_ref, _ = tx.update(good, opt_state, inner)
+    up_after, st2 = tx.update(good, st1, inner)
+    for a, b in zip(jax.tree_util.tree_leaves(up_ref),
+                    jax.tree_util.tree_leaves(up_after)):
+        assert bool(jnp.all(a == b))
+    assert int(st2.notfinite_count) == 0
+    assert int(st2.total_notfinite) == 1
