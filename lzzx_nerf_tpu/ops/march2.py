@@ -1775,6 +1775,8 @@ def measure_bucket_plan(settings, z_lo, z_hi, col_dilwords, poses,
         k2s = int(np.median(flat))
         k2s += k2s % 2
         k2s = max(smax, min(k2s, K2 - 2))
+        if k2s >= K2:   # S floor meets K2: a split buys nothing
+            return 0, 0, 0, int(adm.sum(axis=1).max()) * 4
         # skip the second march program when the split buys too little
         # (degenerate trajectories, e.g. nearly all spans == K2)
         cost = int(np.where(flat <= k2s, k2s, K2).sum())

@@ -698,8 +698,13 @@ def render_rays_compact_blocks(
                       tables.z_lo, tables.z_hi, settings.bound, settings.dt,
                       pad_steps=3.0)
     active = win.active
-    use_bucket = (march_bucket is not None and march_prepass
-                  and march_group == 2)
+    if march_bucket is not None and not (march_prepass
+                                         and march_group == 2):
+        # the bucket split is DERIVED from the prepass spans; accepting it
+        # without them would silently march un-tightened windows at K2s
+        raise ValueError(
+            "march_bucket requires march_prepass=True and march_group=2")
+    use_bucket = march_bucket is not None
     g_first = g_last = None
     if march_prepass and march_group == 2:
         # occupancy-true activity (ops/march2.prepass_block_hits): the
