@@ -20,7 +20,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_lzzx")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def make_toy_dataset(root, H=40, W=40, n=6, audio_dim=29):
+def make_toy_dataset(root, H=40, W=40, n=6, audio_dim=29, focal_mult=1.5):
     """Reference-layout toy dataset (gt/torso/ori imgs, transforms, au.csv,
     aud_ds.npy) shared by the provider/serving/cli tests."""
     import json
@@ -49,8 +49,8 @@ def make_toy_dataset(root, H=40, W=40, n=6, audio_dim=29):
                        "transform_matrix": pose.tolist()})
     cv2.imwrite(os.path.join(root, "bc.jpg"),
                 np.full((H, W, 3), 200, np.uint8))
-    tf = {"focal_len": 1.5 * W, "cx": W / 2, "cy": H / 2, "h": H, "w": W,
-          "frames": frames}
+    tf = {"focal_len": focal_mult * W, "cx": W / 2, "cy": H / 2, "h": H,
+          "w": W, "frames": frames}
     json.dump(tf, open(os.path.join(root, "transforms_train.json"), "w"))
     json.dump({**tf, "frames": frames[:2]},
               open(os.path.join(root, "transforms_val.json"), "w"))

@@ -518,9 +518,16 @@ def test_webapi_serves_browser_ui(tmp_path):
         httpd.shutdown()
 
 
-def _make_session_workspace(root, **cfg_kw):
+def _make_session_workspace(root, H=40, W=40, focal_mult=1.5,
+                            blob_occ=False, **cfg_kw):
     """Toy dataset + untrained-but-saved checkpoint for InferenceSession
-    tests (no training loop: the session only needs loadable state)."""
+    tests (no training loop: the session only needs loadable state).
+
+    blob_occ=True writes a sparse two-blob occupancy instead of all-ones
+    — with H=W=64 and focal_mult=4 (portrait-like narrow FOV) the session
+    resolves the PRODUCTION march plan (group-2 + prepass, and the
+    bucketed march when the span spread warrants it) instead of stepping
+    down to the per-ray fallback on toy geometry."""
     import jax.numpy as jnp
     from conftest import make_toy_dataset
 
@@ -530,16 +537,25 @@ def _make_session_workspace(root, **cfg_kw):
     from lzzx_nerf_tpu.train import TrainState, Trainer, build_optimizer
 
     data = root / "data"
-    make_toy_dataset(data)
+    make_toy_dataset(data, H=H, W=W, focal_mult=focal_mult)
 
     cfg = Config(**{"path": str(data), "workspace": str(root / "ws"),
                     "asr_model": "deepspeech", "grid_size": 32,
                     "max_steps": 8, **cfg_kw})
     ds = NeRFDataset(cfg, type="train")
     settings, occ, field, params = _build_world(cfg, ds)
-    # fully-occupied grid: rendered pixels depend on the (random-init)
-    # field + audio encoding, so EMA/budget behaviors are observable
-    occ = occ._replace(occ=jnp.ones_like(occ.occ))
+    if blob_occ:
+        g = occ.occ.shape[1]
+        r = jnp.linspace(-1, 1, g)
+        X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+        blob = (jnp.sqrt(X ** 2 + (2 * Y) ** 2 + Z ** 2) < 0.45)
+        blob = blob | (jnp.sqrt(X ** 2 + (2 * Y) ** 2
+                                + ((Z + 0.72) * 2) ** 2) < 0.22)
+        occ = occ._replace(occ=blob[None])
+    else:
+        # fully-occupied grid: rendered pixels depend on the (random-init)
+        # field + audio encoding, so EMA/budget behaviors are observable
+        occ = occ._replace(occ=jnp.ones_like(occ.occ))
     tx = build_optimizer(cfg.lr, cfg.lr_net, cfg.iters)
     state = TrainState.create(params, tx)
     Trainer(str(root / "ws")).save_checkpoint(state, occ)
@@ -1531,3 +1547,43 @@ def test_session_eval_budget_exact_and_escape(session_workspace, capsys):
         # are exact everywhere already
         for i in range(6):
             np.testing.assert_array_equal(tiny[i], off[i])
+
+
+def test_session_production_march_plan_bit_parity(tmp_path):
+    """On production-like geometry (64² frames, narrow FOV, sparse blob
+    occupancy) the session must resolve the PRODUCTION march plan —
+    group-2 block march + occupancy-true prepass (+ bucket when the span
+    spread warrants it) — and stream frames BIT-IDENTICAL to the same
+    model served with the prepass/bucket off (both are proven-exact
+    optimizations; this is the session-level end-to-end check of the
+    whole plan machinery incl. measure_bucket_plan sizing)."""
+    from lzzx_nerf_tpu.config import Config
+    from lzzx_nerf_tpu.serving.session import InferenceSession
+
+    data, ws = _make_session_workspace(tmp_path, H=64, W=64, focal_mult=4.0,
+                                       blob_occ=True)
+    rng = np.random.default_rng(31)
+    feats = rng.standard_normal((4, 16, 29)).astype(np.float32)
+
+    def run(**kw):
+        cfg = Config(asr_model="deepspeech", grid_size=32, max_steps=8,
+                     infer_samples=8, infer_chunk=2, budget_frac=1.0,
+                     **kw)
+        s = InferenceSession(cfg)
+        s.load_model(data, ws)
+        n = s.set_audio_features(feats)
+        got = {}
+        s.run(max_frames=n, on_frame=lambda i, b: got.__setitem__(i, b))
+        return s, got
+
+    s_off, off = run(infer_march_prepass=False, infer_march_bucket=False)
+    assert s_off.march_plan[:2] == (2, "nb5w") and not s_off.march_plan[2]
+
+    s_on, on = run()
+    assert s_on.march_plan == (2, "nb5w", True)
+    # the sparse blob must produce span spread; if the measured plan
+    # disables bucketing here the fixture lost its teeth — fail loudly
+    assert s_on._bucket is not None and s_on._bucket[0] >= 8
+    assert sorted(on) == sorted(off) == list(range(4))
+    for i in off:
+        np.testing.assert_array_equal(on[i], off[i])
