@@ -361,24 +361,27 @@ def main():
                               args.march_variant, prepass=use_prepass))
 
     march_bucket = None
-    spans_np = None
+    spans_np = adm = None
+    if use_prepass and win_ is not None:
+        # DEVICE prepass spans — bit-identical to the in-frame counts the
+        # renderer's diagnostics report (a host numpy replica drifted by
+        # a few blocks on fp rounding at 512², and bench has no rebuild
+        # loop to absorb an overflow). Computed whenever the trained
+        # state is in play so --bucket-k2 works with an explicit
+        # --budget-frac too (review finding)
+        from lzzx_nerf_tpu.ops.march2 import prepass_block_spans
+
+        hits, gf, gl = jax.jit(
+            prepass_block_spans, static_argnums=(5, 6, 7))(
+            oc, dc, win_.t_start, win_.t_end, tables.col_dilwords,
+            settings.bound, settings.dt, args.k2)
+        adm = np.asarray(hits & win_.active)
+        spans_np = (2 * (np.asarray(gl) - np.asarray(gf) + 1) + 2)[adm]
     if args.budget_frac is None and win_ is not None:
         if use_prepass:
-            # size from the DEVICE prepass — bit-identical to the count
-            # the renderer's n_active reports per frame (a host numpy
-            # replica drifted by a few blocks on fp rounding at 512²,
-            # and bench has no rebuild loop to absorb an overflow)
-            from lzzx_nerf_tpu.ops.march2 import prepass_block_spans
-
-            hits, gf, gl = jax.jit(
-                prepass_block_spans, static_argnums=(5, 6, 7))(
-                oc, dc, win_.t_start, win_.t_end, tables.col_dilwords,
-                settings.bound, settings.dt, args.k2)
-            adm = np.asarray(hits & win_.active)
-            spans_np = (2 * (np.asarray(gl) - np.asarray(gf) + 1) + 2)[adm]
             # +256 rays of margin: the in-frame prepass fuses differently
             # and cell-boundary blocks can flip a few rays either way
-            # (measured 12 at 512²); bench has no rebuild loop
+            # (measured 12 at 512²)
             n_act = int(adm.sum()) * 4 + 256
             which = "prepass admission"
         else:
@@ -398,6 +401,8 @@ def main():
         # measured rule — the 512² sweep read 25.68/26.27/25.08 FPS at
         # K2s 16/40/56, median span 42; a linear cost model picked 16,
         # PERF.md Round 5), gated off when the modeled saving is tiny
+        from lzzx_nerf_tpu.ops.march2 import bucket_short_budget
+
         K2 = args.k2
         smin = args.samples          # march floor: K2s >= max_steps
         smin += smin % 2
@@ -414,18 +419,23 @@ def main():
             k2s = 0
         if k2s:
             n_short = int((spans_np <= k2s).sum()) * 4
-            bs = min(budget - 1024,
-                     max(1024, (n_short + 256) // 1024 * 1024))
+            n_long = int(adm.sum()) * 4 - n_short
             # grow the total so the long bucket holds its own demand
             # (admitted - shorts) + slack for short spill at the margin
-            n_long = int(adm.sum()) * 4 - n_short
-            need = bs + max(1024, -(-(n_long + 256) // 1024) * 1024)
+            bs0 = bucket_short_budget(n_short, budget, 1024)
+            need = bs0 + max(1024, -(-(n_long + 256) // 1024) * 1024)
             if need > budget:
                 budget = min(res * res // 1024 * 1024, need)
-            march_bucket = (k2s, bs)
-            print(f"# bucket plan: K2s={k2s} short_budget={bs} "
-                  f"(measured {n_short} short / {n_long} long rays; "
-                  f"budget {budget})", file=sys.stderr)
+            bs = bucket_short_budget(n_short, budget, 1024)
+            if bs:
+                march_bucket = (k2s, bs)
+                print(f"# bucket plan: K2s={k2s} short_budget={bs} "
+                      f"(measured {n_short} short / {n_long} long rays; "
+                      f"budget {budget})", file=sys.stderr)
+            else:
+                print("# bucket plan: no valid short-budget carve at "
+                      f"budget {budget} — single-bucket march",
+                      file=sys.stderr)
     staged_sb = (max(1024, int(budget * args.stage_split * args.sample_frac)
                  // 1024 * 1024) if args.sample_frac > 0 else 0)
     # field-eval budget: AUTO with a trained state (host-exact real-block
@@ -553,7 +563,8 @@ def main():
         # 1.5 B/px (the encoder converts to 4:2:0 anyway) vs rgb24's 3
         img = jnp.clip(out["image"].reshape(res, res, 3), 0, 1)
         diag = (out.get("n_active", 0), out.get("n_stage2", 0),
-                out.get("n_spts", 0), out.get("n_real", 0))
+                out.get("n_spts", 0), out.get("n_real", 0),
+                out.get("n_long", 0))
         if args.pix_fmt == "yuv420p":
             from lzzx_nerf_tpu.utils import rgb_to_yuv420
 
@@ -573,12 +584,13 @@ def main():
             auds, eye = inp
             buf, diag = render_one(params, packed, tables, occ, auds, eye,
                                    tparams, torso_packed)
-            return carry, (buf, diag[0], diag[1], diag[2], diag[3])
+            return carry, (buf,) + diag
 
-        _, (bufs, n_act, n_s2, n_sp, n_rl) = jax.lax.scan(
+        _, (bufs, n_act, n_s2, n_sp, n_rl, n_lg) = jax.lax.scan(
             body, 0, (auds_c, eyes_c))
         return (bufs, jnp.max(n_act), jnp.max(n_s2),
-                jnp.max(n_sp), jnp.max(n_rl))    # [C, frame_bytes]
+                jnp.max(n_sp), jnp.max(n_rl),
+                jnp.max(n_lg))    # [C, frame_bytes]
 
     # per-frame audio windows (streaming shape [8, 16, 1024])
     rng = np.random.default_rng(0)
@@ -592,12 +604,12 @@ def main():
         for i in range(n_chunks)]
 
     # warmup/compile
-    img, n_act, n_s2, n_sp, n_rl = render_chunk(params, packed, tables, occ,
-                                                aud_stream[0], eyes[0],
-                                                tparams, torso_packed)
+    img, n_act, n_s2, n_sp, n_rl, n_lg = render_chunk(
+        params, packed, tables, occ, aud_stream[0], eyes[0],
+        tparams, torso_packed)
     np.asarray(img)
     max_act, max_s2 = int(n_act), int(n_s2)
-    max_sp0, max_rl0 = int(n_sp), int(n_rl)
+    max_sp0, max_rl0, max_lg0 = int(n_sp), int(n_rl), int(n_lg)
 
     # pipelined loop, exactly like the serving session (serving/session.py):
     # each chunk's host copy starts immediately (copy_to_host_async) and the
@@ -612,12 +624,11 @@ def main():
     t0 = time.perf_counter()
     q = deque()
     for f in range(n_chunks):
-        img, n_act, n_s2, n_sp, n_rl = render_chunk(params, packed, tables,
-                                                    occ, aud_stream[f],
-                                                    eyes[f], tparams,
-                                                    torso_packed)
+        img, n_act, n_s2, n_sp, n_rl, n_lg = render_chunk(
+            params, packed, tables, occ, aud_stream[f],
+            eyes[f], tparams, torso_packed)
         img.copy_to_host_async()
-        diags.append((n_act, n_s2, n_sp, n_rl))
+        diags.append((n_act, n_s2, n_sp, n_rl, n_lg))
         q.append(img)
         if len(q) >= max(2, 3 // C + 1):
             frame_host = np.asarray(q.popleft())  # host handoff (ffmpeg)
@@ -625,10 +636,19 @@ def main():
         frame_host = np.asarray(q.popleft())
     dt = time.perf_counter() - t0
     fps = frames_total / dt
-    max_act = max([max_act] + [int(a) for a, _, _, _ in diags])
-    max_s2 = max([max_s2] + [int(s) for _, s, _, _ in diags])
-    max_sp = max([max_sp0] + [int(p) for _, _, p, _ in diags])
-    max_rl = max([max_rl0] + [int(r) for _, _, _, r in diags])
+    max_act = max([max_act] + [int(a) for a, _, _, _, _ in diags])
+    max_s2 = max([max_s2] + [int(s) for _, s, _, _, _ in diags])
+    max_sp = max([max_sp0] + [int(p) for _, _, p, _, _ in diags])
+    max_rl = max([max_rl0] + [int(r) for _, _, _, r, _ in diags])
+    max_lg = max([max_lg0] + [int(g) for _, _, _, _, g in diags])
+    if march_bucket and max_lg > budget - march_bucket[1]:
+        # bench has no rebuild loop: long blocks beyond (budget - short
+        # budget) rendered as BACKGROUND — the printed FPS is not a valid
+        # headline for this configuration (review finding)
+        print(f"# [WARN] {max_lg} long-bucket rays exceed the long budget "
+              f"{budget - march_bucket[1]}; overflow rendered as "
+              "background — headline INVALID, raise the budget",
+              file=sys.stderr)
 
     mrays = (res * res * fps) / 1e6
     result = {
@@ -642,7 +662,9 @@ def main():
           f"res={res}, samples/ray={settings.max_steps}, chunk={C}, "
           f"n_active={max_act}/{budget}, n_stage2={max_s2}"
           + (f", n_spts={max_sp}/{staged_sb}" if staged_sb else "")
-          + (f", n_real={max_rl}" if max_rl else ""),
+          + (f", n_real={max_rl}" if max_rl else "")
+          + (f", n_long={max_lg}/{budget - march_bucket[1]}"
+             if march_bucket else ""),
           file=sys.stderr)
 
     if args.latency_live:
@@ -666,10 +688,10 @@ def main():
                 time.sleep(t_ready - now)
             else:
                 late_dispatch += now > t_ready + 0.004
-            img, _, _, _, _ = render_chunk(params, packed, tables, occ,
-                                           aud_stream[k % n_chunks],
-                                           eyes[k % n_chunks], tparams,
-                                           torso_packed)
+            img, _, _, _, _, _ = render_chunk(params, packed, tables, occ,
+                                              aud_stream[k % n_chunks],
+                                              eyes[k % n_chunks], tparams,
+                                              torso_packed)
             img.copy_to_host_async()
             pending.append((k, img))
             while pending and pending[0][1].is_ready():
@@ -706,9 +728,9 @@ def main():
         lat = []
         for f in range(min(8, n_chunks)):
             t = time.perf_counter()
-            img, _, _, _, _ = render_chunk(params, packed, tables, occ,
-                                           aud_stream[f], eyes[f], tparams,
-                                           torso_packed)
+            img, _, _, _, _, _ = render_chunk(params, packed, tables, occ,
+                                              aud_stream[f], eyes[f],
+                                              tparams, torso_packed)
             np.asarray(img)
             lat.append(time.perf_counter() - t)
         lat_ms = 1000.0 * float(np.median(lat))

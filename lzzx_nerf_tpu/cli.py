@@ -785,9 +785,10 @@ def run_test(cfg) -> None:
             isettings, tables.z_lo, tables.z_hi, tables.col_dilwords,
             measure_poses, ds.intrinsics, ds.H, ds.W, k2, log=trainer.log)
         if k2s_m:
-            bs = min(budget - 1024,
-                     max(1024, -(-(ns_m + 64) // 1024) * 1024))
-            if bs > 0:
+            from .ops.march2 import bucket_short_budget
+
+            bs = bucket_short_budget(ns_m, budget, 1024)
+            if bs:
                 march_bucket = (k2s_m, bs)
     long_budget = budget - march_bucket[1] if march_bucket else 0
     s2_budget = max(1024, int(budget * cfg.infer_stage2_frac) // 1024 * 1024)

@@ -22,6 +22,24 @@ import numpy as np
 from ..utils.audio import get_audio_features
 
 
+def two_blob_occupancy(grid_size: int):
+    """Sparse test occupancy: a main head-sized blob plus a small far-z
+    satellite. Central rays cross BOTH (long prepass spans) while
+    silhouette rays cross one (short spans) — tuned so the span spread
+    activates the bucketed march AND the prepass genuinely filters dead
+    blocks on portrait-like cameras. The ONE copy shared by the multichip
+    dryrun's production-path serving leg and the session-level bit-parity
+    test (they certify the same plan; a retune must move both)."""
+    import jax.numpy as jnp
+
+    r = jnp.linspace(-1, 1, grid_size)
+    X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
+    blob = (jnp.sqrt(X ** 2 + (2 * Y) ** 2 + Z ** 2) < 0.45)
+    blob = blob | (jnp.sqrt(X ** 2 + (2 * Y) ** 2
+                            + ((Z + 0.72) * 2) ** 2) < 0.22)
+    return blob[None]
+
+
 @dataclass
 class SyntheticTalkingHead:
     num_frames: int = 32

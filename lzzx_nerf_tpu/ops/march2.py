@@ -508,7 +508,16 @@ def prepass_block_hits(
     on the trained state; the reference's alive-ray loop never marches
     dead rays at all, /root/reference/nerf_triplane/renderer.py:503-548).
     """
-    W32 = None  # derived from the table: rows = H^2 * H/32 -> H = cbrt(32R)
+    h = _prepass_group_hits(o_blk, d_center, t0_blk, t1_blk, col_dilwords,
+                            bound, dt, num_cand)
+    return jnp.any(h, axis=1)
+
+
+def _prepass_group_hits(o_blk, d_center, t0_blk, t1_blk, col_dilwords,
+                        bound, dt, num_cand):
+    """Shared body of prepass_block_hits / prepass_block_spans: the
+    per-(block, group) dilated-occupancy hit matrix [NB, G] — ONE place
+    for the envelope-critical lattice / cell / live-gate math."""
     H = int(round((32 * col_dilwords.shape[0]) ** (1.0 / 3.0)))
     W32 = H // 32
     assert H * H * W32 == col_dilwords.shape[0]
@@ -529,7 +538,7 @@ def prepass_block_hits(
     # are t < t_end-gated in the march) — one dt of slack keeps this
     # strictly conservative against the per-ray lattice snap
     live = (t_g - dt) < (t1_blk[:, None] + dt)
-    return jnp.any(bit & live, axis=1)
+    return bit & live
 
 
 def prepass_block_spans(
@@ -555,27 +564,27 @@ def prepass_block_spans(
     2*(g_last - g_first + 1) + 2 (one group span + the snap's boundary
     candidate each side) — the basis for the short/long two-bucket march
     (render_rays_compact_blocks march_buckets)."""
-    H = int(round((32 * col_dilwords.shape[0]) ** (1.0 / 3.0)))
-    W32 = H // 32
-    assert H * H * W32 == col_dilwords.shape[0]
-    group = 2
-    G = (num_cand + group - 1) // group
-
-    gk = jnp.arange(G, dtype=jnp.float32) * group + 1.0
-    t_g = t0_blk[:, None] + gk[None] * dt
-    pg = o_blk[:, None, :] + t_g[..., None] * d_center[:, None, :]
-    pg = jnp.clip(pg, -bound, bound)
-    gp = jnp.clip(0.5 * (pg / bound + 1.0) * H, 0, H - 1).astype(jnp.int32)
-    gx, gy, gz = gp[..., 0], gp[..., 1], gp[..., 2]
-    idx = (gx * H + gy) * W32 + (gz >> 5)
-    words = jnp.take(col_dilwords, idx, axis=0)
-    bit = ((words >> (gz & 31).astype(jnp.uint32)) & jnp.uint32(1)) > 0
-    live = (t_g - dt) < (t1_blk[:, None] + dt)
-    h = bit & live                                          # [NB, G]
+    h = _prepass_group_hits(o_blk, d_center, t0_blk, t1_blk, col_dilwords,
+                            bound, dt, num_cand)
+    G = h.shape[1]
     hit = jnp.any(h, axis=1)
     g_first = jnp.argmax(h, axis=1).astype(jnp.int32)
     g_last = (G - 1 - jnp.argmax(h[:, ::-1], axis=1)).astype(jnp.int32)
     return hit, g_first, g_last
+
+
+def bucket_short_budget(n_short: int, budget: int, gran: int,
+                        margin: int = 64) -> int:
+    """THE short-bucket budget sizing policy, shared by bench, serving
+    and cli (review finding: three divergent copies drift): ceil the
+    measured short demand + margin to the slot granularity, capped so
+    the long bucket keeps at least one granule. Returns 0 when no valid
+    carve exists (caller falls back to the single-bucket march)."""
+    if budget <= gran:
+        return 0
+    bs = min(budget - gran,
+             max(gran, -(-(n_short + margin) // gran) * gran))
+    return bs if 0 < bs < budget and bs % 4 == 0 else 0
 
 
 def build_inference_tables(occ: jnp.ndarray, bound: float,

@@ -131,6 +131,7 @@ class InferenceSession:
                     density_grid_torso=occ_t.density_grid_torso,
                     mean_density_torso=occ_t.mean_density_torso)
         self._overflow_warned = self._s2_warned = False
+        self._long_warned = False
         self._pending_budget = self._pending_sample = None
         self._budget_override = self._sample_override = None
         self._pending_k2 = self._k2_override = None
@@ -259,9 +260,10 @@ class InferenceSession:
                 self._bucket_plan = plan
             _, k2s_m, ns_m, nl_m = plan
             if k2s_m:
-                bs = min(budget - gran,
-                         max(gran, -(-(ns_m + 64) // gran) * gran))
-                if bs > 0:
+                from ..ops.march2 import bucket_short_budget
+
+                bs = bucket_short_budget(ns_m, budget, gran)
+                if bs:
                     march_bucket = (k2s_m, bs)
         self._bucket = march_bucket
         self.long_budget = budget - march_bucket[1] if march_bucket else 0
@@ -574,6 +576,16 @@ class InferenceSession:
                           f"{want_t} at the next chunk boundary")
                     self._pending_budget = max(self._pending_budget or 0,
                                                want_t)
+                elif not self._long_warned:
+                    # total budget already at the frame cap: nothing to
+                    # grow — say so instead of dropping long blocks to
+                    # background silently forever (mirror of the
+                    # saturated-ray-budget warning below)
+                    print(f"[WARN] chunk at frame {base}: {int(lg_dev)} "
+                          f"long-bucket rays exceed the long budget "
+                          f"{chunk_lb} with the total budget at the frame "
+                          f"cap; overflow rendered as background")
+                    self._long_warned = True
             if int(wm_dev) > chunk_k2:
                 # WINDOW-TRUNCATION ESCAPE: a frame needed more march
                 # candidates than K2 — those rays lost their far-side

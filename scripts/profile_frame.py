@@ -108,14 +108,24 @@ def main():
         log=lambda m: print(f"# {m}", file=sys.stderr))
     tables = ensure_variant_tables(tables, occ.occ,
                                    needed_variant_tables(group, variant))
+    march_bucket = None
+    use_prepass = False
     if args.state:
-        # bench.py's trained-state auto-sizing: ray budget from the window
-        # activity of the bench pose, eval budget from the host-exact
-        # real-block count x1.25 — profile the program bench actually times
-        from lzzx_nerf_tpu.ops.march2 import (measure_real_blocks_host,
+        # bench.py's trained-state sizing, verbatim semantics: prepass
+        # admission for the ray budget (DEVICE count + 256 margin),
+        # host-exact real-block count x1.25 for the eval budget, median-
+        # span bucket plan — profile the program bench actually times
+        # (it previously profiled the pre-prepass 2.6x-over-admitted
+        # program, review finding)
+        from lzzx_nerf_tpu.ops.march2 import (bucket_short_budget,
+                                              ensure_variant_tables as _ev,
+                                              measure_real_blocks_host,
+                                              prepass_block_spans,
                                               ray_windows)
         from lzzx_nerf_tpu.ops.ray import near_far_from_aabb
 
+        use_prepass = group == 2
+        tables = _ev(tables, occ.occ, ("dil",) if use_prepass else ())
         db = rays_d.reshape(res // 2, 2, res // 2, 2, 3).transpose(
             0, 2, 1, 3, 4).reshape(res * res // 4, 4, 3)
         dcen = db.mean(axis=1)
@@ -126,9 +136,27 @@ def main():
             settings.min_near)
         win_ = ray_windows(ocen, dcen, nb_, fb_, tables.z_lo, tables.z_hi,
                            settings.bound, settings.dt, pad_steps=3.0)
-        n_act = int(jnp.sum(win_.active)) * 4
+        if use_prepass:
+            hits, gf, gl = jax.jit(
+                prepass_block_spans, static_argnums=(5, 6, 7))(
+                ocen, dcen, win_.t_start, win_.t_end, tables.col_dilwords,
+                settings.bound, settings.dt, k2)
+            adm = np.asarray(hits & win_.active)
+            spans = (2 * (np.asarray(gl) - np.asarray(gf) + 1) + 2)[adm]
+            n_act = int(adm.sum()) * 4 + 256
+        else:
+            n_act = int(jnp.sum(win_.active)) * 4
         budget = min(res * res // 1024 * 1024,
                      max(1024, -(-n_act // 1024) * 1024))
+        if use_prepass and len(spans):
+            k2s = int(np.median(spans))
+            k2s += k2s % 2
+            k2s = max(args.samples + args.samples % 2, min(k2s, k2 - 2))
+            if k2s < k2:
+                bs = bucket_short_budget(
+                    int((spans <= k2s).sum()) * 4, budget, 1024)
+                if bs:
+                    march_bucket = (k2s, bs)
         n_real_m = 4 * measure_real_blocks_host(
             occ.occ[0], settings.aabb, settings.min_near,
             np.asarray(ray_o_origin), np.asarray(db),
@@ -141,7 +169,8 @@ def main():
                      // 1024 * 1024)
     s2_budget = max(1024, int(budget * args.stage2_frac) // 1024 * 1024)
     print(f"# plan: K2={k2} group={group} variant={variant} budget={budget} "
-          f"s2={s2_budget} eval={ebudget}", file=sys.stderr)
+          f"s2={s2_budget} eval={ebudget} prepass={use_prepass} "
+          f"bucket={march_bucket}", file=sys.stderr)
     ap16 = make_fused_apply(field, packed)
 
     @jax.jit
@@ -153,7 +182,8 @@ def main():
             enc_a, c, eye, bg, budget=budget, window_candidates=k2,
             tables=tables, stage_split=args.stage_split,
             stage2_budget=s2_budget, march_group=group,
-            march_variant=variant, eval_budget=ebudget)
+            march_variant=variant, eval_budget=ebudget,
+            march_prepass=use_prepass, march_bucket=march_bucket)
         return (jnp.clip(out["image"], 0, 1) * 255).astype(jnp.uint8)
 
     aud_dim = int(st["meta"]["audio_dim"]) if args.state else 1024

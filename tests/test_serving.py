@@ -545,13 +545,9 @@ def _make_session_workspace(root, H=40, W=40, focal_mult=1.5,
     ds = NeRFDataset(cfg, type="train")
     settings, occ, field, params = _build_world(cfg, ds)
     if blob_occ:
-        g = occ.occ.shape[1]
-        r = jnp.linspace(-1, 1, g)
-        X, Y, Z = jnp.meshgrid(r, r, r, indexing="ij")
-        blob = (jnp.sqrt(X ** 2 + (2 * Y) ** 2 + Z ** 2) < 0.45)
-        blob = blob | (jnp.sqrt(X ** 2 + (2 * Y) ** 2
-                                + ((Z + 0.72) * 2) ** 2) < 0.22)
-        occ = occ._replace(occ=blob[None])
+        from lzzx_nerf_tpu.data.synthetic import two_blob_occupancy
+
+        occ = occ._replace(occ=two_blob_occupancy(occ.occ.shape[1]))
     else:
         # fully-occupied grid: rendered pixels depend on the (random-init)
         # field + audio encoding, so EMA/budget behaviors are observable
