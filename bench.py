@@ -681,25 +681,34 @@ def main():
         lats = {}
         late_dispatch = 0
         t0 = time.perf_counter()
-        for k in range(n_meas // C):
-            t_ready = (k * C + C - 1) * cadence   # chunk audio complete
-            now = time.perf_counter() - t0
-            if now < t_ready:
-                time.sleep(t_ready - now)
-            else:
-                late_dispatch += now > t_ready + 0.004
-            img, _, _, _, _, _ = render_chunk(params, packed, tables, occ,
-                                              aud_stream[k % n_chunks],
-                                              eyes[k % n_chunks], tparams,
-                                              torso_packed)
-            img.copy_to_host_async()
-            pending.append((k, img))
+
+        def drain_ready():
+            # stamp frames the moment their buffer is ready — draining
+            # only after the next dispatch stamped them up to one chunk
+            # period late (a measurement artifact, not real latency)
             while pending and pending[0][1].is_ready():
                 kk, im = pending.popleft()
                 np.asarray(im)
                 t_host = time.perf_counter() - t0
                 for i in range(C):
                     lats[kk * C + i] = t_host - (kk * C + i) * cadence
+
+        for k in range(n_meas // C):
+            t_ready = (k * C + C - 1) * cadence   # chunk audio complete
+            while True:
+                drain_ready()
+                now = time.perf_counter() - t0
+                if now >= t_ready:
+                    break
+                time.sleep(min(0.003, t_ready - now))
+            late_dispatch += (time.perf_counter() - t0) > t_ready + 0.004
+            img, _, _, _, _, _ = render_chunk(params, packed, tables, occ,
+                                              aud_stream[k % n_chunks],
+                                              eyes[k % n_chunks], tparams,
+                                              torso_packed)
+            img.copy_to_host_async()
+            pending.append((k, img))
+            drain_ready()
         while pending:
             kk, im = pending.popleft()
             np.asarray(im)
